@@ -1,0 +1,155 @@
+"""Brute-force kNN search (SURVEY §2 ops Q1-Q3, Q6, Q8).
+
+The reference's flat index scores a query against every stored vector
+in a Python loop, sorts, truncates
+(/root/reference/src/models/collection.py:294-335).  The Spark-first
+form is a declarative scan → score → ``ORDER BY .. LIMIT k``; Catalyst
+compiles that to ``TakeOrderedAndProject`` — a per-partition top-k heap
+merged on the driver — so a single query costs one pass over the data
+with no full sort and no shuffle of the scored rows.  At 100 TB that is
+the optimal physical plan for exact kNN: embarrassingly parallel map +
+O(k) merge.
+
+Batch search (many queries at once) is expressed as a broadcast
+cross-join + per-query window top-k: the query set is tiny relative to
+the corpus, so it broadcasts, and the corpus is scanned exactly once
+for all queries together.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from local_vectordb_spark.functions.vector import dot_product, l2_norm
+
+SCORE_DECIMALS = 6  # stable cross-engine comparison of double-precision scores
+
+
+def _unit(v: Sequence[float]) -> list[float]:
+    n = math.sqrt(sum(float(x) * float(x) for x in v))
+    return [float(x) / n if n else 0.0 for x in v]
+
+
+def knn_brute_force(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity for one literal query vector.
+
+    Mirrors BruteForceCosineSimilarityIndex.search
+    (/root/reference/src/models/collection.py:294-335), re-expressed as
+    scan → score → ORDER BY/LIMIT, which Catalyst compiles to
+    TakeOrderedAndProject: a per-partition top-k heap merged on the
+    driver — one pass, no shuffle, optimal for exact kNN at any scale.
+
+    The query vector is normalized driver-side so per-row work is a
+    single dot product plus the row's own norm (cosine = dot(e, q̂)/‖e‖),
+    and ties are broken by id ascending (the reference's sort is
+    unstable on ties).
+    """
+    qn = F.array(*[F.lit(x) for x in _unit(query_vec)])
+    norm = l2_norm(F.col(vec_col))
+    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(vec_col), qn) / norm
+    )
+    return (
+        vectors.select(F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_batch(
+    vectors: DataFrame,
+    query_rows: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k per query for a *set* of queries (bulk similarity search).
+
+    ``query_rows`` is a small driver-side list of (query_id, vector) —
+    the analogue of the reference embedding each query text before the
+    scan.  Scoring is an Arrow-batched pandas UDF computing one BLAS
+    matmul per batch (corpus_batch × query_matrixᵀ): the corpus is
+    scanned exactly once for all queries, work per element is a fused
+    multiply-add, and the only shuffle is the per-query top-k window
+    over |queries|·|corpus| (id, score) pairs.  SURVEY §4: Arrow
+    matmul replaces the reference's per-pair numpy loop.
+    """
+    qids = [int(i) for i, _ in query_rows]
+    qmat = np.array([_unit(v) for _, v in query_rows], dtype=np.float64).T
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def scores(col: pd.Series) -> pd.Series:
+        m = np.array(col.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        s = (m @ qmat) / np.where(norms == 0.0, 1.0, norms)
+        s[norms[:, 0] == 0.0] = 0.0
+        return pd.Series(list(s))
+
+    qid_arr = F.array(*[F.lit(i) for i in qids])
+    exploded = (
+        vectors.select(F.col(id_col), scores(F.col(vec_col)).alias("s"))
+        .select(
+            F.col(id_col),
+            F.explode(F.arrays_zip(qid_arr.alias("query_id"), F.col("s").alias("sc"))),
+        )
+        .select(
+            F.col("col.query_id").alias("query_id"),
+            F.col(id_col),
+            F.round(F.col("col.sc"), SCORE_DECIMALS).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def hydrate(
+    results: DataFrame,
+    records: DataFrame,
+    id_col: str = "vec_id",
+    record_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Join (id, score) results back to their source records (SURVEY Q6).
+
+    The reference hydrates per-result with a file read and silently
+    drops ids whose record vanished
+    (/root/reference/src/models/collection.py:199-215); an inner join
+    reproduces exactly that drop-missing semantics in one shuffle-free
+    broadcast join (the result set is k rows — always broadcastable).
+    """
+    proj = records.select(
+        F.col(record_id_col).alias(id_col), F.col(content_col).alias("content")
+    )
+    return F.broadcast(results).join(proj, id_col, "inner").select(
+        id_col, "score", "content"
+    )
+
+
+def metadata_filter(vectors: DataFrame, **equals) -> DataFrame:
+    """Pre-kNN metadata predicate (SURVEY Q8 — declared but unimplemented
+    in the reference, /root/reference/src/models/api.py:50).
+
+    A plain Catalyst filter: it pushes down to the Parquet scan, so at
+    scale the filtered kNN reads only matching row groups.
+    """
+    out = vectors
+    for col, val in equals.items():
+        out = out.filter(F.col(col) == F.lit(val))
+    return out
