@@ -1,0 +1,134 @@
+"""Text-analysis column expressions (north-star ops, SURVEY §2.5).
+
+All JVM-side Catalyst expressions — no Python in the hot path — so a
+100 TB documents table is scored in one codegen'd scan. Each function
+returns a Column usable in select/filter/groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny per-language marker lexicon for the n-gram/stopword language-ID
+# heuristic. Real deployments would broadcast a bigger table; the
+# mechanism (per-language hit counts → argmax) is the same.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "was"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "de", "que", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "it"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings dropped."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in double precision (0.0 for empty text)."""
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count via the length-difference trick — identical
+    semantics in any SQL engine, so oracle-parity is exact."""
+    esc = needle.replace("\\", "\\\\")
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(esc), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, r"[^\pP\pS]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: rewards mid-length docs and
+    a natural stopword rate, penalizes punctuation soup. The exact
+    weights are arbitrary; the point is a fully JVM-side scoring scan.
+    """
+    length_term = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    return F.round((length_term + stop_term + punct_term) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token hit counts over lowercased tokens."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; 'und' (undetermined) when no
+    marker matches. Deterministic tie-break: language name ascending."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(score.alias("hits"), F.lit(lang).alias("lang"))
+            for lang, score in sorted(scores.items())
+        ]
+    )
+    # pick max hits, then min lang among maxima (deterministic tie-break)
+    max_hits = F.array_max(F.transform(pairs, lambda p: p["hits"]))
+    winners = F.filter(pairs, lambda p: p["hits"] == max_hits)
+    first = F.array_min(F.transform(winners, lambda p: p["lang"]))
+    return F.when(max_hits == 0, F.lit("und")).otherwise(first)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (the batch
+    equivalent of the reference having none — content identity was
+    filename-only, /root/reference/src/models/collection.py:58-60)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text — the unit
+    set for Jaccard/MinHash dedup."""
+    toks = tokens(normalize_text(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,379 @@
+"""Deduplication operators for large-scale text/embedding corpora
+(north-star ops, SURVEY §2.5): exact, n-gram Jaccard, MinHash-LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the part that matters at 100 TB):
+- exact dedup is a hash-groupBy — one shuffle on the digest;
+- n-gram Jaccard avoids the O(n²) pairwise trap with an inverted-index
+  self-join on shingles (pairs are only generated for docs sharing at
+  least one shingle), then one groupBy to count intersections;
+- MinHash banding turns near-dup search into an equi-join on band
+  signatures (each band hash is a shuffle key — no cross join ever
+  materializes);
+- SimHash reduces each doc to a 64-bit signature; banded prefixes
+  make Hamming-≤r candidate generation an equi-join too;
+- embedding near-dup uses batch top-k (BLAS matmul) rather than a
+  threshold self-join, so the candidate set per vector is bounded by k.
+
+All signature computation is JVM-side (xxhash64 + bit ops) — no Python
+in the per-token path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.functions.text import fingerprint, shingles
+
+JACCARD_DECIMALS = 6
+
+
+def exact_dupes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of documents with identical *normalized* text.
+
+    Output: (fingerprint, n_docs, canonical_id) per duplicate group,
+    canonical = smallest id. One shuffle on the 128-bit digest; at
+    100 TB the digest groupBy is the optimal exact-dedup plan (map-side
+    partial aggregation collapses most singletons before the shuffle).
+    """
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingles ARRAY<STRING>, n_shingles) per doc — shared prep
+    for Jaccard and MinHash."""
+    return docs.select(
+        F.col(id_col),
+        shingles(F.col(text_col), n).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index plan: explode shingles → self-equi-join on shingle
+    (generates a pair-row only when two docs share a shingle) → count
+    shared shingles per pair → Jaccard = |∩| / (|A|+|B|-|∩|).
+    Output: (a_id, b_id, jaccard) with a_id < b_id.
+
+    The join key is the shingle itself, so hot shingles are the skew
+    risk; at scale, drop ultra-frequent shingles first (they carry no
+    dedup signal) — AQE skew-join handles the rest.
+    """
+    sets_df = shingle_sets(docs, id_col, text_col, n)
+    sizes = sets_df.select(F.col(id_col), "n_shingles")
+    posting = sets_df.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                JACCARD_DECIMALS,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Deterministic MinHash signature per doc, fully JVM-side.
+
+    hash_i(shingle) = xxhash64(shingle, seed=i); signature element i is
+    the min over the doc's shingles. No Python, no MLlib randomness —
+    reproducible across runs and cluster sizes.
+    Output: (id, sig ARRAY<BIGINT> length num_hashes, n_shingles).
+    """
+    sets_df = shingle_sets(docs, id_col, text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sets_df.select(F.col(id_col), sig.alias("sig"), F.col("n_shingles"))
+
+
+def minhash_lsh_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs — the 100 TB dedup path.
+
+    Signatures are split into `bands` bands of num_hashes/bands rows;
+    docs agreeing on any full band become candidates (equi-join on
+    (band_idx, band_hash) — a plain shuffle join, never a cross join).
+    Candidates are then verified with *estimated* Jaccard = fraction of
+    agreeing signature positions.
+    Output: (a_id, b_id, est_jaccard) with a_id < b_id.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    band_arr = F.array(
+        *[
+            F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band))
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard",
+            F.round(agree.cast("double") / F.lit(num_hashes), JACCARD_DECIMALS),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bit votes (JVM-side).
+
+    bit_j(doc) = 1 iff Σ_tokens (bit_j(xxhash64(token))*2 - 1) > 0.
+    Output: (id, simhash BIGINT).
+    """
+    from local_vectordb_spark.functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, j=j: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        for j in range(64)
+    ]
+    sim = None
+    for j, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dupes(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by banding the 64-bit signature into 4
+    16-bit keys (pigeonhole: ≤3 differing bits ⇒ at least one of 4
+    bands identical), so candidates come from 4 equi-joins, not a
+    cross join. Output: (a_id, b_id, hamming).
+    """
+    sigs = simhash_signatures(docs, id_col, text_col)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("band", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dupes(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold — the exact
+    all-pairs baseline.
+
+    Distributed self-join with the JVM cosine expression; no driver
+    collect. This is deliberately the *exact* O(n²) reference
+    semantics — at 100 TB you run the LSH candidate generator first
+    (operators/lsh.py random-hyperplane buckets, or minhash_lsh_dupes
+    for text) and verify only candidates with this scorer; the
+    expression and output contract are identical either way.
+    Output: (a_id, b_id, score) with a_id < b_id.
+    """
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    a = vectors.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+    )
+    score = F.round(
+        cosine_similarity(F.col("va"), F.col("vb")), SCORE_DECIMALS
+    ).alias("score")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", score)
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_near_dupes_blas(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via broadcast + BLAS matmul —
+    the fast path when one side of the self-join fits in executor
+    memory (the map-side-join analogue for vector scoring).
+
+    The full (id, unit-vector) matrix is broadcast to executors; each
+    Arrow batch computes batch × matrixᵀ in one BLAS call and emits
+    only pairs with score ≥ threshold and a_id < b_id. Work is still
+    O(n²) flops but at memory bandwidth, with no shuffle and no pair
+    materialization below threshold. For corpora where neither side
+    fits (true 100 TB self-join), generate candidates with LSH first
+    and verify with `embedding_near_dupes` semantics.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    spark = vectors.sparkSession
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norms == 0.0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_unit = bc.value
+        for b in batches:
+            bids = b[id_col].to_numpy(dtype=np.int64)
+            bm = np.array(b[vec_col].tolist(), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bu = bm / np.where(bn == 0.0, 1.0, bn)
+            scores = np.round(bu @ all_unit.T, SCORE_DECIMALS)
+            ai, bj = np.nonzero(
+                (scores >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "a_id": bids[ai],
+                    "b_id": all_ids[bj],
+                    "score": scores[ai, bj],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(pairs, out_schema)

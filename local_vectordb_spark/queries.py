@@ -152,3 +152,533 @@ def knn_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() target: scan → score → top-k → hydrate."""
     return knn_hydrated(spark, sf_dir)
+
+
+# ==========================================================================
+# C1-C10 — batch CRUD semantics (SURVEY §2.1) over the star schema
+# ==========================================================================
+
+from local_vectordb_spark.operators import crud  # noqa: E402
+
+
+@register(
+    "crud_full_scan",
+    """
+    SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+    """,
+)
+def crud_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: projection + filter reach the Parquet scan (pushdown)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 200)
+    return crud.full_scan(docs, ["doc_id", "lang", "n_chars"])
+
+
+@register(
+    "crud_point_lookup",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def crud_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: key-equality point fetch (row-group skip via min/max stats)."""
+    return crud.point_lookup(load_table(spark, sf_dir, "documents"), "doc_id", 42)
+
+
+@register(
+    "crud_exists_semi",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+    """,
+)
+def crud_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 batched: which probe keys exist → left-semi join."""
+    probe = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return crud.exists_semi(emb, probe, "doc_id")
+
+
+@register(
+    "crud_insert_append",
+    """
+    WITH merged AS (
+      SELECT * FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text), lang, 'ingest', n_chars
+      FROM documents WHERE doc_id < 5
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM merged GROUP BY source
+    """,
+)
+def crud_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: batch insert = unionByName (+ append write in a real sink)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_rows = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+        "lang",
+        F.lit("ingest").alias("source"),
+        "n_chars",
+    )
+    return (
+        crud.insert_append(docs, new_rows)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "crud_upsert",
+    """
+    WITH updates AS (
+      SELECT doc_id, 'updated:' || substr(text, 1, 10) AS text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'inserted' FROM documents WHERE doc_id < 3
+    ),
+    merged AS (
+      SELECT coalesce(b.doc_id, u.doc_id) AS doc_id,
+             coalesce(u.text, b.text) AS text,
+             b.lang AS lang
+      FROM documents b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+    )
+    SELECT doc_id, text, lang FROM merged
+    WHERE doc_id % 10 = 0 OR doc_id >= 1000000
+    """,
+)
+def crud_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: MERGE-style partial update — non-null update fields win,
+    unmatched update rows insert (reference merge semantics,
+    collection.py:121-154)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    updates = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("updated:"), F.substring("text", 1, 10)).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("inserted").alias("text"),
+            )
+        )
+    )
+    merged = crud.upsert(docs, updates, "doc_id")
+    return merged.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") >= 1000000)
+    ).select("doc_id", "text", "lang")
+
+
+@register(
+    "crud_delete",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents WHERE doc_id % 7 != 0
+    GROUP BY lang
+    """,
+)
+def crud_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: batch delete = left-anti join on the deleted-key set."""
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    survivors = crud.delete_keys(docs, doomed, "doc_id")
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "crud_cascade_delete",
+    """
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey % 10 = 0
+    )
+    GROUP BY l.l_returnflag
+    """,
+)
+def crud_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: deleting parents (orders) cascades to children (lineitem)
+    via one anti-join — replaces the reference's per-parent loop
+    (src/main.py:204-215)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    deleted_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey")
+    )
+    surviving = crud.cascade_delete(
+        lineitem, deleted_orders, "l_orderkey", "o_orderkey"
+    )
+    return surviving.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "crud_fk_orphans",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def crud_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: referential-integrity sweep — rows with no matching parent
+    (left-anti), the batch form of the reference's per-row FK checks."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders")
+    return crud.fk_violations(customer, orders, "c_custkey", "o_custkey")
+
+
+@register(
+    "crud_reject_duplicates",
+    """
+    WITH incoming AS (
+      SELECT doc_id FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 1000000 FROM documents WHERE doc_id < 5
+    )
+    SELECT i.doc_id FROM incoming i
+    WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = i.doc_id)
+    """,
+)
+def crud_reject_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: duplicate-key rejection as a batch split (semi = rejected)."""
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id")
+            )
+        )
+    )
+    _, rejected = crud.reject_duplicates(docs, incoming, "doc_id")
+    return rejected
+
+
+@register("crud_truncate")
+def crud_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: reset — empty frame, schema preserved (rows-only check:
+    cross-engine empty-frame dtype comparison is ill-defined)."""
+    return crud.truncate(load_table(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Relational / aggregation queries over the star schema (SURVEY §2.5 —
+# free Spark built-ins the reference lacks entirely)
+# ==========================================================================
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 2) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(avg(l_quantity), 4) AS avg_qty,
+           ROUND(avg(l_extendedprice), 4) AS avg_price,
+           ROUND(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + top-k. customer is the small dim → broadcast;
+    the only shuffle is the groupBy on o_orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join: every dimension broadcasts; lineitem (the
+    fact) is never shuffled until the final small groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (SURVEY Q3 per-group variant)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           ROUND(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (ROLLUP) — subtotals + grand total in one
+    pass (Spark expands grouping sets map-side; one shuffle)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+    )
+
+
+# ==========================================================================
+# Event windowing / sessionization (batch forms of streaming ops)
+# ==========================================================================
+
+from local_vectordb_spark.operators import events as ev  # noqa: E402
+
+
+@register(
+    "events_tumbling_hour",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ev.tumbling(load_table(spark, sf_dir, "events"), duration="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts)
+             + CASE WHEN extract(minute FROM ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             - offs AS window_start, value
+      FROM events
+      CROSS JOIN (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS offs)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min (each event in 2 windows)."""
+    out = ev.sliding(
+        load_table(spark, sf_dir, "events"), duration="1 hour", slide="30 minutes"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via native
+    F.session_window; oracle is the lag/gap/cumsum rewrite."""
+    out = ev.sessionize(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           ROUND(avg(CAST(props->>'k' AS DOUBLE)), 4) AS avg_k,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count("*").alias("n_events"),
+    )
