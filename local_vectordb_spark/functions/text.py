@@ -58,8 +58,9 @@ def _count_occurrences(text: Column, needle: str) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are punctuation."""
-    stripped = F.regexp_replace(text, r"[^\pP\pS]", "")
+    """Fraction of characters that are neither alphanumeric nor
+    whitespace (ASCII heuristic — engine-portable, so oracle-checkable)."""
+    stripped = F.regexp_replace(F.lower(text), r"[a-z0-9\s]", "")
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
         F.length(stripped).cast("double") / F.length(text)
     )

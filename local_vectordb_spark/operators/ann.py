@@ -1,0 +1,176 @@
+"""Approximate nearest neighbors at scale (SURVEY §2 ops Q5, X6-X8).
+
+The reference's NSW index does greedy graph traversal with a visited
+set (/root/reference/src/models/nsw_index.py:116-162) — inherently
+sequential and driver-bound. The Spark-first capability swap (SURVEY §4
+and §7 step 5): LSH for sublinear candidate generation, and the kNN
+*graph* itself as an edges DataFrame built by batch top-k — the same
+artifact NSW maintains incrementally, produced as one distributed job.
+
+- knn_graph (X6): every node's top-k neighbors via broadcast unit
+  matrix + per-batch BLAS top-k (argpartition, not full sort). The
+  reference builds this with O(n²) per-pair Python loops; here it is
+  O(n²/p) flops at memory bandwidth with no shuffle at all.
+- graph_add / graph_remove (X7/X8): edge-set maintenance as
+  union / filter — batch analogues of the reference's bidirectional
+  insert (nsw_index.py:54-72) and discard (nsw_index.py:75-85).
+- lsh_bucket_pairs / lsh_search (Q5): MLlib BucketedRandomProjectionLSH
+  (seeded) — candidate pairs via approxSimilarityJoin, single-query ANN
+  via approxNearestNeighbors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+SEED = 42
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X6 — cosine kNN graph as an edges DataFrame (src, dst, score).
+
+    Broadcast the unit-normalized corpus matrix; each Arrow batch does
+    one BLAS matmul and an O(n) argpartition top-k per row. Applicable
+    whenever the corpus fits executor memory (the map-side-join
+    regime); beyond that, build per-bucket graphs from LSH candidates
+    with the same per-batch scorer.
+    """
+    spark = vectors.sparkSession
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norms == 0.0, 1.0, norms)
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_unit = bc.value
+        for b in batches:
+            bids = b[id_col].to_numpy(dtype=np.int64)
+            bm = np.array(b[vec_col].tolist(), dtype=np.float64)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bu = bm / np.where(bn == 0.0, 1.0, bn)
+            scores = np.round(bu @ all_unit.T, SCORE_DECIMALS)
+            # mask self-edges
+            self_mask = bids[:, None] == all_ids[None, :]
+            scores[self_mask] = -np.inf
+            kk = min(k, scores.shape[1] - 1)
+            # full (score desc, id asc) lexsort per row: rounded scores can
+            # tie at the k boundary, where argpartition would pick
+            # nondeterministically
+            rows, dsts, vals = [], [], []
+            for r in range(scores.shape[0]):
+                order = np.lexsort((all_ids, -scores[r]))[:kk]
+                rows.extend([bids[r]] * kk)
+                dsts.extend(all_ids[order])
+                vals.extend(scores[r, order])
+            yield pd.DataFrame({"src": rows, "dst": dsts, "score": vals})
+
+    return vectors.select(id_col, vec_col).mapInPandas(topk, out_schema)
+
+
+def graph_add(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """X7 — insert bidirectional edges for new nodes (batch union)."""
+    reversed_edges = new_edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "score"
+    )
+    return edges.unionByName(new_edges).unionByName(reversed_edges).dropDuplicates(
+        ["src", "dst"]
+    )
+
+
+def graph_remove(edges: DataFrame, removed_ids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """X8 — drop a node and its back-edges (one filter pass)."""
+    keys = removed_ids.select(F.col(id_col).alias("_rm"))
+    return (
+        edges.join(F.broadcast(keys), edges.src == F.col("_rm"), "left_anti")
+        .join(F.broadcast(keys), edges.dst == F.col("_rm"), "left_anti")
+    )
+
+
+def _with_ml_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return vectors.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+
+
+def lsh_model(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+              bucket_length: float = 2.0, num_tables: int = 3, seed: int = SEED):
+    """Fit a random-projection LSH model (Euclidean) on the corpus."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    feat = _with_ml_vectors(vectors, id_col, vec_col)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_tables,
+        seed=seed,
+    )
+    return lsh.fit(feat), feat
+
+
+def lsh_bucket_pairs(
+    vectors: DataFrame,
+    max_l2: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Q5 batch form — candidate pairs within L2 ≤ max_l2 via
+    approxSimilarityJoin (bucket-join, no cross product).
+    Output: (a_id, b_id, l2_dist) with a_id < b_id."""
+    model, feat = lsh_model(vectors, id_col, vec_col, **lsh_kwargs)
+    joined = model.approxSimilarityJoin(feat, feat, max_l2, distCol="l2_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("a_id"),
+            F.col(f"datasetB.{id_col}").alias("b_id"),
+            F.round("l2_dist", SCORE_DECIMALS).alias("l2_dist"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+
+
+def lsh_search(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Q5 single query — approxNearestNeighbors by L2 distance."""
+    from pyspark.ml.linalg import Vectors
+
+    model, feat = lsh_model(vectors, id_col, vec_col, **lsh_kwargs)
+    out = model.approxNearestNeighbors(
+        feat, Vectors.dense([float(x) for x in query_vec]), k, distCol="l2_dist"
+    )
+    return out.select(
+        F.col(id_col), F.round("l2_dist", SCORE_DECIMALS).alias("l2_dist")
+    )

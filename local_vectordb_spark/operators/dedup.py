@@ -130,11 +130,15 @@ def minhash_signatures(
     Output: (id, sig ARRAY<BIGINT> length num_hashes, n_shingles).
     """
     sets_df = shingle_sets(docs, id_col, text_col, n)
+
+    def hash_i(i):
+        # closure factory: a `lambda s, i=i` would be treated as the
+        # 2-ary (element, index) transform signature, shadowing i
+        return lambda s: F.xxhash64(s, F.lit(i))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(F.col("shingles"), hash_i(i)))
             for i in range(num_hashes)
         ]
     )
@@ -214,15 +218,15 @@ def simhash_signatures(
 
     toks = tokens(normalize_text(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, j=j: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-        for j in range(64)
-    ]
+
+    def vote(j):
+        # closure factory: F.aggregate requires an exactly-2-ary merge
+        # lambda, so the bit index can't ride along as a default arg
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(64)]
     sim = None
     for j, vote in enumerate(bit_votes):
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

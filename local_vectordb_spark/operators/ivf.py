@@ -1,0 +1,118 @@
+"""IVF (inverted-file) index: cluster-pruned kNN (SURVEY §2 ops X3-X5,
+Q4).
+
+The reference trains sklearn KMeans over all chunk vectors, keeps
+`cluster_id -> [ids]` inverted lists in memory, probes the 3 nearest
+centroids by **L2** and scores only their members by cosine
+(/root/reference/src/models/ivf_index.py:49-190). The Spark-first
+re-expression:
+
+- X3 build: MLlib KMeans (seed fixed) over the vector column; the
+  "inverted lists" are simply the assignments DataFrame
+  (vec_id, cluster_id) — groupBy recovers lists, but the flat table is
+  the better physical form (and can be written partitioned by
+  cluster_id for true partition pruning on probe).
+- Q4 search: centroid probe is a driver-side O(k·dim) computation (k
+  centroids are tiny by construction); the candidate filter
+  `cluster_id IN probed` prunes partitions/row-groups, then the
+  brute-force scorer (knn.py) runs on the survivors only.
+- X4/X5 incremental add/remove: `model.transform(new_rows)` appended to
+  assignments / anti-join removal — NOT the reference's
+  fit-on-one-point bug (ivf_index.py:103-105).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 16
+SEED = 42
+
+
+def ivf_build(
+    vectors: DataFrame,
+    n_clusters: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+):
+    """X3 — train KMeans, return (centroids, assignments DataFrame).
+
+    Centroids come back driver-side (n_clusters × dim — small by
+    construction, like the reference's in-memory centroid array);
+    assignments stay distributed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    assignments = model.transform(feat).select(
+        F.col(id_col), F.col("prediction").alias("cluster_id")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return model, centroids, assignments
+
+
+def probe_clusters(
+    centroids: Sequence[Sequence[float]], query_vec: Sequence[float], n_probe: int = 3
+) -> list[int]:
+    """Q4 step 1 — nearest n_probe centroids by L2 (the reference's
+    probe metric, ivf_index.py:159-166). Driver-side: k·dim flops."""
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, b)))
+
+    dists = sorted(
+        (l2(c, query_vec), i) for i, c in enumerate(centroids)
+    )
+    return [i for _, i in dists[:n_probe]]
+
+
+def ivf_search(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Q4 — cluster-pruned kNN: probe centroids, filter candidates,
+    cosine top-k on survivors only. The isin() filter is a pushable
+    predicate; with assignments partitioned by cluster_id it becomes
+    partition pruning (scan ~n_probe/k of the data)."""
+    from local_vectordb_spark.operators.knn import knn_brute_force
+
+    probed = probe_clusters(centroids, query_vec, n_probe)
+    candidate_ids = assignments.filter(F.col("cluster_id").isin(probed)).select(id_col)
+    candidates = vectors.join(candidate_ids, id_col, "left_semi")
+    return knn_brute_force(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_add(model, new_rows: DataFrame, assignments: DataFrame,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """X4 — assign new vectors with the existing model (no refit)."""
+    from pyspark.ml.functions import array_to_vector
+
+    feat = new_rows.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    new_assign = model.transform(feat).select(
+        F.col(id_col), F.col("prediction").alias("cluster_id")
+    )
+    return assignments.unionByName(new_assign)
+
+
+def ivf_remove(assignments: DataFrame, removed_ids: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """X5 — drop ids from the assignments table (anti-join, not the
+    reference's linear scan of every inverted list)."""
+    return assignments.join(F.broadcast(removed_ids), id_col, "left_anti")

@@ -635,7 +635,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
@@ -682,3 +682,437 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.count("*").alias("n_events"),
     )
+
+
+# ==========================================================================
+# Text analysis (north-star ops): token stats, quality, language-ID
+# ==========================================================================
+
+from local_vectordb_spark.functions import text as T  # noqa: E402
+
+
+@register(
+    "text_token_stats",
+    r"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg(len(toks)), 4) AS avg_tokens,
+           ROUND(avg(n_chars), 4) AS avg_chars,
+           ROUND(avg(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                     / len(toks)), 4) AS avg_token_len
+    FROM t GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language — one codegen'd scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.avg_token_len(F.col("text")).alias("tok_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("tok_len"), 4).alias("avg_token_len"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
+             CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS length_term,
+             least(CAST(len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','is','in','to','it'], x))) AS DOUBLE)
+               / len(toks) * 5.0, 1.0) AS stop_term,
+             greatest(0.0, 1.0 - punct_ratio * 5.0) AS punct_term
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND((length_term + stop_term + punct_term) / 3.0, 6) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document heuristic quality score (length/stopword/punct mix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_langid",
+    r"""
+    WITH t AS (
+      SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT lang,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist','nicht'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is','was'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','es'], x))) AS es,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est','les'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS zh
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+                WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+                WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+                WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+                WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ==========================================================================
+# Dedup family (north-star): exact, n-gram Jaccard, MinHash-LSH, SimHash,
+# embedding cosine. The corpus has no natural dups, so each query plants
+# deterministic duplicates (identical construction on both engines).
+# ==========================================================================
+
+from local_vectordb_spark.operators import dedup  # noqa: E402
+
+
+def _docs_with_exact_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of doc_id%25==0 with whitespace/case noise
+    (same normalized form → exact dups under fingerprinting)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+def _docs_with_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies of doc_id%50==0 with the first word dropped
+    (shingle-Jaccard ≈ 0.97 vs the original)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_EXACT_DUPES_SQL = r"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || upper(text) || ' '
+      FROM documents WHERE doc_id % 25 = 0
+"""
+
+_NEAR_DUPES_SQL = r"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+      FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register(
+    "dedup_exact",
+    rf"""
+    WITH all_docs AS ({_EXACT_DUPES_SQL}),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM all_docs
+    )
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint."""
+    return dedup.exact_dupes(_docs_with_exact_dupes(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    rf"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sized AS (SELECT doc_id, s, len(s) AS ns FROM sh),
+    posting AS (SELECT doc_id, unnest(s) AS shingle FROM sized),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.ns + sb.ns - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sized sa ON sa.doc_id = a_id
+      JOIN sized sb ON sb.doc_id = b_id
+    )
+    SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard (inverted-index join)."""
+    return dedup.ngram_jaccard_dupes(
+        _docs_with_near_dupes(spark, sf_dir), threshold=0.5
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banding candidates (rows-only: xxhash64 signatures have
+    no cross-engine oracle; invariants tested vs exact Jaccard in
+    tests/test_dedup.py)."""
+    return dedup.minhash_lsh_dupes(
+        _docs_with_near_dupes(spark, sf_dir), threshold=0.5
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidates (rows-only, same reason)."""
+    return dedup.simhash_dupes(_docs_with_exact_dupes(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH all_v AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+    FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via broadcast+BLAS all-pairs cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return dedup.embedding_near_dupes_blas(planted, threshold=0.99)
+
+
+# ==========================================================================
+# E1 — embedding surface: expression backend (oracle-checked) and
+# pandas-UDF backend (rows-only)
+# ==========================================================================
+
+from local_vectordb_spark.functions import embedding as emb_fn  # noqa: E402
+
+
+@register(
+    "embed_letter_knn",
+    f"""
+    WITH emb AS (
+      SELECT doc_id, v FROM (
+        SELECT doc_id,
+               (SELECT list(CAST(length(lower(text)) - length(replace(lower(text), ch, '')) AS DOUBLE))
+                FROM unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p']) AS u(ch)) AS raw
+        FROM documents
+      ), LATERAL (
+        SELECT CASE WHEN sqrt(list_aggregate(list_transform(raw, x -> x*x), 'sum')) = 0
+                    THEN raw
+                    ELSE list_transform(raw, x -> x / sqrt(list_aggregate(list_transform(raw, y -> y*y), 'sum')))
+               END AS v
+      )
+    )
+    SELECT e.doc_id,
+           ROUND(list_dot_product(e.v, q.v), 6) AS score
+    FROM emb e CROSS JOIN (SELECT v FROM emb WHERE doc_id = 7) q
+    ORDER BY score DESC, e.doc_id ASC
+    LIMIT {K}
+    """,
+)
+def embed_letter_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+Q2 composed: embed every document with the expression backend,
+    then kNN against doc 7's embedding — the full embed→index→search
+    pipeline, oracle-checked end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", emb_fn.letter_count_embedding(F.col("text")).alias("v")
+    )
+    q = emb.filter(F.col("doc_id") == 7).select(F.col("v").alias("qv"))
+    from local_vectordb_spark.functions.vector import dot_product
+
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(dot_product(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+@register("embed_hashed")
+def embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 pandas-UDF backend (rows-only: hash→vector has no SQL oracle;
+    determinism + unit-norm invariants in tests/test_embedding.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = emb_fn.hashed_embedding_udf(dim=16)(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6
+        ).alias("sq_norm"),
+    )
+
+
+# ==========================================================================
+# Multimodal binary-column plumbing (north-star)
+# ==========================================================================
+
+from local_vectordb_spark.operators import multimodal as mm  # noqa: E402
+
+
+@register(
+    "mm_media_meta",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(text::BLOB) AS n_bytes
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+           ROUND(avg(n_bytes % 640 + 1), 4) AS avg_width
+    FROM m GROUP BY media_type
+    """,
+)
+def mm_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY payload → mapInPandas decode (stubbed codec) → metadata
+    aggregate. Exercises the real Arrow plumbing end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.to_media_table(docs))
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(text::BLOB) % 30 + 1 AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx FROM m
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: every-10th frame index per video."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm.decode_media(mm.to_media_table(docs))
+    return mm.frame_sample(decoded, every_nth=10)
+
+
+# ==========================================================================
+# Q4/Q5, X3-X8 — IVF cluster-pruned search, kNN graph, LSH ANN
+# ==========================================================================
+
+from local_vectordb_spark.operators import ann, ivf  # noqa: E402
+
+
+@register("ivf_search")
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: KMeans(seed=42) build + n_probe=3 cluster-pruned cosine
+    top-k (rows-only: cluster assignment is seed/impl-dependent;
+    recall-vs-brute-force invariant in tests/test_ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centroids, assignments = ivf.ivf_build(emb, n_clusters=16)
+    return ivf.ivf_search(
+        emb, assignments, centroids, _query_vecs(sf_dir)[0][1], k=K, n_probe=3
+    )
+
+
+@register(
+    "knn_graph",
+    """
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    )
+    SELECT src, dst, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: the NSW adjacency artifact as an edges DataFrame — batch
+    top-5 neighbors per node via broadcast BLAS top-k."""
+    return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register("lsh_bucket_pairs")
+def lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 batch: LSH approxSimilarityJoin candidate pairs within L2≤8
+    (rows-only: bucket boundaries are seed-dependent; recall invariant
+    in tests/test_ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_bucket_pairs(emb, max_l2=8.0)
+
+
+@register("lsh_search")
+def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 single query: approxNearestNeighbors (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)

@@ -1,0 +1,112 @@
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators import ann, ivf, knn
+from local_vectordb_spark.session import load_table
+
+
+def _brute_ids(spark, sf_dir, qv, k):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [r["vec_id"] for r in knn.knn_brute_force(emb, qv, k=k).collect()]
+
+
+def _qv(spark, sf_dir, vid=0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vid).first()["embedding"])
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF with n_probe=3/8 clusters on ~unclustered data must still
+    recall a reasonable fraction of the true top-10 and never return a
+    vector outside the probed clusters' member set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _qv(spark, sf_dir)
+    _, centroids, assignments = ivf.ivf_build(emb, n_clusters=8)
+    got = [
+        r["vec_id"]
+        for r in ivf.ivf_search(emb, assignments, centroids, qv, k=10, n_probe=3).collect()
+    ]
+    assert len(got) == 10
+    truth = set(_brute_ids(spark, sf_dir, qv, 10))
+    # query vector itself lives in a probed cluster → must be found
+    assert 0 in got
+    assert len(set(got) & truth) >= 2  # loose: data is unclustered, 3/8 probed
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing every cluster must reduce IVF to exact brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _qv(spark, sf_dir, vid=3)
+    _, centroids, assignments = ivf.ivf_build(emb, n_clusters=8)
+    got = [
+        r["vec_id"]
+        for r in ivf.ivf_search(emb, assignments, centroids, qv, k=10, n_probe=8).collect()
+    ]
+    assert got == _brute_ids(spark, sf_dir, qv, 10)
+
+
+def test_ivf_add_remove(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, _, assignments = ivf.ivf_build(emb, n_clusters=4)
+    n0 = assignments.count()
+    new_rows = emb.limit(3).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    grown = ivf.ivf_add(model, new_rows, assignments)
+    assert grown.count() == n0 + 3
+    shrunk = ivf.ivf_remove(grown, new_rows.select("vec_id"))
+    assert shrunk.count() == n0
+
+
+def test_knn_graph_structure(spark, sf_dir):
+    edges = ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    pdf = edges.toPandas()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(pdf) == n * 5
+    assert (pdf["src"] != pdf["dst"]).all()          # no self loops
+    assert pdf.groupby("src").size().eq(5).all()     # exactly k out-edges
+
+
+def test_knn_graph_matches_brute_force_for_one_node(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _qv(spark, sf_dir, vid=5)
+    edges = ann.knn_graph(emb, k=5).filter(F.col("src") == 5).collect()
+    got = [r["dst"] for r in sorted(edges, key=lambda r: (-r["score"], r["dst"]))]
+    truth = [i for i in _brute_ids(spark, sf_dir, qv, 6) if i != 5][:5]
+    assert got == truth
+
+
+def test_graph_add_remove(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.9)], "src long, dst long, score double"
+    )
+    new = spark.createDataFrame([(3, 1, 0.5)], "src long, dst long, score double")
+    grown = ann.graph_add(edges, new)
+    assert grown.count() == 4  # both directions added
+    pruned = ann.graph_remove(grown, spark.createDataFrame([(3,)], "vec_id long"))
+    assert sorted((r["src"], r["dst"]) for r in pruned.collect()) == [(1, 2), (2, 1)]
+
+
+def test_lsh_pairs_recall_of_close_pairs(spark, sf_dir):
+    """Every planted identical pair (L2=0) must collide in some hash
+    table and be returned by the bucket join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    pairs = ann.lsh_bucket_pairs(planted, max_l2=0.001).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    expected = {
+        (r["vec_id"], r["vec_id"] + 1000000)
+        for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    }
+    assert expected <= got
+
+
+def test_lsh_search_returns_query_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _qv(spark, sf_dir)
+    out = ann.lsh_search(emb, qv, k=3).collect()
+    assert out[0]["vec_id"] == 0
+    assert out[0]["l2_dist"] == 0.0

@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_exact_dupes_normalization(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, BASE),
+            (2, "  " + BASE.upper() + " "),  # same normalized form
+            (3, "completely different text here"),
+        ],
+    )
+    out = dedup.exact_dupes(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["canonical_id"] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    near = BASE.split(" ", 1)[1]  # drop first word
+    docs = _docs(spark, [(1, BASE), (2, near), (3, "xx yy zz aa bb cc dd ee")])
+    out = dedup.ngram_jaccard_dupes(docs, threshold=0.5).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(1, 2)]
+    assert out[0]["jaccard"] > 0.8
+
+
+def test_minhash_estimates_jaccard(spark):
+    near = BASE.split(" ", 1)[1]
+    docs = _docs(spark, [(1, BASE), (2, near)])
+    exact = dedup.ngram_jaccard_dupes(docs, threshold=0.0).collect()[0]["jaccard"]
+    est_rows = dedup.minhash_lsh_dupes(docs, threshold=0.0).collect()
+    assert len(est_rows) == 1
+    assert abs(est_rows[0]["est_jaccard"] - exact) <= 0.3
+
+
+def test_minhash_deterministic(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE.split(" ", 1)[1])])
+    a = dedup.minhash_signatures(docs).collect()
+    b = dedup.minhash_signatures(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_simhash_identical_text_hamming_zero(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, "other words entirely now")])
+    out = dedup.simhash_dupes(docs, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_embedding_near_dupes_both_paths_agree(spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),  # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in dedup.embedding_near_dupes(vecs, threshold=0.99).collect()
+    }
+    blas = {
+        (r["a_id"], r["b_id"]): r["score"]
+        for r in dedup.embedding_near_dupes_blas(vecs, threshold=0.99).collect()
+    }
+    assert exact == blas
+    assert set(exact) == {(1, 2)}
