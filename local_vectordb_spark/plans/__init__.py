@@ -1,0 +1,8 @@
+from local_vectordb_spark.plans.quality import (  # noqa: F401
+    broadcast_join_count,
+    count_shuffles,
+    plan_string,
+    pushed_filters,
+    read_schema_columns,
+    sort_merge_join_count,
+)

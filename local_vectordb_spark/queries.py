@@ -1116,3 +1116,11 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 single query: approxNearestNeighbors (rows-only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)
+
+
+# --------------------------------------------------------------------------
+# Extended relational coverage registers itself on import (must stay at
+# the bottom: queries_relational imports `register` from this module).
+# --------------------------------------------------------------------------
+
+from local_vectordb_spark import queries_relational  # noqa: E402, F401

@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: pin the physical plans that make these
+queries survive a 100x scale-up (pushdown, pruning, broadcast, shuffle
+count). A correctness-preserving refactor that regresses the plan
+should fail HERE, not in a cluster bill.
+"""
+
+from __future__ import annotations
+
+from local_vectordb_spark import plans, queries
+from local_vectordb_spark.queries_relational import (
+    tpch_q6_forecast_revenue,
+    tpch_q10_returned_items,
+)
+from local_vectordb_spark.queries import (
+    knn_brute_force,
+    tpch_q3_shipping_priority,
+    tpch_q5_local_supplier_volume,
+    window_top_orders_per_customer,
+)
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    df = tpch_q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    df = tpch_q6_forecast_revenue(spark, sf_dir)
+    (scan,) = plans.read_schema_columns(df)
+    assert set(scan) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, f"scan reads {scan}"
+
+
+def test_star_joins_broadcast_not_sort_merge(spark, sf_dir):
+    for q in (
+        tpch_q3_shipping_priority,
+        tpch_q5_local_supplier_volume,
+        tpch_q10_returned_items,
+    ):
+        df = q(spark, sf_dir)
+        assert plans.broadcast_join_count(df) >= 2, q.__name__
+        assert plans.sort_merge_join_count(df) == 0, q.__name__
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    df = queries.tpch_q1_pricing_summary(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    df = window_top_orders_per_customer(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 1
+
+
+def test_knn_no_shuffle(spark, sf_dir):
+    """Brute-force top-k must be scan + per-partition heap + driver
+    merge (TakeOrderedAndProject) — zero shuffles."""
+    df = knn_brute_force(spark, sf_dir)
+    assert plans.count_shuffles(df) == 0
+    assert "TakeOrderedAndProject" in plans.plan_string(df)
