@@ -1124,3 +1124,4 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from local_vectordb_spark import queries_relational  # noqa: E402, F401
+from local_vectordb_spark import queries_streaming  # noqa: E402, F401

@@ -1,0 +1,99 @@
+"""Streaming queries for the driver contract: each stages the events
+table into a file-source directory, drains it through the streaming
+plan with trigger(availableNow), and returns the materialized result —
+which must hash-match the same DuckDB oracle as the batch twin. That
+parity (stream == batch == oracle) is the strongest correctness
+statement Structured Streaming allows.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_vectordb_spark import streaming as st
+from local_vectordb_spark.queries import register
+from local_vectordb_spark.session import load_table
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Events table staged as a multi-file parquet dir (micro-second
+    timestamps) keyed by sf_dir, built once per session."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"lvdb_stream_{tag}", "events")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
+@register(
+    "stream_tumbling_hour",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts computed BY THE STREAMING ENGINE
+    (file-source micro-batches + watermarked window agg), asserted
+    against the batch SQL oracle."""
+    stream = st.read_events_stream(spark, _staged_events(spark, sf_dir))
+    out = st.run_available_now(
+        st.watermarked_tumbling(stream), "q_stream_tumble", output_mode="complete"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed by the streaming engine (session_window
+    state machine) vs the classic lag/gap/cumsum SQL rewrite in the
+    oracle."""
+    stream = st.read_events_stream(spark, _staged_events(spark, sf_dir))
+    out = st.run_available_now(
+        st.watermarked_sessionize(stream), "q_stream_sess", output_mode="complete"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )

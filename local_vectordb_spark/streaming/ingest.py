@@ -1,0 +1,75 @@
+"""Streaming ingest of reference-format chunk records (SURVEY §3 entry
+point 2, as a stream).
+
+The reference's write path is one HTTP POST per chunk, each of which
+re-validated parents, re-wrote a JSON file, and rebuilt every index
+(collection.py:77-110, main.py:219-246 — Θ(n²) total). The streaming
+re-expression: chunk JSON files land in a directory, each micro-batch
+is validated (FK semi-join), merged into the parquet table by key
+(insert new ids, overwrite changed ones), and derived artifacts refresh
+once per BATCH, not per record.
+
+foreachBatch is the right tool because the sink is a keyed upsert —
+not an append — which file sinks can't express; a table format
+(Delta/Iceberg) would replace the read-merge-overwrite with MERGE INTO
+and make the commit atomic on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from local_vectordb_spark.operators import crud
+from local_vectordb_spark.sources.json_records import CHUNK_SCHEMA
+
+
+def run_chunk_upsert_stream(
+    spark: SparkSession,
+    src_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    documents: DataFrame | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain chunk JSON files from ``src_dir`` into the parquet table at
+    ``table_path`` (availableNow), upserting by id. Rows whose
+    document_id is missing from ``documents`` are rejected (C8).
+    Returns the final table DataFrame."""
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .json(src_dir)
+    )
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        if documents is not None:
+            batch = batch.join(
+                documents.select("id").withColumnRenamed("id", "document_id"),
+                "document_id",
+                "left_semi",
+            )
+        # batch-local dedup: last writer wins within a micro-batch
+        batch = batch.dropDuplicates(["id"])
+        if os.path.isdir(table_path):
+            base = spark.read.parquet(table_path)
+            merged = crud.upsert(base, batch, "id")
+        else:
+            merged = batch
+        # read-merge-overwrite on plain parquet: stage then swap via
+        # two writes (a table format would make this one atomic MERGE)
+        staged = f"{table_path}.staging"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(table_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("chunk upsert stream did not drain in time")
+    return spark.read.parquet(table_path)

@@ -1,0 +1,115 @@
+"""Structured Streaming surface (SURVEY §7 step 7).
+
+The reference is purely request/response — nothing streams — so this
+module is pure capability extension: the SAME windowing operators used
+in batch (operators/events.py) wired to ``readStream``, plus
+watermark-bounded state so a stream that runs for months doesn't
+accumulate unbounded window state.
+
+Design rules at scale:
+- every stateful op (windowed agg, dedup, session) sits behind a
+  watermark, which bounds state to [max event time - watermark];
+- file sources set maxFilesPerTrigger so a backlog replays as bounded
+  micro-batches instead of one giant batch;
+- tests drive streams with trigger(availableNow) into a memory sink —
+  the production path swaps the sink, not the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from local_vectordb_spark.operators import events as ev
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-source stream over a directory of event parquet files.
+
+    Explicit schema is mandatory for streaming reads; bounded trigger
+    size keeps replay micro-batches executor-memory-sized.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def watermarked_tumbling(
+    stream: DataFrame, watermark: str = "2 hours", **kwargs
+) -> DataFrame:
+    """Streaming tumbling-window counts — identical aggregation to the
+    batch operator; the watermark only bounds state/lateness."""
+    return ev.tumbling(stream.withWatermark("ts", watermark), **kwargs)
+
+
+def watermarked_sliding(
+    stream: DataFrame, watermark: str = "2 hours", **kwargs
+) -> DataFrame:
+    return ev.sliding(stream.withWatermark("ts", watermark), **kwargs)
+
+
+def watermarked_sessionize(
+    stream: DataFrame, watermark: str = "2 hours", **kwargs
+) -> DataFrame:
+    """Streaming session windows: state closes once the watermark passes
+    session end + gap."""
+    return ev.sessionize(stream.withWatermark("ts", watermark), **kwargs)
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the streaming
+    form of exact dedup (SURVEY §2.5). State holds one entry per key
+    seen in the horizon and is evicted as the watermark advances."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    (trigger=availableNow) into an in-memory table; return it.
+
+    Test/inspection helper — production sinks are parquet/kafka via the
+    same writeStream with a checkpointLocation.
+    """
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(f"stream {query_name} still running after {timeout_sec}s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return sdf.sparkSession.table(query_name)

@@ -1,0 +1,113 @@
+"""Streaming correctness: every streaming operator must agree with its
+batch twin on the same (fully-available) input — the availableNow
+trigger makes that an exact, deterministic comparison."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from local_vectordb_spark import streaming as st
+from local_vectordb_spark.operators import events as ev
+from local_vectordb_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stage sf0.001 events as a 4-file parquet dir (micro timestamps)
+    so the file source replays them as real micro-batches."""
+    out = tmp_path_factory.mktemp("events_stream")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(out / "events"))
+    return str(out / "events")
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    stream = st.read_events_stream(spark, events_dir)
+    got = st.run_available_now(
+        st.watermarked_tumbling(stream), "t_tumble", output_mode="complete"
+    )
+    want = ev.tumbling(load_table(spark, sf_dir, "events"))
+    keys = ("window_start", "event_type", "n_events", "sum_value")
+    assert _rows(got, *keys) == _rows(want, *keys)
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, events_dir):
+    stream = st.read_events_stream(spark, events_dir)
+    got = st.run_available_now(
+        st.watermarked_sessionize(stream), "t_sess", output_mode="complete"
+    )
+    want = ev.sessionize(load_table(spark, sf_dir, "events"))
+    keys = ("user_id", "session_start", "n_events", "sum_value")
+    assert _rows(got, *keys) == _rows(want, *keys)
+
+
+def test_stream_dedup_removes_replayed_files(spark, events_dir, tmp_path):
+    # replay the same events twice (two copies of every file)
+    dup_dir = tmp_path / "dup"
+    base = spark.read.parquet(events_dir)
+    base.write.mode("overwrite").parquet(str(dup_dir))
+    base.write.mode("append").parquet(str(dup_dir))
+    stream = st.read_events_stream(spark, str(dup_dir), max_files_per_trigger=64)
+    got = st.run_available_now(st.stream_dedup(stream), "t_dedup")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_running_user_totals_across_batches(spark, sf_dir, events_dir):
+    # force >=2 micro-batches so totals must survive in state
+    stream = st.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    emitted = st.run_available_now(
+        st.running_user_totals(stream), "t_state", output_mode="update"
+    )
+    from pyspark.sql import functions as F
+
+    final = emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(final, "user_id", "n_events") == _rows(want, "user_id", "n_events")
+
+
+def _write_chunk(dirpath, cid, content, doc_id):
+    rec = {
+        "id": cid,
+        "content": content,
+        "embedding": [0.1, 0.2],
+        "document_id": doc_id,
+        "metadata": {},
+        "created_at": "2025-10-31 00:00:00",
+        "updated_at": "2025-10-31 00:00:00",
+    }
+    (dirpath / f"{uuid.uuid4()}.json").write_text(json.dumps(rec))
+
+
+def test_chunk_upsert_stream_two_drains(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table = str(tmp_path / "chunks.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    ids = [str(uuid.uuid4()) for _ in range(3)]
+    doc = str(uuid.uuid4())
+    for i, cid in enumerate(ids):
+        _write_chunk(src, cid, f"v1 chunk {i}", doc)
+    t1 = st.run_chunk_upsert_stream(spark, str(src), table, ckpt)
+    assert t1.count() == 3
+
+    # second drain: one update (same id) + one brand-new chunk,
+    # resuming from the checkpoint so old files are not reprocessed
+    _write_chunk(src, ids[0], "v2 chunk 0", doc)
+    new_id = str(uuid.uuid4())
+    _write_chunk(src, new_id, "v1 chunk 3", doc)
+    t2 = st.run_chunk_upsert_stream(spark, str(src), table, ckpt)
+    assert t2.count() == 4
+    assert t2.filter(f"id = '{ids[0]}'").collect()[0].content == "v2 chunk 0"
