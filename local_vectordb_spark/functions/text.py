@@ -124,6 +124,55 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+ROLLING_BASE = 31
+ROLLING_MOD = 2_147_483_647  # 2^31-1: keeps acc*31+code < 2^36, no long overflow
+
+
+def ascii_only(text: Column) -> Column:
+    """Strip non-printable-ASCII so char-code arithmetic is identical
+    across engines (codepoint-of-first-char semantics differ off-ASCII)."""
+    return F.regexp_replace(text, r"[^\x20-\x7e]", "")
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash of the whole string:
+    h = (((c1*B + c2)*B + c3)...) mod M — the Rabin-Karp form, computed
+    as one codegen'd aggregate over the char array (no UDF)."""
+    codes = F.transform(F.split(text, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c.cast("long")) % ROLLING_MOD,
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): rolling
+    hash every k-gram, then keep the minimum hash of each w-window —
+    the near-dup detection fingerprint that survives local edits.
+    Returns a distinct ARRAY<LONG>; entirely JVM-side array lambdas.
+    """
+    t = normalize_text(ascii_only(text))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.substr(t, i, F.lit(k))
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.aggregate(
+            F.transform(F.split(g, ""), F.ascii),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLLING_BASE + c.cast("long")) % ROLLING_MOD,
+        ),
+    )
+    n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text — the unit
     set for Jaccard/MinHash dedup."""

@@ -1118,6 +1118,83 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)
 
 
+# ==========================================================================
+# Document fingerprinting (north-star): whole-doc rolling hash + winnowing
+# ==========================================================================
+
+
+@register(
+    "text_fingerprint_rolling",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             regexp_replace(trim(regexp_replace(lower(
+               regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')
+             ), '\\s+', ' ', 'g')), '^$', '') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CASE WHEN length(t) = 0 THEN 0 ELSE
+             list_reduce(list_transform(string_split(t, ''), c -> CAST(ord(c) AS BIGINT)),
+                         (acc, c) -> (acc * 31 + c) % 2147483647)
+           END AS fp
+    FROM a
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling hash of each normalized document —
+    a content fingerprint the reference lacks entirely (identity was
+    filename-only, /root/reference/src/models/collection.py:58-60).
+    Pure codegen'd array aggregate; identical arithmetic runs in the
+    DuckDB oracle (acc*31+code mod 2^31-1)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    normalized = T.normalize_text(T.ascii_only(F.col("text")))
+    return docs.select("doc_id", T.rolling_hash(normalized).alias("fp"))
+
+
+@register(
+    "text_fingerprint_winnow",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(
+               regexp_replace(text, '[^\\x20-\\x7e]', '', 'g')
+             ), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 20
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(t) - 6, 1)),
+                            i -> substring(t, i, 7)) AS grams
+      FROM a
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, s ->
+               list_reduce(list_transform(string_split(s, ''), c -> CAST(ord(c) AS BIGINT)),
+                           (acc, c) -> (acc * 31 + c) % 2147483647)) AS hashes
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(generate_series(1, greatest(len(hashes) - 3, 1)),
+                              j -> list_aggregate(hashes[j:j+3], 'min')))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=7, w=4) exploded to (doc_id, fp) rows —
+    the local-edit-robust fingerprint family used for near-dup corpus
+    scans. Both engines compute the identical k-gram rolling hashes and
+    per-window minima, so the oracle match is exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    fps = T.winnow_fingerprints(F.col("text"), k=7, w=4)
+    return docs.select("doc_id", F.explode(fps).alias("fp"))
+
+
 # --------------------------------------------------------------------------
 # Extended relational coverage registers itself on import (must stay at
 # the bottom: queries_relational imports `register` from this module).
