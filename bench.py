@@ -21,10 +21,30 @@ from local_vectordb_spark.session import get_spark  # noqa: E402
 
 # Queries representative of each operator family; extended as coverage grows.
 HEADLINE = [
+    # vector search
     "knn_brute_force",
     "knn_batch",
     "knn_hydrated",
     "knn_metadata_filter",
+    "ivf_search",
+    "knn_graph",
+    # relational / star schema
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity_revenue",
+    "window_top_orders_per_customer",
+    # event windowing
+    "events_tumbling_hour",
+    "events_sessionize",
+    # LLM-pipeline ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_fingerprint_winnow",
+    "embed_hashed",
 ]
 
 
@@ -45,7 +65,9 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):  # best-of-2: steady state, less scheduler noise
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            # noop sink materializes EVERY output column — count() would
+            # let Catalyst prune the computed columns out of map-only plans
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 

@@ -152,24 +152,47 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
     the near-dup detection fingerprint that survives local edits.
     Returns a distinct ARRAY<LONG>; entirely JVM-side array lambdas.
     """
+    # Expression-evaluation discipline: anything CAPTURED inside a
+    # higher-order-function lambda is re-evaluated PER ELEMENT (Spark
+    # inlines it), so a naive transform(sequence(...), i ->
+    # hash(substring(t, i, k))) re-normalizes the whole document for
+    # every gram — O(n^2). Everything below passes big arrays only as
+    # function ARGUMENTS (evaluated once) or in a constant number (k,w)
+    # of shifted slices.
     t = normalize_text(ascii_only(text))
-    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.substr(t, i, F.lit(k))
-    )
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    n_grams = F.greatest(F.size(codes) - (k - 1), F.lit(1))
+    # gram hash h[i] = sum_j codes[i+j] * B^(k-1-j) mod M, built as an
+    # element-wise chain over k shifted slices (congruent to the Horner
+    # form the oracle computes, since mod distributes over the sum)
     hashes = F.transform(
-        grams,
-        lambda g: F.aggregate(
-            F.transform(F.split(g, ""), F.ascii),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * ROLLING_BASE + c.cast("long")) % ROLLING_MOD,
-        ),
+        F.slice(codes, 1, n_grams),
+        lambda c: (c * (ROLLING_BASE ** (k - 1) % ROLLING_MOD)) % ROLLING_MOD,
     )
+    def _add_weighted(wt: int):
+        return lambda acc, c: (acc + c * wt) % ROLLING_MOD
+
+    for j in range(1, k):
+        hashes = F.zip_with(
+            hashes,
+            F.slice(codes, j + 1, n_grams),
+            _add_weighted(ROLLING_BASE ** (k - 1 - j) % ROLLING_MOD),
+        )
+    # documents shorter than k chars have ONE short gram whose Horner
+    # hash uses lower powers — fall back to the whole-string hash
+    hashes = F.when(F.length(t) < k, F.array(rolling_hash(t))).otherwise(hashes)
+    # Window minima as an element-wise least() over w shifted slices.
+    # (A transform(sequence(1,n), j -> array_min(slice(hashes,j,w)))
+    # lambda re-evaluates the whole `hashes` expression per window index
+    # — O(n^2 k); the zip_with chain evaluates it w times — O(w n k).)
     n_windows = F.greatest(F.size(hashes) - (w - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
-    )
+    mins = F.slice(hashes, 1, n_windows)
+    for off in range(1, w):
+        # short tails: slice returns fewer elements, zip_with pads with
+        # null, and least() ignores nulls — exactly min-of-available
+        mins = F.zip_with(
+            mins, F.slice(hashes, off + 1, n_windows), lambda a, b: F.least(a, b)
+        )
     return F.array_sort(F.array_distinct(mins))
 
 

@@ -131,16 +131,23 @@ def minhash_signatures(
     """
     sets_df = shingle_sets(docs, id_col, text_col, n)
 
-    def hash_i(i):
-        # closure factory: a `lambda s, i=i` would be treated as the
-        # 2-ary (element, index) transform signature, shadowing i
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), hash_i(i)))
-            for i in range(num_hashes)
-        ]
+    # ONE aggregate pass over the shingle array carrying all num_hashes
+    # running minima. (num_hashes separate array_min(transform(...))
+    # branches would each re-inline — and re-compute — the shingle
+    # construction expression per row: Catalyst collapses projections
+    # into lambda bodies, so computed columns referenced inside
+    # higher-order functions must be function ARGUMENTS, not captures.)
+    max_long = (1 << 63) - 1
+    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        F.col("shingles"),
+        init,
+        lambda acc, s: F.array(
+            *[
+                F.least(F.element_at(acc, i + 1), F.xxhash64(s, F.lit(i)))
+                for i in range(num_hashes)
+            ]
+        ),
     )
     return sets_df.select(F.col(id_col), sig.alias("sig"), F.col("n_shingles"))
 
@@ -163,8 +170,12 @@ def minhash_lsh_dupes(
     agreeing signature positions.
     Output: (a_id, b_id, est_jaccard) with a_id < b_id.
     """
+    from local_vectordb_spark.session import ensure_min_parallelism
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, n)
+    sigs = minhash_signatures(
+        ensure_min_parallelism(docs), num_hashes, id_col, text_col, n
+    )
     band_arr = F.array(
         *[
             F.hash(F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band))
@@ -174,35 +185,54 @@ def minhash_lsh_dupes(
     banded = sigs.select(
         F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Bucket-local pair generation: group by (band, band_hash) and emit
+    # pairs within each bucket. One shuffle, and signatures are computed
+    # ONCE — a banded self-join would shuffle the posting list twice and
+    # re-run the whole signature pipeline for each join side. Buckets
+    # are sorted so pairs come out a_id < b_id; the aggregate output is
+    # a materialization barrier, so the pair lambdas reference a plain
+    # attribute (no per-element re-evaluation). Pathologically hot
+    # buckets (e.g. millions of empty docs sharing a band) are the skew
+    # risk at scale — cap them with a pre-filter if the corpus has them.
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig")))
+            ).alias("ms")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.size("ms") > 1)
     )
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda m2: F.struct(
+                    m["id"].alias("a_id"),
+                    m2["id"].alias("b_id"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(m["sig"], m2["sig"], lambda x, y: x == y),
+                            lambda eq: eq,
+                        )
+                    ).alias("n_agree"),
+                ),
+            ),
         )
     )
     return (
-        cand.withColumn(
-            "est_jaccard",
-            F.round(agree.cast("double") / F.lit(num_hashes), JACCARD_DECIMALS),
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            F.round(
+                F.col("p.n_agree").cast("double") / F.lit(num_hashes),
+                JACCARD_DECIMALS,
+            ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("a_id", "b_id", "est_jaccard")
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -75,3 +75,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than cores — CPU-heavy per-row operators (signature computation,
+    fingerprinting) otherwise run on however few splits a small parquet
+    file produced. At real scale inputs arrive with thousands of
+    splits and this is a no-op; it never *reduces* partitioning.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
