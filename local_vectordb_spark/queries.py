@@ -1217,5 +1217,6 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bottom: queries_relational imports `register` from this module).
 # --------------------------------------------------------------------------
 
+from local_vectordb_spark import queries_pipeline  # noqa: E402, F401
 from local_vectordb_spark import queries_relational  # noqa: E402, F401
 from local_vectordb_spark import queries_streaming  # noqa: E402, F401

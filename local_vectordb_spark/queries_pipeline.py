@@ -1,0 +1,136 @@
+"""Training-data-pipeline queries: chunking, embedding pooling,
+distribution statistics, inter-arrival analytics. All oracle-matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators.chunking import chunk_documents
+from local_vectordb_spark.queries import register
+from local_vectordb_spark.session import load_table
+
+CHUNK_SIZE, OVERLAP = 50, 10
+STRIDE = CHUNK_SIZE - OVERLAP
+
+
+@register(
+    "chunk_documents",
+    rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - {OVERLAP}, 1), {STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[start:start+{CHUNK_SIZE - 1}], ' ') AS chunk_text,
+           CAST(len(toks[start:start+{CHUNK_SIZE - 1}]) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → overlapping token-window chunks (the batch form of
+    the reference's Document→Chunk unit). Narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_documents(docs, chunk_size=CHUNK_SIZE, overlap=OVERLAP)
+
+
+@register(
+    "embed_pool_by_label",
+    """
+    SELECT label, pos, ROUND(avg(v), 6) AS avg_val
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def embed_pool_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise average-pooling of embeddings per label — the
+    chunk-embeddings→document-embedding (or class-centroid) primitive.
+    posexplode + groupBy(label, pos): one shuffle of (label, pos, val)
+    triples; at scale this beats any array-typed aggregation because
+    partial averages combine map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("avg_val"))
+    )
+
+
+@register(
+    "quantiles_order_value",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def quantiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont` semantics). At 100 TB swap to
+    approx_percentile: the exact form needs per-group sorted values,
+    the sketch needs O(1/eps) memory and one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(q)), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@register(
+    "events_interarrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             )) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(avg(gap_s), 4) AS avg_gap_s,
+           ROUND(max(gap_s), 4) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gaps per (user, event_type) via lag(), aggregated
+    per type — the sequential-pattern primitive (session gap tuning,
+    rate anomaly detection). One shuffle on the window partition key."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ) / 1_000_000.0
+    return (
+        ev.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+        )
+    )
