@@ -90,6 +90,41 @@ def knn_graph(
     return vectors.select(id_col, vec_col).mapInPandas(topk, out_schema)
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: Sequence[int],
+    max_hops: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded breadth-first expansion over the kNN graph: every node
+    reachable from ``seeds`` within ``max_hops``, with its minimum hop
+    count — the distributed counterpart of the reference's NSW frontier
+    walk (nsw_index.py:116-162), expressed as `max_hops` rounds of
+    join + anti-join (Pregel-style, each round one shuffle bounded by
+    the frontier size). First-visit order IS minimum hop, so no
+    re-weighting pass is needed. Output: (node, hop).
+    """
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(s), 0) for s in seeds], "node long, hop int"
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges[src_col])
+            .select(F.col(dst_col).alias("node"), F.lit(h).alias("hop"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        # materialization barrier: each round's frontier is small; without
+        # it the final plan re-expands every previous round per reference
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
 def graph_add(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     """X7 — insert bidirectional edges for new nodes (batch union)."""
     reversed_edges = new_edges.select(

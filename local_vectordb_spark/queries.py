@@ -1135,6 +1135,37 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)
 
 
+@register(
+    "graph_bfs_2hop",
+    """
+    WITH RECURSIVE scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    walk(node, hop) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < 2
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW-capability parity: 2-hop frontier expansion from node 0 over
+    the deterministic k=5 cosine kNN graph, distributed as Pregel-style
+    join rounds; the oracle walks the same graph with a recursive CTE."""
+    edges = ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    return ann.bfs_hops(edges, seeds=[0], max_hops=2)
+
+
 # ==========================================================================
 # Document fingerprinting (north-star): whole-doc rolling hash + winnowing
 # ==========================================================================

@@ -96,6 +96,45 @@ def quantiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_event_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count (hot keys spread over 16 reducers before
+    the final tiny combine) — result-identical to the plain GROUP BY
+    the oracle runs; only the shuffle key differs."""
+    from local_vectordb_spark.operators.skew import salted_count
+
+    return salted_count(load_table(spark, sf_dir, "events"), ["event_type"])
+
+
+@register("sketch_distinct_users_daily")
+def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique users: HyperLogLog++ sketch next to the exact
+    count (rows-only: the sketch estimate is engine-specific; the <2%
+    relative-error invariant is asserted in tests/test_sketch.py).
+    At 100 TB the sketch is the only viable form — exact distinct
+    needs a full shuffle of user ids per day; the sketch merges
+    fixed-size registers map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "approx_users",
+            "exact_users",
+        )
+    )
+
+
+@register(
     "events_interarrival",
     """
     WITH g AS (
