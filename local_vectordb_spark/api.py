@@ -1,0 +1,235 @@
+"""Engine facade: the reference's user-facing surface, batch-first.
+
+Mirrors what a user of aaronbannin/local-vectordb does over HTTP —
+create libraries/documents/chunks, update, delete, kNN-query with a
+chosen index strategy (/root/reference/src/main.py:88-341) — as batch
+DataFrame operations over parquet-backed tables:
+
+- writes take a DataFrame of rows, not one record per call: FK
+  validation (C8) is a semi join, duplicate rejection (C9) an anti
+  join, cascade delete (C7) an anti join on the FK, missing embeddings
+  (E1) fill via the pluggable batch embedder;
+- `search` is the Q7 dispatch: index_type in {cosine, ivf, nsw} routes
+  to brute-force / cluster-pruned / LSH strategies
+  (/root/reference/src/models/collection.py:179-215; unknown type is a
+  ValueError where the reference returns HTTP 400), with the Q8
+  metadata filter applied ahead of scoring and Q6 hydration joining
+  content back onto (id, score);
+- storage is read-merge-overwrite on plain parquet with a staging
+  swap; a table format (Delta/Iceberg) would make each commit atomic —
+  that, not the query layer, is the production hardening point.
+
+Derived indexes (IVF centroids/assignments) are built lazily once per
+table version and invalidated on write — never rebuilt per query
+(the reference rebuilds on every search *and* every insert,
+collection.py:97-99,198; SURVEY §4 calls that out as the
+anti-pattern).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.functions.embedding import hashed_embedding_udf
+from local_vectordb_spark.operators import crud, ivf, knn
+from local_vectordb_spark.sources.json_records import SCHEMAS
+
+INDEX_TYPES = ("cosine", "ivf", "nsw")
+
+# chunk membership of each table's FK: child -> (fk_col, parent kind)
+_PARENTS = {"documents": ("library_id", "libraries"), "chunks": ("document_id", "documents")}
+_CHILDREN = {"libraries": "documents", "documents": "chunks"}
+
+
+class VectorDB:
+    """Parquet-backed library/document/chunk store with pluggable
+    batch embedding and strategy-dispatched kNN search."""
+
+    def __init__(self, spark: SparkSession, root_dir: str, embedder=None):
+        self.spark = spark
+        self.root = root_dir
+        self.embedder = embedder or hashed_embedding_udf()
+        self._ivf_version = -1
+        self._version = 0
+        self._ivf = None
+
+    # ---------------- storage ----------------
+
+    def _path(self, kind: str) -> str:
+        if kind not in SCHEMAS:
+            raise ValueError(f"unknown collection: {kind!r}")
+        return os.path.join(self.root, f"{kind}.parquet")
+
+    def table(self, kind: str) -> DataFrame:
+        """C1 — the full collection as a DataFrame."""
+        path = self._path(kind)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], SCHEMAS[kind])
+        return self.spark.read.parquet(path)
+
+    def _write(self, kind: str, df: DataFrame) -> None:
+        """Read-merge-overwrite with a staging swap (see module doc)."""
+        path = self._path(kind)
+        staged = f"{path}.staging"
+        df.write.mode("overwrite").parquet(staged)
+        self.spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+        self._version += 1
+
+    def reset(self) -> None:
+        """C10 — truncate every collection (schema preserved)."""
+        for kind in SCHEMAS:
+            self._write(kind, self.spark.createDataFrame([], SCHEMAS[kind]))
+
+    # ---------------- point reads ----------------
+
+    def get(self, kind: str, item_id: str) -> DataFrame:
+        """C2 — single-record fetch by id."""
+        return crud.point_lookup(self.table(kind), "id", item_id)
+
+    def exists(self, kind: str, item_id: str) -> bool:
+        """C3 — key-existence test."""
+        return bool(self.get(kind, item_id).limit(1).count())
+
+    # ---------------- writes ----------------
+
+    def _validated(
+        self, kind: str, rows: DataFrame, allow_null_fk: bool = False
+    ) -> DataFrame:
+        """C8: drop rows whose supplied FK has no parent (the reference
+        rejects the whole request with 404; batch semantics keep valid
+        rows). Rows with a null FK pass through — on update that means
+        'keep the base row's parent' (partial-update semantics)."""
+        if kind in _PARENTS:
+            fk, parent = _PARENTS[kind]
+            with_fk = rows.filter(F.col(fk).isNotNull()).join(
+                self.table(parent).select(F.col("id").alias(fk)), fk, "left_semi"
+            )
+            if allow_null_fk:
+                with_fk = with_fk.unionByName(rows.filter(F.col(fk).isNull()))
+            rows = with_fk
+        return rows
+
+    def _embedded(self, kind: str, rows: DataFrame) -> DataFrame:
+        """E1: chunks without an embedding get one from the batch
+        embedder (reference embeds on create when absent,
+        src/main.py:234-238)."""
+        if kind != "chunks" or "embedding" not in rows.columns:
+            return rows
+        return rows.withColumn(
+            "embedding",
+            F.when(F.col("embedding").isNotNull(), F.col("embedding")).otherwise(
+                self.embedder(F.col("content")).cast("array<float>")
+            ),
+        )
+
+    def add(self, kind: str, rows: DataFrame) -> DataFrame:
+        """C4 insert (+C8 FK, +C9 duplicate rejection, +E1 embed).
+        Returns the rejected-duplicate rows (empty when all inserted)."""
+        base = self.table(kind)
+        rows = self._validated(kind, rows)
+        accepted, rejected = crud.reject_duplicates(base, rows, "id")
+        accepted = self._embedded(kind, accepted).withColumn(
+            "created_at", F.coalesce("created_at", F.current_timestamp())
+        ).withColumn("updated_at", F.coalesce("updated_at", F.current_timestamp()))
+        # materialize before the overwrite invalidates the files this
+        # lazy plan reads from
+        rejected = rejected.localCheckpoint(eager=True)
+        self._write(kind, crud.insert_append(base, accepted.select(*base.columns)))
+        return rejected
+
+    def update(self, kind: str, updates: DataFrame) -> None:
+        """C5 — partial update: non-null fields win, created_at is
+        preserved, updated_at bumped; chunks whose content changed
+        without a supplied embedding are re-embedded (E1 update path,
+        src/main.py:295-299)."""
+        updates = self._validated(kind, updates, allow_null_fk=True)
+        updates = self._embedded(kind, updates)
+        updates = updates.withColumn("updated_at", F.current_timestamp())
+        if "created_at" in updates.columns:
+            updates = updates.drop("created_at")  # preserved from base
+        base = self.table(kind)
+        merged = crud.upsert(base, updates, "id").select(*base.columns)
+        self._write(kind, merged)
+
+    def delete(self, kind: str, keys: DataFrame) -> None:
+        """C6 delete + C7 cascade (library -> documents -> chunks)."""
+        self._write(kind, crud.delete_keys(self.table(kind), keys, "id"))
+        child = _CHILDREN.get(kind)
+        if child:
+            fk, _ = _PARENTS[child]
+            orphans = crud.fk_violations(
+                self.table(child), self.table(kind), fk, "id"
+            ).select("id")
+            if orphans.limit(1).count():
+                self.delete(child, orphans)
+
+    # ---------------- search (Q7 dispatch) ----------------
+
+    def _embed_query(self, text: str) -> list[float]:
+        row = (
+            self.spark.createDataFrame([(text,)], "t string")
+            .select(self.embedder(F.col("t")).alias("v"))
+            .collect()[0]
+        )
+        return [float(x) for x in row.v]
+
+    def _chunks_for_search(self, metadata: dict | None) -> DataFrame:
+        chunks = self.table("chunks")
+        if metadata:  # Q8 — declared-but-unimplemented in the reference
+            for key, val in metadata.items():
+                chunks = chunks.filter(F.col("metadata")[key] == str(val))
+        return chunks
+
+    def search(
+        self,
+        query: str,
+        index_type: str = "cosine",
+        k: int = 5,
+        metadata: dict | None = None,
+    ) -> DataFrame:
+        """kNN over chunks: embed the query, route to the strategy,
+        hydrate content. Returns (id, score, content) — the
+        FullSearchResult shape (src/models/search.py:17-31)."""
+        if index_type not in INDEX_TYPES:
+            raise ValueError(
+                f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
+            )
+        qvec = self._embed_query(query)
+        chunks = self._chunks_for_search(metadata)
+
+        if index_type == "cosine":
+            scored = knn.knn_brute_force(chunks, qvec, k=k, id_col="id")
+        elif index_type == "ivf":
+            centroids, assignments = self._ivf_index(chunks)
+            scored = ivf.ivf_search(
+                chunks, assignments, centroids, qvec, k=k, id_col="id"
+            )
+        else:  # nsw -> LSH strategy swap (SURVEY §4: traversal is
+            # sequential/driver-bound; LSH gives the same capability).
+            # approxNearestNeighbors ranks by L2; rescore the k
+            # survivors by cosine so all strategies share score units.
+            from local_vectordb_spark.operators.ann import lsh_search
+
+            cand_ids = lsh_search(chunks, qvec, k=k, id_col="id").select("id")
+            candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
+            scored = knn.knn_brute_force(candidates, qvec, k=k, id_col="id")
+        return knn.hydrate(
+            scored, self.table("chunks"), id_col="id",
+            record_id_col="id", content_col="content",
+        )
+
+    def _ivf_index(self, chunks: DataFrame):
+        """Build-once IVF index, invalidated when any write bumps the
+        table version."""
+        if self._ivf is None or self._ivf_version != self._version:
+            n = chunks.count()
+            k_clusters = max(2, min(16, n // 4))
+            _, centroids, assignments = ivf.ivf_build(
+                chunks, n_clusters=k_clusters, id_col="id"
+            )
+            self._ivf = (centroids, assignments.cache())
+            self._ivf_version = self._version
+        return self._ivf
