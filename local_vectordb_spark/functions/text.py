@@ -33,6 +33,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenization classes (letter runs / digit runs /
+# punctuation singles) — the regex dialect-portable core of the GPT-2
+# pattern, so an external SQL engine tokenizes identically.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish sub-word pre-tokens: letter runs, digit runs, and
+    individual punctuation marks (whitespace dropped). The unit an
+    actual BPE vocabulary would merge within; counting these gives the
+    standard pre-training corpus size estimate."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

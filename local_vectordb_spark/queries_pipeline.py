@@ -111,6 +111,49 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(load_table(spark, sf_dir, "events"), ["event_type"])
 
 
+@register(
+    "text_bpe_token_stats",
+    r"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           ROUND(avg(n_bpe), 4) AS avg_bpe_tokens,
+           ROUND(avg(CAST(n_bpe AS DOUBLE) / n_ws), 4) AS bpe_per_word
+    FROM t GROUP BY source
+    """,
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting with BPE-style pre-tokens (letter/digit
+    runs + punctuation singles) next to whitespace words — the
+    pre-training 'how many tokens is this corpus' scan, one codegen'd
+    pass, identical regex in the oracle."""
+    from local_vectordb_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            T.bpe_token_count(F.col("text")).alias("n_bpe"),
+            T.token_count(F.col("text")).alias("n_ws"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4).alias(
+                "bpe_per_word"
+            ),
+        )
+    )
+
+
 @register("sketch_distinct_users_daily")
 def sketch_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily unique users: HyperLogLog++ sketch next to the exact

@@ -58,6 +58,26 @@ def test_window_topk_single_shuffle(spark, sf_dir):
     assert plans.count_shuffles(df) <= 1
 
 
+def test_ivf_assignments_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF scale path: assignments written partitioned by
+    cluster_id mean an n_probe search scans only the probed clusters'
+    directories — real partition pruning, visible in the plan."""
+    from local_vectordb_spark.operators import ivf
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, assignments = ivf.ivf_build(emb, n_clusters=8)
+    path = str(tmp_path / "assignments")
+    assignments.write.partitionBy("cluster_id").parquet(path)
+    probed = spark.read.parquet(path).filter("cluster_id IN (1, 3, 5)")
+    plan = plans.plan_string(probed)
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning is effective: only the probed partitions are read
+    scanned = probed.select("cluster_id").distinct().collect()
+    assert {r.cluster_id for r in scanned} <= {1, 3, 5}
+
+
 def test_knn_no_shuffle(spark, sf_dir):
     """Brute-force top-k must be scan + per-partition heap + driver
     merge (TakeOrderedAndProject) — zero shuffles."""
