@@ -76,6 +76,32 @@ def hashed_embedding_udf(dim: int = 64, seed: int = 42):
     return embed
 
 
+def api_embedding_udf(model: str = "embed-v4.0", batch_size: int = 96):
+    """Production-shaped backend mirroring the reference's Cohere
+    boundary (/root/reference/src/embeddings.py:3-15): texts go out in
+    batches of ``batch_size`` per API call, vectors come back in order.
+
+    The HTTP client is NOT shipped in this environment — calling the
+    returned UDF raises NotImplementedError at the exact point a
+    deployment would drop in its client. Everything around it
+    (Arrow batching, Series→Series contract, call amortization) is the
+    real production shape shared with the offline backends above.
+    """
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        try:
+            import cohere  # noqa: F401  (not installed here)
+        except ImportError as e:
+            raise NotImplementedError(
+                f"install an embedding client and call model={model!r} "
+                f"in batches of {batch_size} here"
+            ) from e
+        raise NotImplementedError("wire the client call here")
+
+    return embed
+
+
 def embed_if_missing(df, text_col: str, vec_col: str, embedder=None) -> "pd.DataFrame":
     """E1 ingest semantics: rows with a vector keep it; rows without get
     embedded (reference: embed on create when absent,

@@ -44,3 +44,19 @@ def test_embed_if_missing_only_fills_nulls(spark):
     out = {r["id"]: r["vec"] for r in E.embed_if_missing(df, "text", "vec", E.hashed_embedding_udf(dim=2)).collect()}
     assert out[1] == [0.5, 0.5]  # existing kept
     assert out[2] is not None and len(out[2]) == 2
+
+
+def test_api_embedder_raises_at_boundary(spark):
+    """The production-shaped backend must fail exactly at the client
+    boundary (no client shipped here), not before the UDF runs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.functions.embedding import api_embedding_udf
+
+    df = spark.createDataFrame([("hello",)], "t string")
+    with pytest.raises(Exception) as exc:
+        df.select(api_embedding_udf()(F.col("t"))).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): merge semantics and fingerprint
+invariances hold for arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.functions import text as T
+from local_vectordb_spark.operators import crud
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
+
+SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 20), st.integers(0, 99), max_size=8),
+    upd=st.dictionaries(
+        st.integers(0, 20),
+        st.one_of(st.none(), st.integers(100, 199)),
+        max_size=8,
+    ),
+)
+@SLOW
+def test_upsert_merge_semantics(sp, base, upd):
+    """Result keys = union; where both exist a non-null update wins and
+    a null update preserves the base value; update-only keys insert."""
+    bdf = sp.createDataFrame(
+        [(k, v) for k, v in base.items()] or [], "id int, val int"
+    )
+    udf_ = sp.createDataFrame(
+        [(k, v) for k, v in upd.items()] or [], "id int, val int"
+    )
+    got = {r.id: r.val for r in crud.upsert(bdf, udf_, "id").collect()}
+    want = dict(base)
+    for k, v in upd.items():
+        want[k] = v if v is not None else base.get(k)
+    assert got == want
+
+
+@given(words=st.lists(WORD, min_size=1, max_size=30), seed=st.integers(0, 5))
+@SLOW
+def test_winnow_whitespace_and_case_invariant(sp, words, seed):
+    import random
+
+    text = " ".join(words)
+    rng = random.Random(seed)
+    noisy = "".join(
+        (w.upper() if rng.random() < 0.5 else w) + " " * rng.randint(1, 3)
+        for w in words
+    )
+    df = sp.createDataFrame([(text,), (noisy,)], "t string")
+    fps = [
+        set(r.f)
+        for r in df.select(T.winnow_fingerprints(F.col("t")).alias("f")).collect()
+    ]
+    assert fps[0] == fps[1]
+
+
+@given(
+    a=st.lists(WORD, min_size=1, max_size=20),
+    b=st.lists(WORD, min_size=1, max_size=20),
+)
+@SLOW
+def test_rolling_hash_equality_iff_normalized_equality(sp, a, b):
+    ta, tb = " ".join(a), " ".join(b)
+    df = sp.createDataFrame([(ta,), (tb,)], "t string")
+    h = [
+        r.h
+        for r in df.select(
+            T.rolling_hash(T.normalize_text(F.col("t"))).alias("h")
+        ).collect()
+    ]
+    if ta == tb:
+        assert h[0] == h[1]
+    else:
+        # mod-2^31 collisions exist in principle; for these tiny inputs
+        # a collision would indicate a real bug
+        assert h[0] != h[1]
