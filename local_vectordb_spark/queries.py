@@ -1244,6 +1244,50 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dedup group collapse: connected components over near-dup pairs
+# --------------------------------------------------------------------------
+
+
+def _register_dedup_components() -> None:
+    """Oracle = recursive-CTE transitive closure over the SAME pair set
+    the (already oracle-matched) n-gram Jaccard query emits; Spark side
+    runs distributed min-label propagation over those pairs."""
+    pairs_sql = ORACLE_SQL["dedup_ngram_jaccard"]
+    sql = f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, anc) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node, min(anc) AS component FROM reach GROUP BY node
+    """
+
+    @register("dedup_components", sql)
+    def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup PAIRS → duplicate GROUPS: min-label propagation
+        (O(diameter) join rounds, one shuffle each) assigns every doc
+        its component's canonical (minimum) id — the representative a
+        dedup pipeline keeps. Oracle: recursive-CTE closure."""
+        pairs = dedup_ngram_jaccard(spark, sf_dir)
+        nodes = (
+            pairs.select(F.col("a_id").alias("doc_id"))
+            .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+            .distinct()
+        )
+        return dedup.connected_components(pairs, nodes)
+
+
+_register_dedup_components()
+
+
+# --------------------------------------------------------------------------
 # Extended relational coverage registers itself on import (must stay at
 # the bottom: queries_relational imports `register` from this module).
 # --------------------------------------------------------------------------

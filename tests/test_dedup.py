@@ -74,3 +74,20 @@ def test_embedding_near_dupes_both_paths_agree(spark):
     }
     assert exact == blas
     assert set(exact) == {(1, 2)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain (1-2-3-4), a pair (10-11), and a singleton (20) collapse
+    to min-label components — the chain proves transitivity beyond one
+    hop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long"
+    )
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
