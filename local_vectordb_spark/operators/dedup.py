@@ -471,3 +471,36 @@ def embedding_near_dupes_blas(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(pairs, out_schema)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus documents that share at
+    least one word n-gram with any benchmark document (the standard
+    pre-training hygiene check before an eval suite is trusted).
+
+    Output: one row per contaminated corpus id (`id_col`).
+
+    Plan shape for 100 TB: the benchmark side (an eval suite) is tiny —
+    its distinct n-gram set is broadcast, so the corpus scan never
+    shuffles; contamination detection is a broadcast semi-join per
+    corpus n-gram followed by a distinct on ids. The n-gram unit is the
+    same normalized word shingle the Jaccard path uses (n defaults to 8
+    per the usual 8-gram overlap convention).
+    """
+    bench_grams = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

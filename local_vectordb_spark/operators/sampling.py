@@ -1,0 +1,123 @@
+"""Deterministic sampling, dataset splitting, and sequence packing for
+training-data pipelines (north-star ops beyond the reference surface;
+the reference has no sampling at all — SURVEY §2.5 gap map).
+
+Design constraints these operators satisfy at 100 TB:
+
+- **Determinism without coordination.** Every operator keys off a
+  *content hash of the row key* (md5 hex prefix), never off
+  `rand()`/partition ids/row order. The same row lands in the same
+  sample/split on every run, on any cluster size, after any
+  repartition — which is what makes training-data lineage auditable
+  and incremental re-runs append-consistent.
+- **Narrow plans.** Sampling and split assignment are pure map-side
+  column expressions (codegen'd, no shuffle, no UDF). They compose
+  with any downstream operator and the filter pushes into the scan
+  when the input is a raw parquet read of a hash-derived column.
+- **Cross-engine agreement.** md5 hex is specified byte-for-byte, so
+  a lexicographic threshold on the hex prefix (`substr(md5(k),1,4) <
+  '1999'` ≈ 10%) reproduces identically in Spark, DuckDB, or any SQL
+  engine — the property the oracle checks exploit.
+
+The hex-prefix math: a 4-hex-digit prefix is uniform over [0, 65536);
+a threshold string T selects int(T, 16) / 65536 of keys. `_hex4`
+converts a fraction to that threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex4(fraction: float) -> str:
+    """4-hex-digit threshold selecting ~`fraction` of uniform keys."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(min(int(fraction * 65536), 65535), "04x")
+
+
+def hash_bucket(key: Column) -> Column:
+    """Lowercase 4-hex-char md5 prefix of the stringified key — the
+    shared deterministic 'coin flip' of every operator in this module."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~`fraction` sample: keep rows whose hash bucket
+    falls below the threshold.  Unlike `df.sample()` this is stable
+    across runs/cluster layouts and is a pure narrow filter."""
+    return df.filter(hash_bucket(F.col(key_col)) < _hex4(fraction))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by hash
+    bucket.  `weights` are fractions summing to ~1.0; boundaries are
+    cumulative thresholds, so the train set of an 80/10/10 split is a
+    superset of the train set of a 70/15/15 split — shrinking val/test
+    never leaks rows *out* of train (the property that keeps eval sets
+    clean across re-splits)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = hash_bucket(F.col(key_col))
+    names = list(weights)
+    expr: Column = F.lit(names[-1])  # last split takes the remainder
+    cum = 0.0
+    # build CASE from the right so earlier splits take lexicographic
+    # precedence: bucket < t1 -> s1; bucket < t2 -> s2; else s3
+    cases: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += weights[name]
+        cases.append((_hex4(cum), name))
+    for threshold, name in reversed(cases):
+        expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concatenate-then-chop sequence packing: within each group,
+    documents are laid end-to-end in `order_col` order and the token
+    stream is cut every `budget` tokens; a document belongs to the pack
+    its first token falls in.
+
+    Output: (group, pack_id, n_docs, pack_tokens) — the pack manifest a
+    training loader consumes.
+
+    This is the window-function form of packing: one shuffle on the
+    group key, then a running sum — O(n) total, no driver loop.  True
+    first-fit-decreasing packing is inherently sequential; the
+    chop-at-offset relaxation wastes at most one document's tokens per
+    boundary and is what large pre-training pipelines actually run,
+    because it needs no cross-row iteration.  At 100 TB the group key
+    (shard/source) bounds each window partition; a skewed group can be
+    pre-split by adding a salt component to `group_col` upstream.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum(tokens_col).over(w) - F.col(tokens_col)
+    return (
+        docs.select(group_col, order_col, tokens_col)
+        .withColumn("pack_id", F.floor(start_offset / F.lit(budget)))
+        .groupBy(group_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tokens_col).alias("pack_tokens"),
+        )
+    )

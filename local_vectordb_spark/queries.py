@@ -1295,3 +1295,4 @@ _register_dedup_components()
 from local_vectordb_spark import queries_pipeline  # noqa: E402, F401
 from local_vectordb_spark import queries_relational  # noqa: E402, F401
 from local_vectordb_spark import queries_streaming  # noqa: E402, F401
+from local_vectordb_spark import queries_training  # noqa: E402, F401

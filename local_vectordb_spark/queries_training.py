@@ -1,0 +1,321 @@
+r"""Training-data curation surface: deterministic sampling and
+train/val/test splitting, sequence packing, denylist scrubbing, and
+benchmark decontamination — plus the TPC-H Q15 argmax-over-aggregate
+shape. All oracle-matched.
+
+These extend the reference's capability set the way a 100 TB
+pre-training pipeline needs (SURVEY §2.5 north-star ops): the reference
+stores documents and chunks; curating them into a training set needs
+reproducible sampling, leakage-free splits, packing into fixed token
+budgets, and removal of eval-set contamination. Determinism everywhere
+comes from content hashes (md5 hex prefixes), never from `rand()` —
+see operators/sampling.py for the full rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.functions import text as T
+from local_vectordb_spark.operators import dedup
+from local_vectordb_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    pack_sequences,
+)
+from local_vectordb_spark.queries import register
+from local_vectordb_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# Deterministic ~10% sample of the fact table (narrow, shuffle-free)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_10pct",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           ROUND(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic row sample of lineitem keyed on the composite
+    primary key, then aggregated (the sample→estimate pattern). The
+    filter is a pure map-side expression: same rows selected on every
+    run and every engine, unlike `df.sample()`. 0x1999/0x10000 ≈ 9.99%.
+    """
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_k", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    return hash_sample(l, "_k", 0.1).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-free train/val/test split (hash-threshold CASE, no shuffle)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    """
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 document split by content-hash threshold. Cumulative
+    thresholds (0xcccc≈80%, 0xe666≈90%) mean shrinking val/test never
+    moves a row out of train — re-splits can't leak eval docs into
+    training. Assignment is a codegen'd CASE, one tiny final agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing into fixed token budgets (window cumsum, one shuffle)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+@register(
+    "pack_token_budget",
+    rf"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+               AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM t
+    )
+    SELECT source,
+           CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM s GROUP BY source, pack_id
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chop packing of documents into 512-token packs
+    per source (the manifest a training loader consumes). One shuffle
+    on the group key + a running-sum window; see
+    operators/sampling.py::pack_sequences for the scale rationale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, PACK_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# Denylist / PII scrubbing (pure regex map, pushdown-friendly)
+# --------------------------------------------------------------------------
+
+DENYLIST_PATTERN = r"\b(customer|key)\b"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "text_scrub_denylist",
+    rf"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS n_hits,
+             len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_email,
+             length(regexp_replace(text, '{DENYLIST_PATTERN}', '[REDACTED]', 'g'))
+               AS scrubbed_len
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_hits,
+           CAST(sum(n_email) AS BIGINT) AS total_email_hits,
+           CAST(sum(scrubbed_len) AS BIGINT) AS total_scrubbed_chars
+    FROM t GROUP BY source
+    """,
+)
+def text_scrub_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction accounting: denylist-term hits, the
+    post-redaction character volume, and an email-PII detector (regex
+    chosen from the RE2∩Java-regex portable subset so the oracle
+    tokenizes identically). Pure codegen'd scan — the shape of every
+    PII pass over a 100 TB corpus; swap the pattern for the real
+    PII regexes in production."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(DENYLIST_PATTERN), 0))
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_PATTERN), 0))
+    scrubbed_len = F.length(
+        F.regexp_replace(F.col("text"), DENYLIST_PATTERN, "[REDACTED]")
+    )
+    return (
+        docs.select(
+            "source",
+            n_hits.alias("n_hits"),
+            n_email.alias("n_email"),
+            scrubbed_len.alias("scrubbed_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+            F.sum((F.col("n_hits") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_hits"),
+            F.sum("n_email").cast("bigint").alias("total_email_hits"),
+            F.sum("scrubbed_len").cast("bigint").alias("total_scrubbed_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (broadcast n-gram semi-join)
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 8
+
+
+@register(
+    "decontam_ngram_overlap",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+               x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(t) - {DECONTAM_N}, 0) + 1),
+               i -> array_to_string(list_slice(t, i + 1, i + {DECONTAM_N}), ' '))))
+               AS gram
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT DISTINCT doc_id, source FROM grams WHERE doc_id % 97 != 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 97 != 0
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
+    FROM corpus c LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+    GROUP BY c.source
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 97 == 0 stand in
+    for a benchmark suite; any other doc sharing a word 8-gram with
+    them is flagged. The benchmark gram set broadcasts (eval suites
+    are tiny next to the corpus), so the corpus side never shuffles —
+    see operators/dedup.py::ngram_contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    flagged = dedup.ngram_contamination(corpus, benchmark, n=DECONTAM_N).withColumn(
+        "flag", F.lit(1)
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("flag"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15 shape: argmax over an aggregate (scalar-subquery max)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape, inlined
+    view). Plan: one groupBy shuffle builds the per-supplier revenue;
+    the max is a single-row agg broadcast back for the filter; the
+    supplier dim broadcasts for hydration. The fact table is scanned
+    once — the revenue aggregate is reused for both the max and the
+    final filter via a cached single-pass DataFrame."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx._mx)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,128 @@
+"""Tests for deterministic sampling / splitting / packing / decontam
+(operators/sampling.py, operators/dedup.py::ngram_contamination)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators import dedup
+from local_vectordb_spark.operators.sampling import (
+    _hex4,
+    hash_sample,
+    hash_split,
+    pack_sequences,
+)
+from local_vectordb_spark.session import load_table
+
+
+def test_hex4_thresholds():
+    assert _hex4(0.0) == "0000"
+    assert _hex4(1.0) == "ffff"
+    assert _hex4(0.1) == "1999"
+    assert _hex4(0.8) == "cccc"
+    with pytest.raises(ValueError):
+        _hex4(1.5)
+
+
+def test_hash_sample_deterministic_and_stable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b  # layout-independent
+    n = docs.count()
+    assert 0.05 * n < len(a) < 0.4 * n  # roughly the asked fraction
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    """A smaller sample is a subset of a larger one (same key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert small <= big
+
+
+def test_hash_split_partitions_everything(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_hash_split_train_superset_under_resplit(spark, sf_dir):
+    """Shrinking val/test never moves rows OUT of train (cumulative
+    thresholds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t80 = {
+        r.doc_id
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    t70 = {
+        r.doc_id
+        for r in hash_split(docs, "doc_id", {"train": 0.7, "val": 0.15, "test": 0.15})
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    assert t70 <= t80
+
+
+def test_hash_split_rejects_bad_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1})
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every doc lands in exactly one pack; pack token totals conserve
+    the corpus; all-but-the-last pack per group starts under budget."""
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias(
+            "n_tokens"
+        ),
+    )
+    packs = pack_sequences(docs, budget).collect()
+    total_docs = sum(p.n_docs for p in packs)
+    total_tokens = sum(p.pack_tokens for p in packs)
+    base = docs.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert total_docs == base.n
+    assert total_tokens == base.t
+    # pack ids per group are dense from 0 upward
+    by_group: dict[str, list[int]] = {}
+    for p in packs:
+        by_group.setdefault(p.source, []).append(p.pack_id)
+    for ids in by_group.values():
+        assert min(ids) == 0
+
+
+def test_ngram_contamination_flags_shared_docs(spark):
+    """A corpus doc sharing an 8-gram with the benchmark is flagged;
+    one with disjoint text is not; a benchmark doc itself never
+    appears in the output (output ⊆ corpus ids)."""
+    words = "alpha bravo charlie delta echo foxtrot golf hotel"
+    bench = spark.createDataFrame(
+        [(1000, f"{words} india juliett")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {words} suffix"),  # shares the 8-gram
+            (2, "totally different words with no overlap at all here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = {r.doc_id for r in dedup.ngram_contamination(corpus, bench).collect()}
+    assert flagged == {1}
