@@ -1,0 +1,127 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and banded
+time-range join (north-star ops beyond the reference surface — the
+reference has no time-series joins at all).
+
+Both are implemented as *compositions of DataFrame ops* (the preferred
+strategy for custom operators), not UDFs, so the hot path stays in
+whole-stage codegen:
+
+- **as-of join** is the union+carry-forward formulation: tag both
+  sides, union, and take `last(value, ignoreNulls)` over a window
+  ordered by time — the distributed equivalent of the classic merge
+  walk. One shuffle on the `by` key; no per-row subquery, no range
+  condition for the planner to turn into a nested-loop join.
+- **band join** ("all right rows within ±tolerance of a left row")
+  buckets time into tolerance-sized cells and equi-joins on
+  (key, cell) after exploding each left row into its three candidate
+  cells, then applies the exact band filter. The equi-join keeps the
+  shuffle hash-partitioned; candidates per row are bounded by the
+  band, never by the table — the standard scalable rewrite of an
+  interval cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the `value_cols` of the latest right
+    row with the same `by_cols` key and `right.ts <= left.ts`
+    (backward as-of; ties at equal ts match — DuckDB ASOF / pandas
+    `merge_asof` semantics). Left rows with no prior right row get
+    nulls (left-join semantics).
+
+    `right_tiebreak`: optional right-side column ordering concurrent
+    right rows (the greatest wins), making the pick deterministic when
+    right timestamps collide.
+
+    Output: every left column plus `{v}{suffix}` per value column.
+    One shuffle on `by_cols`; window state per key is O(1) (running
+    last), so skewed keys cost sort time, not memory.
+    """
+    lcols = left.columns
+    tb = ["_tb"] if right_tiebreak is not None else []
+
+    l = left.withColumn("_is_left", F.lit(1))
+    for c in value_cols:
+        l = l.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    if right_tiebreak is not None:
+        l = l.withColumn(
+            "_tb", F.lit(None).cast(right.schema[right_tiebreak].dataType)
+        )
+
+    r = right.select(
+        *by_cols,
+        ts_col,
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
+    ).withColumn("_is_left", F.lit(0))
+    for c in lcols:
+        if c not in (*by_cols, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    u = l.unionByName(r)
+    # At equal ts the right row (_is_left=0) sorts first, so the window
+    # ending at the left row includes it → ties match. Among concurrent
+    # right rows the greatest tiebreak sorts last and wins the last().
+    order = [F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in tb], F.col("_is_left").asc()]
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    )
+
+
+def band_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by_cols: Sequence[str],
+    tolerance_s: int,
+    count_alias: str = "n_band",
+) -> DataFrame:
+    """Count, for each left row, the right rows with the same `by_cols`
+    key whose timestamp lies within ±`tolerance_s` seconds (the banded
+    time-range join, e.g. "clicks within a minute of each error").
+
+    Rewrite: cell = floor(epoch/tolerance); a band of width ±tol can
+    only intersect the left row's cell and its two neighbours, so the
+    left side explodes into 3 candidate cells and the join is a plain
+    equi-join on (key…, cell) + the exact |Δt| ≤ tol filter. Left rows
+    with no neighbours keep count 0 (left join + conditional count).
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    tol_us = int(tolerance_s) * 1_000_000
+    cell = F.floor(micros / F.lit(tol_us))
+    lk = left.withColumn("_l_us", micros).withColumn(
+        "_cell", F.explode(F.array(cell - 1, cell, cell + 1))
+    )
+    rk = right.select(*by_cols, cell.alias("_cell"), micros.alias("_r_us"))
+    joined = lk.join(rk, [*by_cols, "_cell"], "left")
+    hit = (
+        F.col("_r_us").isNotNull()
+        & (F.abs(F.col("_l_us") - F.col("_r_us")) <= tol_us)
+    ).cast("long")
+    return joined.groupBy(*left.columns).agg(
+        F.coalesce(F.sum(hit), F.lit(0)).alias(count_alias)
+    )

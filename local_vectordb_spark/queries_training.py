@@ -319,3 +319,78 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series joins: as-of and banded range join (operators/asof.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_last_view",
+    """
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 2) AS purchase_value,
+           ROUND(v.value, 2) AS last_view_value,
+           v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the value and time
+    of the same user's most recent prior view (the attribution
+    primitive). Implemented as union + carry-forward window — one
+    shuffle on user_id, no range-condition nested loop; the oracle is
+    DuckDB's native ASOF JOIN."""
+    from local_vectordb_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        purchases, views, "ts", ["user_id"], ["value", "ts"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.round("value_asof", 2).alias("last_view_value"),
+        F.col("ts_asof").alias("last_view_ts"),
+    )
+
+
+@register(
+    "events_band_clicks_near_errors",
+    """
+    SELECT e.event_id, e.user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_60s
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 60000000
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def events_band_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded time-range join: clicks within ±60 s of each error for
+    the same user. The oracle states the naive inequality join; the
+    Spark plan is the scalable bucket rewrite (explode into 3
+    tolerance-sized cells → equi-join → exact band filter), which
+    shuffles hash-partitioned instead of nested-looping."""
+    from local_vectordb_spark.operators.asof import band_join_count
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return band_join_count(
+        errors, clicks, "ts", ["user_id"], 60, "n_clicks_60s"
+    ).select("event_id", "user_id", "n_clicks_60s")
