@@ -50,6 +50,40 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_bucket(F.col(key_col)) < _hex4(fraction))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing op
+    (e.g. downsample an over-represented language to 25% while keeping
+    low-resource strata whole).  Each stratum gets its own hash
+    threshold; strata absent from `fractions` use `default_fraction`.
+
+    Like `hash_sample` this is a pure map-side codegen'd expression
+    (CASE over the stratum value, one md5 per row): no shuffle, no
+    sampling state, stable under any cluster layout — unlike
+    `df.sampleBy()`, whose per-row `rand()` draws differ run to run.
+    A fraction >= 1.0 keeps the stratum unfiltered (no hash computed
+    semantically; the branch is a constant TRUE).
+    """
+    bucket = hash_bucket(F.col(key_col))
+
+    def keep(fraction: float) -> Column:
+        if fraction >= 1.0:
+            return F.lit(True)
+        return bucket < F.lit(_hex4(fraction))
+
+    expr = keep(default_fraction)
+    for stratum, fraction in reversed(list(fractions.items())):
+        expr = F.when(F.col(stratum_col) == F.lit(stratum), keep(fraction)).otherwise(
+            expr
+        )
+    return df.filter(expr)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -23,6 +23,7 @@ from local_vectordb_spark.operators.sampling import (
     hash_sample,
     hash_split,
     pack_sequences,
+    stratified_sample,
 )
 from local_vectordb_spark.queries import register
 from local_vectordb_spark.session import load_table
@@ -57,6 +58,45 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified rebalancing sample (per-stratum hash thresholds, no shuffle)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_by_lang",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE CASE
+            WHEN lang = 'en'
+              THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+            WHEN lang = 'fr'
+              THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+            ELSE TRUE
+          END
+    GROUP BY lang
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministically downsample over-represented
+    languages (en→25%, fr→50%) while keeping low-resource strata whole,
+    then report the resulting per-language mix. The stratum CASE plus
+    md5 threshold is one codegen'd map-side filter — no shuffle, no
+    sampling state, identical selection on every run/engine (unlike
+    `df.sampleBy()` whose rand() draws are layout-dependent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "fr": 0.5}, default_fraction=1.0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 

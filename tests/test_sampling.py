@@ -12,6 +12,7 @@ from local_vectordb_spark.operators.sampling import (
     hash_sample,
     hash_split,
     pack_sequences,
+    stratified_sample,
 )
 from local_vectordb_spark.session import load_table
 
@@ -45,6 +46,34 @@ def test_hash_sample_nested_fractions(spark, sf_dir):
     small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
     big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect()}
     assert small <= big
+
+
+def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
+    """Listed strata are downsampled to ~their fraction, unlisted strata
+    are kept whole, the result is a subset of the input, and the en
+    subset equals a plain hash_sample at the same fraction (same coin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.25, "fr": 0.5})
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # unlisted strata pass through untouched
+    for lang, n in base.items():
+        if lang not in ("en", "fr"):
+            assert kept.get(lang, 0) == n
+    # listed strata roughly hit their fraction (loose bounds, small n)
+    assert 0.05 * base["en"] < kept.get("en", 0) < 0.6 * base["en"]
+    assert kept.get("fr", 0) < base["fr"]
+    # per-stratum selection uses the same hash coin as hash_sample
+    en_strat = {
+        r.doc_id for r in out.filter(F.col("lang") == "en").select("doc_id").collect()
+    }
+    en_plain = {
+        r.doc_id
+        for r in hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", 0.25)
+        .select("doc_id")
+        .collect()
+    }
+    assert en_strat == en_plain
 
 
 def test_hash_split_partitions_everything(spark, sf_dir):
