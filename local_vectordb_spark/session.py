@@ -66,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # The driver harness supplies its OWN SparkSession, which won't have the
+    # nanosAsLong conf from get_spark(); it's a runtime-settable SQL conf, so
+    # set it here unconditionally — without it, reading events.parquet
+    # (TIMESTAMP(NANOS)) raises PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # integer `div` — double-precision `/` loses exactness above 2^53 ns
