@@ -203,7 +203,7 @@ class VectorDB:
         if index_type == "cosine":
             scored = knn.knn_brute_force(chunks, qvec, k=k, id_col="id")
         elif index_type == "ivf":
-            centroids, assignments = self._ivf_index(chunks)
+            centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search(
                 chunks, assignments, centroids, qvec, k=k, id_col="id"
             )
@@ -221,10 +221,16 @@ class VectorDB:
             record_id_col="id", content_col="content",
         )
 
-    def _ivf_index(self, chunks: DataFrame):
+    def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
-        table version."""
+        table version.
+
+        Always built from the UNFILTERED chunks table: search() applies
+        its metadata filter to the candidate set only (ivf_search's
+        semi join), so a filtered first search can't poison the cache
+        for later differently-filtered ones."""
         if self._ivf is None or self._ivf_version != self._version:
+            chunks = self.table("chunks")
             n = chunks.count()
             k_clusters = max(2, min(16, n // 4))
             _, centroids, assignments = ivf.ivf_build(

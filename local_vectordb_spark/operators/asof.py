@@ -73,10 +73,13 @@ def asof_join_backward(
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
     u = l.unionByName(r)
-    # At equal ts the right row (_is_left=0) sorts first, so the window
-    # ending at the left row includes it → ties match. Among concurrent
-    # right rows the greatest tiebreak sorts last and wins the last().
-    order = [F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in tb], F.col("_is_left").asc()]
+    # At equal ts every right row must sort BEFORE the left row so the
+    # window ending at the left row includes it → ties match. Left rows
+    # carry a null tiebreak, so order _tb nulls-LAST (nulls-first would
+    # push left rows ahead of equal-ts right rows and break tie
+    # matching). Among concurrent right rows the greatest tiebreak
+    # sorts last and wins the last().
+    order = [F.col(ts_col).asc(), *[F.col(c).asc_nulls_last() for c in tb], F.col("_is_left").asc()]
     w = (
         Window.partitionBy(*by_cols)
         .orderBy(*order)
@@ -113,8 +116,12 @@ def band_join_count(
     micros = F.unix_micros(F.col(ts_col))
     tol_us = int(tolerance_s) * 1_000_000
     cell = F.floor(micros / F.lit(tol_us))
-    lk = left.withColumn("_l_us", micros).withColumn(
-        "_cell", F.explode(F.array(cell - 1, cell, cell + 1))
+    # A unique per-input-row id keeps fully duplicate left rows from
+    # collapsing into one output row in the regrouping after the explode.
+    lk = (
+        left.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_l_us", micros)
+        .withColumn("_cell", F.explode(F.array(cell - 1, cell, cell + 1)))
     )
     rk = right.select(*by_cols, cell.alias("_cell"), micros.alias("_r_us"))
     joined = lk.join(rk, [*by_cols, "_cell"], "left")
@@ -122,6 +129,8 @@ def band_join_count(
         F.col("_r_us").isNotNull()
         & (F.abs(F.col("_l_us") - F.col("_r_us")) <= tol_us)
     ).cast("long")
-    return joined.groupBy(*left.columns).agg(
-        F.coalesce(F.sum(hit), F.lit(0)).alias(count_alias)
+    return (
+        joined.groupBy("_rid", *left.columns)
+        .agg(F.coalesce(F.sum(hit), F.lit(0)).alias(count_alias))
+        .drop("_rid")
     )

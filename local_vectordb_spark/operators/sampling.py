@@ -46,7 +46,14 @@ def hash_bucket(key: Column) -> Column:
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     """Deterministic ~`fraction` sample: keep rows whose hash bucket
     falls below the threshold.  Unlike `df.sample()` this is stable
-    across runs/cluster layouts and is a pure narrow filter."""
+    across runs/cluster layouts and is a pure narrow filter.
+
+    fraction >= 1.0 keeps every row (mirrors stratified_sample's
+    keep()): the hex threshold caps at 'ffff' and a strict < would
+    silently drop the ~1/65536 of keys hashing exactly to it."""
+    if fraction >= 1.0:
+        _hex4(fraction)  # still validate range (>1.0 raises)
+        return df
     return df.filter(hash_bucket(F.col(key_col)) < _hex4(fraction))
 
 

@@ -151,3 +151,41 @@ def test_cascade_delete_library_removes_all(db, spark):
     assert d.table("libraries").count() == 0
     assert d.table("documents").count() == 0
     assert d.table("chunks").count() == 0
+
+
+def test_ivf_cache_not_poisoned_by_metadata_filter(db, spark):
+    """ADVICE r1: a first ivf search WITH a metadata filter must not
+    restrict later unfiltered ivf searches (index is built from the
+    unfiltered table; the filter applies to candidates only).
+
+    Seeds its own corpus — the cascade-delete test above empties the
+    module-scoped store."""
+    d, _, _, _ = db
+    lib_id = str(uuid.uuid4())
+    d.add(
+        "libraries",
+        spark.createDataFrame(
+            [(lib_id, {}, None, None, "reseed")], SCHEMAS["libraries"]
+        ),
+    )
+    doc_id = str(uuid.uuid4())
+    d.add(
+        "documents",
+        spark.createDataFrame(
+            [(doc_id, {}, None, None, "d", lib_id)], SCHEMAS["documents"]
+        ),
+    )
+    d.add(
+        "chunks",
+        spark.createDataFrame(
+            [
+                (str(uuid.uuid4()), {"row": str(i)}, None, None, q, None, doc_id)
+                for i, q in enumerate(QUESTIONS)
+            ],
+            SCHEMAS["chunks"],
+        ),
+    )
+    d._ivf = None  # force a rebuild inside this test
+    d.search(QUESTIONS[3], index_type="ivf", k=3, metadata={"row": "3"})
+    hits = d.search(QUESTIONS[7], index_type="ivf", k=10).collect()
+    assert any(r.content == QUESTIONS[7] for r in hits)

@@ -113,3 +113,32 @@ def test_band_join_boundary_inclusive(spark):
     )
     [row] = band_join_count(left, right, "ts", ["user_id"], 60, "n").collect()
     assert row.n == 2
+
+
+def test_asof_equal_ts_matches_with_tiebreak(spark):
+    """ADVICE r1: equal-ts right row must still match when
+    right_tiebreak is set (left rows carry a null tiebreak and must
+    sort AFTER equal-ts right rows, not before)."""
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame([(1, "u1", t)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [("u1", t, 7.0, 100), ("u1", t, 8.0, 200)],
+        ["user_id", "ts", "value", "seq"],
+    )
+    [row] = asof_join_backward(
+        left, right, "ts", ["user_id"], ["value"], right_tiebreak="seq"
+    ).collect()
+    assert row.value_asof == 8.0  # matched, and greatest tiebreak won
+
+
+def test_band_join_duplicate_left_rows_preserved(spark):
+    """ADVICE r1: fully duplicate left rows each produce their own
+    output row (grouping carries a unique per-row id)."""
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame(
+        [("u1", t), ("u1", t)], ["user_id", "ts"]  # identical rows
+    )
+    right = spark.createDataFrame([("u1", t)], ["user_id", "ts"])
+    rows = band_join_count(left, right, "ts", ["user_id"], 60, "n").collect()
+    assert len(rows) == 2
+    assert [r.n for r in rows] == [1, 1]

@@ -155,3 +155,17 @@ def test_ngram_contamination_flags_shared_docs(spark):
     )
     flagged = {r.doc_id for r in dedup.ngram_contamination(corpus, bench).collect()}
     assert flagged == {1}
+
+
+def test_hash_sample_full_fraction_keeps_all(spark, sf_dir):
+    """ADVICE r1: fraction=1.0 must keep every row — the 'ffff'
+    threshold with strict < dropped ~1/65536 of keys."""
+    import pytest as _pytest
+
+    from local_vectordb_spark.operators.sampling import hash_sample
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    with _pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
