@@ -110,3 +110,15 @@ def test_lsh_search_returns_query_first(spark, sf_dir):
     out = ann.lsh_search(emb, qv, k=3).collect()
     assert out[0]["vec_id"] == 0
     assert out[0]["l2_dist"] == 0.0
+
+
+def test_lsh_pairs_selectivity_not_all_pairs(spark, sf_dir):
+    """r1 verdict: candidate pairs must be ≪ n²/2 — the old
+    bucket_length=2.0 default put every vector in one bucket and
+    returned 87% of all pairs. With projection-scale buckets the
+    bucket join must stay below 5% of the quadratic ceiling."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = ann.lsh_bucket_pairs(emb, max_l2=1.2).count()
+    assert got < 0.05 * n * (n - 1) / 2, f"{got} pairs ≈ all-pairs blowup"
+    assert got > 0  # and the close tail is actually surfaced
