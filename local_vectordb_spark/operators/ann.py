@@ -90,6 +90,95 @@ def knn_graph(
     return vectors.select(id_col, vec_col).mapInPandas(topk, out_schema)
 
 
+def knn_graph_blocked(
+    vectors: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X6 at 100 TB — the same exact cosine kNN graph as `knn_graph`,
+    built WITHOUT collecting the corpus to the driver.
+
+    Block-matrix formulation: rows are hashed into `n_blocks` blocks;
+    every (block_i, block_j) pair becomes one applyInPandas group that
+    BLAS-scores its src rows against its dst rows and keeps a per-src
+    partial top-k; a global per-src window merge yields the exact
+    final top-k. Shuffle volume is 2·n_blocks·n rows (each row is
+    replicated once per opposing block) — bounded and tunable, while
+    the O(n²) flops run distributed at memory bandwidth. Pick
+    n_blocks so one block's matrix (n/n_blocks × dim doubles, twice)
+    fits comfortably in an executor task; at larger corpora raise
+    n_blocks quadratically with n.
+
+    Output is identical to `knn_graph` (same rounding, same
+    deterministic (score desc, id asc) tie order), so the two share an
+    oracle; this is the scale path, the broadcast variant the
+    small-corpus fast path.
+    """
+    from pyspark.sql import Window
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)))
+    rng = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    srcs = base.select(
+        "_id", "_vec", F.col("_blk").alias("_bi"), rng.alias("_bj"),
+        F.lit(1).alias("_is_src"),
+    )
+    dsts = base.select(
+        "_id", "_vec", rng.alias("_bi"), F.col("_blk").alias("_bj"),
+        F.lit(0).alias("_is_src"),
+    )
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf[pdf["_is_src"] == 1]
+        d = pdf[pdf["_is_src"] == 0]
+        if s.empty or d.empty:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": np.int64, "dst": np.int64, "score": np.float64}
+            )
+        sid = s["_id"].to_numpy(dtype=np.int64)
+        did = d["_id"].to_numpy(dtype=np.int64)
+
+        def unit(rows):
+            m = np.array(rows["_vec"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            return m / np.where(nrm == 0.0, 1.0, nrm)
+
+        scores = np.round(unit(s) @ unit(d).T, SCORE_DECIMALS)
+        scores[sid[:, None] == did[None, :]] = -np.inf  # self-edges
+        kk = min(k, scores.shape[1])
+        rows, cols, vals = [], [], []
+        for r in range(scores.shape[0]):
+            order = np.lexsort((did, -scores[r]))[:kk]
+            order = order[scores[r, order] > -np.inf]
+            rows.extend([sid[r]] * len(order))
+            cols.extend(did[order])
+            vals.extend(scores[r, order])
+        return pd.DataFrame({"src": rows, "dst": cols, "score": vals})
+
+    partial = (
+        srcs.unionByName(dsts)
+        .groupBy("_bi", "_bj")
+        .applyInPandas(block_topk, out_schema)
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: Sequence[int],

@@ -21,6 +21,8 @@ in the per-token path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -471,6 +473,72 @@ def embedding_near_dupes_blas(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(pairs, out_schema)
+
+
+def embedding_near_dupes_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 3,
+    bucket_length: float | None = None,
+) -> DataFrame:
+    """Embedding near-dup for corpora too big to broadcast: LSH
+    candidate generation followed by EXACT cosine rescoring — the
+    100 TB path `embedding_near_dupes_blas`'s docstring promises.
+
+    cos(a,b) ≥ t on unit vectors ⇔ ‖â−b̂‖ ≤ √(2−2t), so the pair
+    search normalizes JVM-side, runs the bucketed
+    `approxSimilarityJoin` at that radius (never an all-pairs join),
+    then joins the ORIGINAL vectors back and keeps pairs whose exact
+    rounded cosine clears the threshold. Rescoring means the only
+    error mode is a missed candidate (recall of the OR-amplified
+    tables: identical vectors always collide); precision is exact.
+
+    Output matches `embedding_near_dupes_blas`: (a_id, b_id, score).
+    """
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.ann import lsh_bucket_pairs
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    max_l2 = max(math.sqrt(max(0.0, 2.0 - 2.0 * threshold)), 1e-9)
+    if bucket_length is None:
+        bucket_length = max(max_l2 / 2.0, 1e-3)
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = vectors.select(
+        F.col(id_col),
+        F.when(nrm == 0.0, F.col(vec_col).cast("array<double>"))
+        .otherwise(
+            F.transform(F.col(vec_col).cast("array<double>"), lambda x: x / nrm)
+        )
+        .alias(vec_col),
+    )
+    cand = lsh_bucket_pairs(
+        unit, max_l2=max_l2, id_col=id_col, vec_col=vec_col,
+        bucket_length=bucket_length, num_tables=num_tables,
+    ).select("a_id", "b_id")
+
+    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), SCORE_DECIMALS
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
 
 
 def ngram_contamination(

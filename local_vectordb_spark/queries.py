@@ -942,6 +942,34 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dupes_blas(planted, threshold=0.99)
 
 
+@register(
+    "dedup_embedding_cosine_lsh",
+    """
+    WITH all_v AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+    FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+    """,
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH candidates + exact
+    rescoring, no driver collect/broadcast of the corpus. Shares the
+    BLAS variant's oracle — identical planted dupes always collide, so
+    on this fixture the candidate set covers every true pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return dedup.embedding_near_dupes_lsh(planted, threshold=0.99)
+
+
 # ==========================================================================
 # E1 — embedding surface: expression backend (oracle-checked) and
 # pandas-UDF backend (rows-only)
@@ -1117,6 +1145,29 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: the NSW adjacency artifact as an edges DataFrame — batch
     top-5 neighbors per node via broadcast BLAS top-k."""
     return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "knn_graph_blocked",
+    """
+    WITH scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    )
+    SELECT src, dst, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 scale path: the SAME exact kNN graph via the block-matrix
+    self-join — no driver toPandas/broadcast of the corpus (the r1
+    verdict's scale-killer); shares knn_graph's oracle."""
+    return ann.knn_graph_blocked(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_blocks=8
+    )
 
 
 @register("lsh_bucket_pairs")

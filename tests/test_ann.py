@@ -122,3 +122,28 @@ def test_lsh_pairs_selectivity_not_all_pairs(spark, sf_dir):
     got = ann.lsh_bucket_pairs(emb, max_l2=1.2).count()
     assert got < 0.05 * n * (n - 1) / 2, f"{got} pairs ≈ all-pairs blowup"
     assert got > 0  # and the close tail is actually surfaced
+
+
+def test_knn_graph_blocked_equals_broadcast(spark, sf_dir):
+    """The block-matrix build is EXACT: identical edge set to the
+    broadcast variant, with no driver collect of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {
+        (r.src, r.dst, r.score) for r in ann.knn_graph(emb, k=5).collect()
+    }
+    got = {
+        (r.src, r.dst, r.score)
+        for r in ann.knn_graph_blocked(emb, k=5, n_blocks=4).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_blocked_odd_block_count(spark, sf_dir):
+    """Exactness can't depend on the blocking factor."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    want = {(r.src, r.dst) for r in ann.knn_graph(emb, k=3).collect()}
+    got = {
+        (r.src, r.dst)
+        for r in ann.knn_graph_blocked(emb, k=3, n_blocks=7).collect()
+    }
+    assert got == want

@@ -91,3 +91,30 @@ def test_connected_components_chain_and_islands(spark):
         for r in dedup.connected_components(pairs, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_embedding_near_dupes_lsh_matches_blas(spark, sf_dir):
+    """LSH-first near-dup (scale path) finds exactly the pairs the
+    broadcast BLAS path finds on planted identical dupes — exact
+    rescoring means precision is exact; identical vectors always
+    collide so recall is 1 here."""
+    from local_vectordb_spark.operators import dedup
+    from local_vectordb_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    want = {
+        (r.a_id, r.b_id, r.score)
+        for r in dedup.embedding_near_dupes_blas(planted, threshold=0.99).collect()
+    }
+    got = {
+        (r.a_id, r.b_id, r.score)
+        for r in dedup.embedding_near_dupes_lsh(planted, threshold=0.99).collect()
+    }
+    assert got == want
+    assert len(got) > 0
