@@ -15,9 +15,14 @@ DataFrame operations over parquet-backed tables:
   ValueError where the reference returns HTTP 400), with the Q8
   metadata filter applied ahead of scoring and Q6 hydration joining
   content back onto (id, score);
-- storage is read-merge-overwrite on plain parquet with a staging
-  swap; a table format (Delta/Iceberg) would make each commit atomic —
-  that, not the query layer, is the production hardening point.
+- storage is read-merge-write on plain parquet with VERSIONED
+  DIRECTORY commits: every write lands in a fresh `v{n}` directory and
+  becomes visible only when the `_CURRENT` pointer file is atomically
+  renamed over (os.replace) — a crash at any earlier point leaves the
+  previous version fully readable (the reference's write-verify-cleanup,
+  /root/reference/src/models/collection.py:86-110, hardened to
+  all-or-nothing). A table format (Delta/Iceberg) generalizes the same
+  idea with a multi-file transaction log.
 
 Derived indexes (IVF centroids/assignments) are built lazily once per
 table version and invalidated on write — never rebuilt per query
@@ -58,25 +63,60 @@ class VectorDB:
 
     # ---------------- storage ----------------
 
-    def _path(self, kind: str) -> str:
+    def _table_dir(self, kind: str) -> str:
         if kind not in SCHEMAS:
             raise ValueError(f"unknown collection: {kind!r}")
-        return os.path.join(self.root, f"{kind}.parquet")
+        return os.path.join(self.root, kind)
+
+    def _current_version(self, kind: str) -> int:
+        """Live version of a table, -1 when never written."""
+        ptr = os.path.join(self._table_dir(kind), "_CURRENT")
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
 
     def table(self, kind: str) -> DataFrame:
-        """C1 — the full collection as a DataFrame."""
-        path = self._path(kind)
-        if not os.path.exists(path):
+        """C1 — the full collection as a DataFrame (live version)."""
+        v = self._current_version(kind)
+        if v < 0:
             return self.spark.createDataFrame([], SCHEMAS[kind])
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(
+            os.path.join(self._table_dir(kind), f"v{v}")
+        )
+
+    def _commit_pointer(self, kind: str, version: int) -> None:
+        """Atomically point readers at `version`: write-fsync a temp
+        file, then os.replace over _CURRENT (atomic on POSIX). This is
+        the commit point — everything before it is invisible staging.
+        Split out so tests can inject a crash between data write and
+        commit."""
+        d = self._table_dir(kind)
+        tmp = os.path.join(d, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, "_CURRENT"))
 
     def _write(self, kind: str, df: DataFrame) -> None:
-        """Read-merge-overwrite with a staging swap (see module doc)."""
-        path = self._path(kind)
-        staged = f"{path}.staging"
-        df.write.mode("overwrite").parquet(staged)
-        self.spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+        """Versioned-directory commit (see module doc). The merged
+        plan lazily reads the CURRENT version while writing the NEXT
+        directory, so no staging double-write or checkpoint is needed
+        to avoid overwriting one's own input."""
+        import shutil
+
+        d = self._table_dir(kind)
+        os.makedirs(d, exist_ok=True)
+        nxt = self._current_version(kind) + 1
+        df.write.mode("overwrite").parquet(os.path.join(d, f"v{nxt}"))
+        self._commit_pointer(kind, nxt)
         self._version += 1
+        # GC: keep current + previous (a reader may hold a lazy plan
+        # over the prior version); anything older is unreachable.
+        for entry in os.listdir(d):
+            if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) < nxt - 1:
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
     def reset(self) -> None:
         """C10 — truncate every collection (schema preserved)."""

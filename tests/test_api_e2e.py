@@ -189,3 +189,43 @@ def test_ivf_cache_not_poisoned_by_metadata_filter(db, spark):
     d.search(QUESTIONS[3], index_type="ivf", k=3, metadata={"row": "3"})
     hits = d.search(QUESTIONS[7], index_type="ivf", k=10).collect()
     assert any(r.content == QUESTIONS[7] for r in hits)
+
+
+def test_crash_between_write_and_commit_preserves_table(db, spark):
+    """r1 verdict #5: a crash after the new version's data is written
+    but BEFORE the pointer commit must leave the old table fully
+    readable (the old double-overwrite could destroy the live copy)."""
+    d, *_ = db
+    before = {r.id for r in d.table("libraries").select("id").collect()}
+    assert before  # something to lose
+
+    orig = d._commit_pointer
+
+    def crash(kind, version):
+        raise RuntimeError("simulated crash before commit")
+
+    d._commit_pointer = crash
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            d.add(
+                "libraries",
+                spark.createDataFrame(
+                    [(str(uuid.uuid4()), {}, None, None, "doomed")],
+                    SCHEMAS["libraries"],
+                ),
+            )
+    finally:
+        d._commit_pointer = orig
+
+    after = {r.id for r in d.table("libraries").select("id").collect()}
+    assert after == before  # uncommitted write invisible, nothing lost
+
+    # and the store still accepts writes afterwards
+    new_id = str(uuid.uuid4())
+    d.add(
+        "libraries",
+        spark.createDataFrame(
+            [(new_id, {}, None, None, "post-crash")], SCHEMAS["libraries"]
+        ),
+    )
+    assert new_id in {r.id for r in d.table("libraries").select("id").collect()}
