@@ -225,19 +225,27 @@ class VectorDB:
 
     def search(
         self,
-        query: str,
+        query: str | None = None,
         index_type: str = "cosine",
         k: int = 5,
         metadata: dict | None = None,
+        query_vec: list[float] | None = None,
     ) -> DataFrame:
-        """kNN over chunks: embed the query, route to the strategy,
+        """kNN over chunks: embed the query (or take `query_vec`
+        directly, skipping the embedder), route to the strategy,
         hydrate content. Returns (id, score, content) — the
         FullSearchResult shape (src/models/search.py:17-31)."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
-        qvec = self._embed_query(query)
+        if query_vec is None and query is None:
+            raise ValueError("provide query text or query_vec")
+        qvec = (
+            [float(x) for x in query_vec]
+            if query_vec is not None
+            else self._embed_query(query)
+        )
         chunks = self._chunks_for_search(metadata)
 
         if index_type == "cosine":

@@ -154,6 +154,73 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_hydrated(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# Q7 — the full VectorDB.search facade path (dispatch → filter → score →
+# hydrate), driven end-to-end against a staged corpus (r1 verdict #9)
+# --------------------------------------------------------------------------
+
+_API_DB_CACHE: dict = {}
+
+
+def _staged_vectordb(spark: SparkSession, sf_dir: str):
+    """Stage the embeddings+documents fixture as a VectorDB corpus
+    (one library, one document, one chunk per vector; chunk id is the
+    stringified vec_id, content the matching document text)."""
+    if sf_dir in _API_DB_CACHE:
+        return _API_DB_CACHE[sf_dir]
+    import tempfile
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    db = VectorDB(spark, tempfile.mkdtemp(prefix="lvdb_api_"))
+    db.add(
+        "libraries",
+        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+    )
+    db.add(
+        "documents",
+        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("timestamp").alias("created_at"),
+        F.lit(None).cast("timestamp").alias("updated_at"),
+        F.col("text").alias("content"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.lit("d0").alias("document_id"),
+    )
+    db.add("chunks", chunks)
+    _API_DB_CACHE[sf_dir] = db
+    return db
+
+
+@register(
+    "api_search_cosine",
+    f"""
+    WITH topk AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      ORDER BY score DESC, e.vec_id ASC
+      LIMIT {K}
+    )
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 through the facade: VectorDB.search on a staged corpus —
+    dispatch, metadata hook, scoring, and hydration exercised on the
+    exact path a user calls."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K)
+
+
 # ==========================================================================
 # C1-C10 — batch CRUD semantics (SURVEY §2.1) over the star schema
 # ==========================================================================
@@ -369,10 +436,10 @@ def crud_reject_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejected
 
 
-@register("crud_truncate")
+@register("crud_truncate", "SELECT * FROM documents WHERE false")
 def crud_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10: reset — empty frame, schema preserved (rows-only check:
-    cross-engine empty-frame dtype comparison is ill-defined)."""
+    """C10: reset — empty frame, schema preserved (oracle checks
+    column set + zero rows)."""
     return crud.truncate(load_table(spark, sf_dir, "documents"))
 
 
@@ -1124,6 +1191,30 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, assignments = _ivf_index_for(spark, sf_dir)
     return ivf.ivf_search(
         emb, assignments, centroids, _query_vecs(sf_dir)[0][1], k=K, n_probe=3
+    )
+
+
+@register(
+    "ivf_search_full_probe",
+    f"""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 with n_probe = n_clusters: probing every cluster makes IVF
+    exactly brute force regardless of the (seed-dependent) cluster
+    assignment — which makes the pruned path's machinery
+    oracle-checkable (r1 verdict #6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    return ivf.ivf_search(
+        emb, assignments, centroids, _query_vecs(sf_dir)[0][1],
+        k=K, n_probe=len(centroids),
     )
 
 
