@@ -54,7 +54,11 @@ def knn_graph(
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     unit = mat / np.where(norms == 0.0, 1.0, norms)
-    bc = spark.sparkContext.broadcast((ids, unit))
+    # Pre-sort the broadcast corpus by id: a STABLE argsort on -score then
+    # breaks rounded-score ties by column position == id ascending, which
+    # vectorizes the whole (score desc, id asc) top-k — no per-row lexsort.
+    perm = np.argsort(ids)
+    bc = spark.sparkContext.broadcast((ids[perm], unit[perm]))
 
     out_schema = StructType(
         [
@@ -76,16 +80,17 @@ def knn_graph(
             self_mask = bids[:, None] == all_ids[None, :]
             scores[self_mask] = -np.inf
             kk = min(k, scores.shape[1] - 1)
-            # full (score desc, id asc) lexsort per row: rounded scores can
-            # tie at the k boundary, where argpartition would pick
-            # nondeterministically
-            rows, dsts, vals = [], [], []
-            for r in range(scores.shape[0]):
-                order = np.lexsort((all_ids, -scores[r]))[:kk]
-                rows.extend([bids[r]] * kk)
-                dsts.extend(all_ids[order])
-                vals.extend(scores[r, order])
-            yield pd.DataFrame({"src": rows, "dst": dsts, "score": vals})
+            # (score desc, id asc) top-k in one vectorized stable argsort:
+            # rounded scores tie at the k boundary, and the pre-sorted-by-id
+            # columns make stable order == id ascending among ties.
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "src": np.repeat(bids, kk),
+                    "dst": all_ids[order].ravel(),
+                    "score": np.take_along_axis(scores, order, axis=1).ravel(),
+                }
+            )
 
     return vectors.select(id_col, vec_col).mapInPandas(topk, out_schema)
 
@@ -154,17 +159,22 @@ def knn_graph_blocked(
             nrm = np.linalg.norm(m, axis=1, keepdims=True)
             return m / np.where(nrm == 0.0, 1.0, nrm)
 
-        scores = np.round(unit(s) @ unit(d).T, SCORE_DECIMALS)
+        # sort dst columns by id so a stable argsort breaks ties id-asc
+        dperm = np.argsort(did)
+        did = did[dperm]
+        scores = np.round(unit(s) @ unit(d).T, SCORE_DECIMALS)[:, dperm]
         scores[sid[:, None] == did[None, :]] = -np.inf  # self-edges
         kk = min(k, scores.shape[1])
-        rows, cols, vals = [], [], []
-        for r in range(scores.shape[0]):
-            order = np.lexsort((did, -scores[r]))[:kk]
-            order = order[scores[r, order] > -np.inf]
-            rows.extend([sid[r]] * len(order))
-            cols.extend(did[order])
-            vals.extend(scores[r, order])
-        return pd.DataFrame({"src": rows, "dst": cols, "score": vals})
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(scores, order, axis=1).ravel()
+        out = pd.DataFrame(
+            {
+                "src": np.repeat(sid, kk),
+                "dst": did[order].ravel(),
+                "score": vals,
+            }
+        )
+        return out[vals > -np.inf]
 
     partial = (
         srcs.unionByName(dsts)
@@ -242,22 +252,59 @@ def _with_ml_vectors(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame
     )
 
 
+def derive_bucket_length(
+    vectors: DataFrame, vec_col: str = "embedding", scale: float = 0.4
+) -> float:
+    """Corpus-derived LSH bucket width: ``scale · median‖v‖ / √d``.
+
+    A d-dim vector of norm m projects onto a random unit direction with
+    std ≈ m/√d, so bucket width must sit at that scale regardless of
+    the corpus's dimension or normalization (a fixed constant tuned for
+    unit-norm 64-d silently under-recalls on un-normalized or
+    higher-dim corpora). scale=0.4 reproduces the tuned 0.05 for
+    unit-norm 64-d (~0.4% pair selectivity at sf0.01). Costs one small
+    aggregation job (dim from one row, approx median norm), amortized
+    over the model fit which scans the corpus anyway.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    stats = vectors.select(
+        norm.alias("_nrm"), F.size(vec_col).alias("_dim")
+    )
+    dim = stats.select("_dim").first()
+    if dim is None or dim[0] <= 0:
+        return 0.05  # empty corpus: any width works
+    med = stats.approxQuantile("_nrm", [0.5], 0.01)[0]
+    return max(scale * med / float(dim[0]) ** 0.5, 1e-9)
+
+
 def lsh_model(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-              bucket_length: float = 0.05, num_tables: int = 3, seed: int = SEED):
+              bucket_length: float | None = None, num_tables: int = 3, seed: int = SEED):
     """Fit a random-projection LSH model (Euclidean) on the corpus.
 
     bucket_length is in PROJECTION units: a unit-norm d-dim vector
     projects onto a random unit direction with std ≈ 1/√d, and a pair
     at distance r differs by std ≈ r/√d — so the bucket width must sit
     at that scale (≈0.05 for 64-d unit embeddings), NOT at the scale of
-    the vectors themselves. The old default of 2.0 put the entire
-    corpus in one bucket per table, degrading approxSimilarityJoin to
-    an all-pairs join (87% candidate selectivity at sf0.01 — the
-    r1 verdict's 'all-pairs join wearing an LSH costume').
-    numHashTables is OR-amplification: more tables = higher recall AND
-    more candidates; selectivity is controlled by bucket_length."""
+    the vectors themselves. A width at vector scale (the old 2.0) puts
+    the entire corpus in one bucket per table, degrading
+    approxSimilarityJoin to an all-pairs join (87% candidate
+    selectivity at sf0.01 — the r1 verdict's 'all-pairs join wearing an
+    LSH costume'). Default None derives the width from the corpus's own
+    norm/dimension statistics (see derive_bucket_length), so
+    un-normalized or non-64-d corpora keep full recall without a code
+    change. numHashTables is OR-amplification: more tables = higher
+    recall AND more candidates; selectivity is controlled by
+    bucket_length."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
+    if bucket_length is None:
+        bucket_length = derive_bucket_length(vectors, vec_col)
     feat = _with_ml_vectors(vectors, id_col, vec_col)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
