@@ -16,13 +16,22 @@ DataFrame operations over parquet-backed tables:
   metadata filter applied ahead of scoring and Q6 hydration joining
   content back onto (id, score);
 - storage is read-merge-write on plain parquet with VERSIONED
-  DIRECTORY commits: every write lands in a fresh `v{n}` directory and
-  becomes visible only when the `_CURRENT` pointer file is atomically
-  renamed over (os.replace) — a crash at any earlier point leaves the
-  previous version fully readable (the reference's write-verify-cleanup,
+  DIRECTORY commits: every write stages into a private `_stage_*`
+  directory, claims its version slot with an atomic os.rename to
+  `v{n}` (which FAILS for exactly one of two racing writers — rename
+  onto a non-empty directory is ENOTEMPTY), and becomes visible only
+  when the `_CURRENT` pointer file is atomically renamed over
+  (os.replace, then a directory fsync so the rename survives power
+  loss) — a crash at any earlier point leaves the previous version
+  fully readable (the reference's write-verify-cleanup,
   /root/reference/src/models/collection.py:86-110, hardened to
-  all-or-nothing). A table format (Delta/Iceberg) generalizes the same
-  idea with a multi-file transaction log.
+  all-or-nothing). A concurrent writer that lost the race, or whose
+  read snapshot went stale mid-merge, raises ConcurrentWriteError
+  instead of silently clobbering (optimistic concurrency; the loser
+  retries from the new current version). Retention is configurable
+  (`keep_versions`, default current+previous). A table format
+  (Delta/Iceberg) generalizes the same idea with a multi-file
+  transaction log.
 
 Derived indexes (IVF centroids/assignments) are built lazily once per
 table version and invalidated on write — never rebuilt per query
@@ -44,6 +53,11 @@ from local_vectordb_spark.sources.json_records import SCHEMAS
 
 INDEX_TYPES = ("cosine", "ivf", "nsw")
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this table version first; re-read the
+    table and retry the merge from the new current version."""
+
 # chunk membership of each table's FK: child -> (fk_col, parent kind)
 _PARENTS = {"documents": ("library_id", "libraries"), "chunks": ("document_id", "documents")}
 _CHILDREN = {"libraries": "documents", "documents": "chunks"}
@@ -53,10 +67,21 @@ class VectorDB:
     """Parquet-backed library/document/chunk store with pluggable
     batch embedding and strategy-dispatched kNN search."""
 
-    def __init__(self, spark: SparkSession, root_dir: str, embedder=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_dir: str,
+        embedder=None,
+        keep_versions: int = 2,
+    ):
         self.spark = spark
         self.root = root_dir
         self.embedder = embedder or hashed_embedding_udf()
+        # >=2 keeps current+previous so a lazy plan over the prior
+        # version stays readable across one write; raise it (or use a
+        # time-based policy externally) when readers hold snapshots
+        # across several writes.
+        self.keep_versions = max(1, keep_versions)
         self._ivf_version = -1
         self._version = 0
         self._ivf = None
@@ -76,14 +101,21 @@ class VectorDB:
         with open(ptr) as f:
             return int(f.read().strip())
 
-    def table(self, kind: str) -> DataFrame:
-        """C1 — the full collection as a DataFrame (live version)."""
+    def _snapshot(self, kind: str) -> tuple[int, DataFrame]:
+        """(version, DataFrame) read atomically from one pointer load —
+        writers pass the version back to _write as expected_version so
+        a merge over a stale snapshot fails instead of losing a
+        concurrent writer's commit."""
         v = self._current_version(kind)
         if v < 0:
-            return self.spark.createDataFrame([], SCHEMAS[kind])
-        return self.spark.read.parquet(
+            return v, self.spark.createDataFrame([], SCHEMAS[kind])
+        return v, self.spark.read.parquet(
             os.path.join(self._table_dir(kind), f"v{v}")
         )
+
+    def table(self, kind: str) -> DataFrame:
+        """C1 — the full collection as a DataFrame (live version)."""
+        return self._snapshot(kind)[1]
 
     def _commit_pointer(self, kind: str, version: int) -> None:
         """Atomically point readers at `version`: write-fsync a temp
@@ -98,25 +130,99 @@ class VectorDB:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, "_CURRENT"))
+        # fsync the directory so the rename itself is durable across
+        # power loss, not just process crash (a rename lives in the
+        # directory's metadata, which has its own fd to flush).
+        dirfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dirfd)
+        finally:
+            os.close(dirfd)
 
-    def _write(self, kind: str, df: DataFrame) -> None:
+    def _write(
+        self, kind: str, df: DataFrame, expected_version: int | None = None
+    ) -> None:
         """Versioned-directory commit (see module doc). The merged
-        plan lazily reads the CURRENT version while writing the NEXT
-        directory, so no staging double-write or checkpoint is needed
-        to avoid overwriting one's own input."""
+        plan lazily reads the CURRENT version while writing into a
+        private staging directory, so no checkpoint is needed to avoid
+        overwriting one's own input.
+
+        Multi-writer guard: a non-blocking advisory flock on
+        `_WRITE.lock` serializes the whole version-read → stage →
+        rename → pointer-commit section; a second writer arriving while
+        it is held raises ConcurrentWriteError immediately (one wins,
+        one fails loudly — never a silent race), and the kernel
+        releases the lock even if the holder crashes.
+        `expected_version` additionally rejects commits whose input
+        snapshot went stale before the lock was taken (writer A
+        committed fully while writer B was still merging). A crashed
+        writer leaves only an unreferenced `_stage_*` or orphaned
+        never-pointed-to `v{m}` directory; the version computation
+        skips over orphans, so the table self-heals on the next write.
+        The belt-and-braces ENOTEMPTY check on the rename keeps
+        exactly-one-winner semantics even on filesystems where flock
+        is a no-op (some NFS mounts)."""
+        import fcntl
         import shutil
+        import uuid
 
         d = self._table_dir(kind)
         os.makedirs(d, exist_ok=True)
-        nxt = self._current_version(kind) + 1
-        df.write.mode("overwrite").parquet(os.path.join(d, f"v{nxt}"))
-        self._commit_pointer(kind, nxt)
-        self._version += 1
-        # GC: keep current + previous (a reader may hold a lazy plan
-        # over the prior version); anything older is unreachable.
-        for entry in os.listdir(d):
-            if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) < nxt - 1:
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+        lock_fd = os.open(
+            os.path.join(d, "_WRITE.lock"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            try:
+                fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError as e:
+                raise ConcurrentWriteError(
+                    f"{kind}: another writer holds the table lock; "
+                    f"re-read and retry"
+                ) from e
+            base = self._current_version(kind)
+            if expected_version is not None and base != expected_version:
+                raise ConcurrentWriteError(
+                    f"{kind}: snapshot v{expected_version} is stale "
+                    f"(current is v{base}); re-read and retry"
+                )
+            # Claim the slot ABOVE any existing version dir, not just
+            # pointer+1: a writer that crashed between rename and
+            # pointer commit leaves an orphaned (never-visible) v{m};
+            # skipping it self-heals.
+            vers = [
+                int(e[1:])
+                for e in os.listdir(d)
+                if e.startswith("v") and e[1:].isdigit()
+            ]
+            nxt = max([base, *vers]) + 1
+            stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
+            try:
+                df.write.mode("overwrite").parquet(stage)
+                try:
+                    os.rename(stage, os.path.join(d, f"v{nxt}"))
+                except OSError as e:
+                    raise ConcurrentWriteError(
+                        f"{kind}: lost commit race for v{nxt}; "
+                        f"re-read and retry"
+                    ) from e
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            self._commit_pointer(kind, nxt)
+            self._version += 1
+            # GC: retain the newest `keep_versions` directories
+            # (default current + previous — a reader may hold a lazy
+            # plan over the prior version); anything older is
+            # unreachable from _CURRENT.
+            for entry in os.listdir(d):
+                if (
+                    entry.startswith("v")
+                    and entry[1:].isdigit()
+                    and int(entry[1:]) <= nxt - self.keep_versions
+                ):
+                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+        finally:
+            os.close(lock_fd)  # closing the fd releases the flock
 
     def reset(self) -> None:
         """C10 — truncate every collection (schema preserved)."""
@@ -168,7 +274,7 @@ class VectorDB:
     def add(self, kind: str, rows: DataFrame) -> DataFrame:
         """C4 insert (+C8 FK, +C9 duplicate rejection, +E1 embed).
         Returns the rejected-duplicate rows (empty when all inserted)."""
-        base = self.table(kind)
+        base_v, base = self._snapshot(kind)
         rows = self._validated(kind, rows)
         accepted, rejected = crud.reject_duplicates(base, rows, "id")
         accepted = self._embedded(kind, accepted).withColumn(
@@ -177,7 +283,11 @@ class VectorDB:
         # materialize before the overwrite invalidates the files this
         # lazy plan reads from
         rejected = rejected.localCheckpoint(eager=True)
-        self._write(kind, crud.insert_append(base, accepted.select(*base.columns)))
+        self._write(
+            kind,
+            crud.insert_append(base, accepted.select(*base.columns)),
+            expected_version=base_v,
+        )
         return rejected
 
     def update(self, kind: str, updates: DataFrame) -> None:
@@ -190,13 +300,16 @@ class VectorDB:
         updates = updates.withColumn("updated_at", F.current_timestamp())
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base
-        base = self.table(kind)
+        base_v, base = self._snapshot(kind)
         merged = crud.upsert(base, updates, "id").select(*base.columns)
-        self._write(kind, merged)
+        self._write(kind, merged, expected_version=base_v)
 
     def delete(self, kind: str, keys: DataFrame) -> None:
         """C6 delete + C7 cascade (library -> documents -> chunks)."""
-        self._write(kind, crud.delete_keys(self.table(kind), keys, "id"))
+        base_v, base = self._snapshot(kind)
+        self._write(
+            kind, crud.delete_keys(base, keys, "id"), expected_version=base_v
+        )
         child = _CHILDREN.get(kind)
         if child:
             fk, _ = _PARENTS[child]
@@ -278,6 +391,10 @@ class VectorDB:
         semi join), so a filtered first search can't poison the cache
         for later differently-filtered ones."""
         if self._ivf is None or self._ivf_version != self._version:
+            if self._ivf is not None:
+                # release the stale version's cached blocks before
+                # rebuilding, or write-heavy sessions accumulate them
+                self._ivf[1].unpersist()
             chunks = self.table("chunks")
             n = chunks.count()
             k_clusters = max(2, min(16, n // 4))

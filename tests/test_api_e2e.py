@@ -9,7 +9,7 @@ import uuid
 
 import pytest
 
-from local_vectordb_spark.api import VectorDB
+from local_vectordb_spark.api import ConcurrentWriteError, VectorDB
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
 QUESTIONS = [
@@ -229,3 +229,86 @@ def test_crash_between_write_and_commit_preserves_table(db, spark):
         ),
     )
     assert new_id in {r.id for r in d.table("libraries").select("id").collect()}
+
+
+def _lib_row(spark, name):
+    return spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, name)], SCHEMAS["libraries"]
+    )
+
+
+def test_two_interleaved_writers_one_wins_one_raises(spark, tmp_path):
+    """r2 verdict #7: two writers whose merges start from the same
+    snapshot must not silently race — the slower one raises
+    ConcurrentWriteError (its merge would drop the winner's rows) and
+    succeeds on retry from the fresh snapshot."""
+    a = VectorDB(spark, str(tmp_path))
+    b = VectorDB(spark, str(tmp_path))
+    a.add("libraries", _lib_row(spark, "seed"))
+
+    # Both read the same snapshot version, then A commits first.
+    v = b._current_version("libraries")
+    a.add("libraries", _lib_row(spark, "from-a"))
+    with pytest.raises(ConcurrentWriteError):
+        b._write(
+            "libraries",
+            b.table("libraries").unionByName(_lib_row(spark, "from-b")),
+            expected_version=v,
+        )
+    names = {r.name for r in a.table("libraries").collect()}
+    assert names == {"seed", "from-a"}  # loser changed nothing
+
+    # Retry from the fresh snapshot succeeds and loses no rows.
+    b.add("libraries", _lib_row(spark, "from-b"))
+    names = {r.name for r in a.table("libraries").collect()}
+    assert names == {"seed", "from-a", "from-b"}
+
+
+def test_write_lock_held_blocks_second_writer(spark, tmp_path):
+    """A writer arriving while another holds the table's commit lock
+    fails loudly (never silently races), and succeeds once the lock is
+    released; its failed attempt leaves no staging debris."""
+    import fcntl
+    import os
+
+    d = VectorDB(spark, str(tmp_path))
+    d.add("libraries", _lib_row(spark, "seed"))
+    tdir = d._table_dir("libraries")
+
+    holder = os.open(os.path.join(tdir, "_WRITE.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        with pytest.raises(ConcurrentWriteError, match="table lock"):
+            d.add("libraries", _lib_row(spark, "blocked"))
+    finally:
+        os.close(holder)
+
+    names = {r.name for r in d.table("libraries").collect()}
+    assert names == {"seed"}
+    assert not [e for e in os.listdir(tdir) if e.startswith("_stage_")]
+
+    d.add("libraries", _lib_row(spark, "after-release"))
+    names = {r.name for r in d.table("libraries").collect()}
+    assert names == {"seed", "after-release"}
+
+
+def test_keep_versions_retention(spark, tmp_path):
+    """r2 ADVICE: retention is configurable — keep_versions=3 preserves
+    a reader's lazy plan across TWO subsequent writes."""
+    d = VectorDB(spark, str(tmp_path), keep_versions=3)
+    d.add("libraries", _lib_row(spark, "v0"))
+    old = d.table("libraries")  # lazy plan over the first version
+    d.add("libraries", _lib_row(spark, "v1"))
+    d.add("libraries", _lib_row(spark, "v2"))
+    # two writes later the old snapshot is still fully readable
+    assert old.count() == 1
+    # but with the default keep_versions=2 the same pattern would have
+    # GC'd it: verify the directory count honors the policy
+    import os
+
+    vdirs = [
+        e
+        for e in os.listdir(d._table_dir("libraries"))
+        if e.startswith("v") and e[1:].isdigit()
+    ]
+    assert len(vdirs) == 3
