@@ -113,13 +113,26 @@ def band_join_count(
     equi-join on (key…, cell) + the exact |Δt| ≤ tol filter. Left rows
     with no neighbours keep count 0 (left join + conditional count).
     """
+    rid = "__band_rid__"
+    if rid in left.columns:
+        raise ValueError(
+            f"band_join_count: left side already has a {rid!r} column"
+        )
     micros = F.unix_micros(F.col(ts_col))
     tol_us = int(tolerance_s) * 1_000_000
     cell = F.floor(micros / F.lit(tol_us))
-    # A unique per-input-row id keeps fully duplicate left rows from
-    # collapsing into one output row in the regrouping after the explode.
+    # A per-input-row disambiguator keeps fully duplicate left rows
+    # from collapsing into one output row in the regrouping after the
+    # explode. row_number partitioned by ALL left columns is
+    # DETERMINISTIC under task retries (identical rows are
+    # interchangeable, so any 1..m numbering yields the same groups) —
+    # unlike monotonically_increasing_id, which can re-assign ids when
+    # an unstable upstream partitioning is recomputed and silently
+    # split/merge groups. Costs one extra shuffle on the full row; at
+    # scale pass a real unique key column instead and group on it.
+    w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
     lk = (
-        left.withColumn("_rid", F.monotonically_increasing_id())
+        left.withColumn(rid, F.row_number().over(w))
         .withColumn("_l_us", micros)
         .withColumn("_cell", F.explode(F.array(cell - 1, cell, cell + 1)))
     )
@@ -130,7 +143,7 @@ def band_join_count(
         & (F.abs(F.col("_l_us") - F.col("_r_us")) <= tol_us)
     ).cast("long")
     return (
-        joined.groupBy("_rid", *left.columns)
+        joined.groupBy(rid, *left.columns)
         .agg(F.coalesce(F.sum(hit), F.lit(0)).alias(count_alias))
-        .drop("_rid")
+        .drop(rid)
     )
