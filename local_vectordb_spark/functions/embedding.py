@@ -13,9 +13,11 @@ row at a time. Two deterministic offline backends are built in:
   statistical shape of a real embedding (unit-norm, pseudo-random),
   used where geometry matters but no network is available.
 
-A production backend (Cohere/OpenAI/local model) plugs in by returning
-its vectors from the same pandas-UDF contract; batching, retry, and
-rate limiting live inside the UDF, amortized per Arrow batch.
+The production backend (``api_embedding_udf``) implements the real
+client semantics — batch_size-chunked calls, exponential-backoff retry
+on 429/5xx/timeout, order-preserving reassembly — over an injectable
+transport (stdlib REST client by default, a fake in tests), all inside
+the same pandas-UDF contract, amortized per Arrow batch.
 """
 
 from __future__ import annotations
@@ -76,28 +78,149 @@ def hashed_embedding_udf(dim: int = 64, seed: int = 42):
     return embed
 
 
-def api_embedding_udf(model: str = "embed-v4.0", batch_size: int = 96):
-    """Production-shaped backend mirroring the reference's Cohere
-    boundary (/root/reference/src/embeddings.py:3-15): texts go out in
-    batches of ``batch_size`` per API call, vectors come back in order.
+class TransientEmbeddingError(Exception):
+    """Retryable transport failure (rate limit / server hiccup)."""
 
-    The HTTP client is NOT shipped in this environment — calling the
-    returned UDF raises NotImplementedError at the exact point a
-    deployment would drop in its client. Everything around it
-    (Arrow batching, Series→Series contract, call amortization) is the
-    real production shape shared with the offline backends above.
-    """
+    def __init__(self, status: int, message: str = ""):
+        super().__init__(f"transient embedding error {status}: {message}")
+        self.status = status
+
+
+class EmbeddingClientError(RuntimeError):
+    """Non-retryable client failure (retries exhausted, bad response)."""
+
+
+def cohere_rest_transport(
+    api_key: str,
+    model: str = "embed-v4.0",
+    url: str = "https://api.cohere.com/v2/embed",
+    timeout_s: float = 30.0,
+):
+    """stdlib transport for the reference's service boundary — the
+    Cohere v2 embed REST endpoint (/root/reference/src/embeddings.py:3-15
+    calls the same API through the SDK). Returns
+    ``call(texts) -> list[vector]``; raises TransientEmbeddingError on
+    429/5xx (so the batched embedder retries) and lets other HTTP
+    errors propagate as permanent failures."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    def call(texts):
+        body = json.dumps(
+            {
+                "model": model,
+                "texts": list(texts),
+                "input_type": "search_document",
+                "embedding_types": ["float"],
+            }
+        ).encode()
+        req = urllib.request.Request(
+            url,
+            data=body,
+            headers={
+                "Authorization": f"Bearer {api_key}",
+                "Content-Type": "application/json",
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                payload = json.load(resp)
+        except urllib.error.HTTPError as e:
+            if e.code == 429 or e.code >= 500:
+                raise TransientEmbeddingError(e.code, str(e.reason)) from e
+            raise
+        return payload["embeddings"]["float"]
+
+    return call
+
+
+def batched_embedder(
+    transport,
+    batch_size: int = 96,
+    max_retries: int = 5,
+    backoff_base_s: float = 0.1,
+    sleep=None,
+):
+    """E1 client core: ``batch_size``-chunked transport calls with
+    exponential backoff on transient failures and order-preserving
+    reassembly. Pure Python (transport injected) so retry/batching
+    semantics are unit-testable without a network or a SparkSession.
+
+    Retries TransientEmbeddingError and TimeoutError up to
+    ``max_retries`` per chunk, sleeping backoff_base_s · 2^attempt
+    between attempts; anything else — and a transport returning the
+    wrong vector count — fails the job loudly rather than silently
+    misaligning texts with vectors."""
+    import time
+
+    do_sleep = sleep if sleep is not None else time.sleep
+
+    def embed_all(texts):
+        out = []
+        for i in range(0, len(texts), batch_size):
+            chunk = list(texts[i : i + batch_size])
+            attempt = 0
+            while True:
+                try:
+                    vecs = transport(chunk)
+                    break
+                except (TransientEmbeddingError, TimeoutError) as e:
+                    if attempt >= max_retries:
+                        raise EmbeddingClientError(
+                            f"chunk at offset {i}: gave up after "
+                            f"{max_retries} retries"
+                        ) from e
+                    do_sleep(backoff_base_s * (2**attempt))
+                    attempt += 1
+            if len(vecs) != len(chunk):
+                raise EmbeddingClientError(
+                    f"transport returned {len(vecs)} vectors for "
+                    f"{len(chunk)} texts"
+                )
+            out.extend([float(x) for x in v] for v in vecs)
+        return out
+
+    return embed_all
+
+
+def api_embedding_udf(
+    transport=None,
+    model: str = "embed-v4.0",
+    batch_size: int = 96,
+    max_retries: int = 5,
+    backoff_base_s: float = 0.1,
+    api_key: str | None = None,
+):
+    """Production backend mirroring the reference's Cohere boundary
+    (/root/reference/src/embeddings.py:3-15): texts go out in batches
+    of ``batch_size`` per API call, vectors come back in order, 429s
+    and 5xxs are retried with exponential backoff.
+
+    The transport is injectable (tests pass a fake; a deployment may
+    swap httpx/SDK for the stdlib default). Retry state lives inside
+    the pandas UDF, so backoff is per-executor-task and the call count
+    is amortized per Arrow batch — the same Series→Series contract as
+    the offline backends above."""
+    if transport is None:
+        import os
+
+        key = api_key if api_key is not None else os.environ.get("COHERE_API_KEY")
+        if not key:
+            raise EmbeddingClientError(
+                "no transport injected and no api_key/COHERE_API_KEY set"
+            )
+        transport = cohere_rest_transport(key, model=model)
+    embed_all = batched_embedder(
+        transport,
+        batch_size=batch_size,
+        max_retries=max_retries,
+        backoff_base_s=backoff_base_s,
+    )
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def embed(texts: pd.Series) -> pd.Series:
-        try:
-            import cohere  # noqa: F401  (not installed here)
-        except ImportError as e:
-            raise NotImplementedError(
-                f"install an embedding client and call model={model!r} "
-                f"in batches of {batch_size} here"
-            ) from e
-        raise NotImplementedError("wire the client call here")
+        return pd.Series(embed_all(texts.tolist()))
 
     return embed
 

@@ -46,17 +46,103 @@ def test_embed_if_missing_only_fills_nulls(spark):
     assert out[2] is not None and len(out[2]) == 2
 
 
-def test_api_embedder_raises_at_boundary(spark):
-    """The production-shaped backend must fail exactly at the client
-    boundary (no client shipped here), not before the UDF runs."""
-    import pytest
+def test_api_embedder_requires_key_or_transport():
+    """Without an injected transport or credentials the production
+    backend fails at construction with a clear message, not deep in a
+    Spark task."""
+    import os
+
+    assert "COHERE_API_KEY" not in os.environ  # env precondition
+    with pytest.raises(E.EmbeddingClientError, match="no transport"):
+        E.api_embedding_udf()
+
+
+# ---------------------------------------------------------------------------
+# Batched/retrying client core (pure python, no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def _vec_for(text):
+    return [float(len(text)), float(ord(text[0]))]
+
+
+def test_batched_embedder_chunks_and_preserves_order():
+    calls = []
+
+    def transport(chunk):
+        calls.append(list(chunk))
+        return [_vec_for(t) for t in chunk]
+
+    texts = [f"t{i}" * (i + 1) for i in range(8)]
+    out = E.batched_embedder(transport, batch_size=3)(texts)
+    assert [len(c) for c in calls] == [3, 3, 2]
+    assert sum(calls, []) == texts  # original order, nothing dropped
+    assert out == [_vec_for(t) for t in texts]
+
+
+def test_batched_embedder_retries_429_with_exponential_backoff():
+    attempts, naps = [], []
+
+    def flaky(chunk):
+        attempts.append(1)
+        if len(attempts) <= 2:
+            raise E.TransientEmbeddingError(429, "rate limited")
+        return [_vec_for(t) for t in chunk]
+
+    out = E.batched_embedder(
+        flaky, batch_size=10, backoff_base_s=0.1, sleep=naps.append
+    )(["aa", "bb"])
+    assert len(attempts) == 3
+    assert naps == [pytest.approx(0.1), pytest.approx(0.2)]  # 2^n backoff
+    assert out == [_vec_for("aa"), _vec_for("bb")]
+
+
+def test_batched_embedder_retries_timeouts_then_gives_up():
+    naps = []
+
+    def always_times_out(chunk):
+        raise TimeoutError("socket timeout")
+
+    with pytest.raises(E.EmbeddingClientError, match="gave up after 3"):
+        E.batched_embedder(
+            always_times_out, max_retries=3, backoff_base_s=0.01, sleep=naps.append
+        )(["x"])
+    assert len(naps) == 3  # retried exactly max_retries times
+
+
+def test_batched_embedder_permanent_error_not_retried():
+    calls = []
+
+    def forbidden(chunk):
+        calls.append(1)
+        raise PermissionError("401")
+
+    with pytest.raises(PermissionError):
+        E.batched_embedder(forbidden, sleep=lambda s: None)(["x"])
+    assert len(calls) == 1
+
+
+def test_batched_embedder_rejects_count_mismatch():
+    def broken(chunk):
+        return [[1.0]] * (len(chunk) - 1)
+
+    with pytest.raises(E.EmbeddingClientError, match="vectors for"):
+        E.batched_embedder(broken)(["a", "b"])
+
+
+def test_api_embedding_udf_with_fake_transport(spark):
+    """End-to-end through the pandas UDF: injected transport, vectors
+    come back aligned with their rows."""
     from pyspark.sql import functions as F
 
-    from local_vectordb_spark.functions.embedding import api_embedding_udf
+    # fully self-contained closure: executors can't import this test module
+    def transport(chunk):
+        return [[float(len(t)), float(ord(t[0]))] for t in chunk]
 
-    df = spark.createDataFrame([("hello",)], "t string")
-    with pytest.raises(Exception) as exc:
-        df.select(api_embedding_udf()(F.col("t"))).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, NotImplementedError
+    udf = E.api_embedding_udf(transport=transport, batch_size=2)
+    rows = (
+        spark.createDataFrame([("apple",), ("fig",), ("kiwi",)], "t string")
+        .select("t", udf(F.col("t")).alias("v"))
+        .collect()
     )
+    assert {r.t: list(r.v) for r in rows} == {t: _vec_for(t) for t in ("apple", "fig", "kiwi")}
