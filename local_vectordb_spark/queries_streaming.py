@@ -60,6 +60,39 @@ def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window",
+    """
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts)
+             + CASE WHEN extract(minute FROM ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+             - offs AS window_start, value
+      FROM events
+      CROSS JOIN (SELECT unnest([INTERVAL 0 MINUTE, INTERVAL 30 MINUTE]) AS offs)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min computed BY THE STREAMING ENGINE
+    (watermarked overlapping-window agg; each event lands in 2 windows'
+    state) — the streaming twin of the batch `events_sliding_window`,
+    sharing its oracle."""
+    stream = st.read_events_stream(spark, _staged_events(spark, sf_dir))
+    out = st.run_available_now(
+        st.watermarked_sliding(stream), "q_stream_slide", output_mode="complete"
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
     "stream_sessionize",
     """
     WITH flagged AS (
