@@ -1310,6 +1310,77 @@ def graph_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bfs_hops(edges, seeds=[0], max_hops=2)
 
 
+@register(
+    "ivf_add_remove_roundtrip",
+    f"""
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id % 7 <> 0
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_add_remove_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+X5 oracle check (r2 verdict #2): build KMeans on 2/3 of the
+    corpus, ivf_add the remaining 1/3 through the EXISTING model (no
+    refit — the reference's fit-on-one-point bug,
+    /root/reference/src/models/ivf_index.py:103-105, deliberately not
+    copied), ivf_remove every vec_id % 7 == 0, then search with
+    n_probe = n_clusters: probing every cluster makes the result exact
+    brute force over the SURVIVING membership, so what the oracle pins
+    is the add/remove bookkeeping itself — including that the removed
+    query point (vec 0) no longer appears in its own neighborhood."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    initial = emb.filter(F.col("vec_id") % 3 != 0)
+    later = emb.filter(F.col("vec_id") % 3 == 0)
+    model, centroids, assignments = ivf.ivf_build(initial, n_clusters=16)
+    assignments = ivf.ivf_add(model, later, assignments)
+    removed = emb.select("vec_id").filter(F.col("vec_id") % 7 == 0)
+    assignments = ivf.ivf_remove(assignments, removed)
+    return ivf.ivf_search(
+        emb, assignments, centroids, _query_vecs(sf_dir)[0][1],
+        k=K, n_probe=len(centroids),
+    )
+
+
+@register(
+    "graph_add_remove",
+    """
+    WITH survivors AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM survivors a JOIN survivors b ON a.vec_id != b.vec_id
+    )
+    SELECT src, dst, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def graph_add_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7+X8 oracle check (r2 verdict #2): start from the k=5 graph
+    over the survivor set (vec_id % 5 != 0), graph_add bidirectional
+    edges for the planted nodes (vec_id % 5 == 0), then graph_remove
+    the planted set. Removal must discard BOTH directions (the
+    reference's back-edge discard,
+    /root/reference/src/models/nsw_index.py:75-85), leaving exactly
+    the survivor graph the oracle computes directly. Both graph tiers
+    here are the distributed block-matrix builder — no driver
+    collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    survivors = emb.filter(F.col("vec_id") % 5 != 0)
+    planted_ids = emb.select("vec_id").filter(F.col("vec_id") % 5 == 0)
+    g0 = ann.knn_graph_blocked(survivors, k=5, n_blocks=4)
+    new_edges = ann.knn_graph_blocked(emb, k=5, n_blocks=4).join(
+        planted_ids.withColumnRenamed("vec_id", "src"), "src", "left_semi"
+    )
+    g1 = ann.graph_add(g0, new_edges)
+    return ann.graph_remove(g1, planted_ids)
+
+
 # ==========================================================================
 # Document fingerprinting (north-star): whole-doc rolling hash + winnowing
 # ==========================================================================
