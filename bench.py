@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from __spark_entry__ import queries  # noqa: E402
 from local_vectordb_spark.session import get_spark  # noqa: E402
 
-# Queries representative of each operator family; extended as coverage grows.
+# Queries representative of each operator family; extended as coverage
+# grows. r3 (verdict #4): the 100 TB-shaped plans are timed first-class —
+# both kNN-graph tiers (broadcast vs block-matrix) and both embedding
+# near-dup tiers (BLAS vs LSH-bucketed), plus as-of join, hash sampling,
+# sequence packing, streaming, and a wider TPC-H slice, so every operator
+# family has a timed representative.
 HEADLINE = [
     # vector search
     "knn_brute_force",
@@ -28,23 +33,31 @@ HEADLINE = [
     "knn_metadata_filter",
     "ivf_search",
     "knn_graph",
+    "knn_graph_blocked",
     # relational / star schema
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
     "tpch_q17_small_quantity_revenue",
     "window_top_orders_per_customer",
-    # event windowing
+    # event windowing / time-series joins
     "events_tumbling_hour",
     "events_sessionize",
+    "events_asof_last_view",
+    # streaming engine
+    "stream_tumbling_hour",
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_lsh",
     "text_quality",
     "text_fingerprint_winnow",
     "embed_hashed",
+    "sample_hash_10pct",
+    "pack_token_budget",
 ]
 
 

@@ -124,6 +124,22 @@ def test_lsh_pairs_selectivity_not_all_pairs(spark, sf_dir):
     assert got > 0  # and the close tail is actually surfaced
 
 
+def test_derived_bucket_length_tracks_norm_and_dim(spark, sf_dir):
+    """r2 ADVICE: the LSH bucket width must come from the corpus, not a
+    unit-norm/64-d constant. Scaling every vector by 10x must scale the
+    derived width by ~10x (projection std scales with the norm), and
+    the unit-norm fixture must land at the tuned 0.05."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = ann.derive_bucket_length(emb)
+    assert base == pytest.approx(0.4 * 1.0 / 8.0, rel=0.05)  # 64-d unit
+    scaled = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x * 10).alias("embedding")
+    )
+    assert ann.derive_bucket_length(scaled) == pytest.approx(10 * base, rel=0.05)
+
+
 def test_knn_graph_blocked_equals_broadcast(spark, sf_dir):
     """The block-matrix build is EXACT: identical edge set to the
     broadcast variant, with no driver collect of the corpus."""
