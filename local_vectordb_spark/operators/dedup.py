@@ -500,7 +500,11 @@ def embedding_near_dupes_lsh(
     from local_vectordb_spark.functions.vector import cosine_similarity
     from local_vectordb_spark.operators.ann import lsh_bucket_pairs
     from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+    from local_vectordb_spark.session import ensure_min_parallelism
 
+    # A small parquet corpus arrives as one split and the whole
+    # hash/explode/join pipeline would run single-task; no-op at scale.
+    vectors = ensure_min_parallelism(vectors)
     max_l2 = max(math.sqrt(max(0.0, 2.0 - 2.0 * threshold)), 1e-9)
     if bucket_length is None:
         bucket_length = max(max_l2 / 2.0, 1e-3)
