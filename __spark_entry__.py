@@ -80,6 +80,8 @@ _PRIORITY = [
     "ivf_add_remove_roundtrip",
     "graph_add_remove",
     "stream_sliding_window",
+    "ivf_batch_search",
+    "ivf_batch_search_full_probe",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
     "knn_graph",
@@ -90,10 +92,8 @@ _PRIORITY = [
     "ivf_search",
     "ivf_search_full_probe",
     "api_search_cosine",
-    "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "mm_media_meta",
-    "mm_frame_sample",
 ]
 
 

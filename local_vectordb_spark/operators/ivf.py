@@ -97,6 +97,68 @@ def ivf_search(
     return knn_brute_force(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_search_batch(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_rows: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Q4 batch form — cluster-pruned kNN for a SET of queries in one
+    job (the bulk-similarity analogue of knn_batch, with IVF pruning).
+
+    Per-query centroid probes are driver-side (|Q|·k·dim flops on a
+    tiny centroid table, like the reference's in-memory probe); the
+    (query_id, cluster_id) probe pairs broadcast-join the assignments
+    table, so the corpus is scanned ONCE for all queries and each
+    query scores only its probed clusters' members. Scoring is the
+    JVM cosine expression (whole-stage codegen, no Python), and the
+    per-query top-k is a single window. Output: (query_id, vec_id,
+    score) like knn_batch.
+    """
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    spark = vectors.sparkSession
+    probe_pairs = [
+        (int(qid), int(c))
+        for qid, qv in query_rows
+        for c in probe_clusters(centroids, qv, n_probe)
+    ]
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster_id int"
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in query_rows],
+        "query_id long, _qv array<double>",
+    )
+    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
+        "query_id", id_col
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qv")), SCORE_DECIMALS
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_add(model, new_rows: DataFrame, assignments: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """X4 — assign new vectors with the existing model (no refit)."""

@@ -1218,6 +1218,53 @@ def ivf_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_batch_search")
+def ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 batch: cluster-pruned kNN for 8 queries in ONE corpus scan
+    (probe pairs broadcast-joined to assignments; JVM cosine; one
+    per-query top-k window). Rows-only: pruning follows the
+    seed-dependent cluster assignment; the full-probe twin below is
+    the oracle-checked path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    return ivf.ivf_search_batch(
+        emb, assignments, centroids, _query_vecs(sf_dir, max_vec_id=8),
+        k=K, n_probe=3,
+    )
+
+
+@register(
+    "ivf_batch_search_full_probe",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    WHERE rn <= {K}
+    """,
+)
+def ivf_batch_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 batch with n_probe = n_clusters: probing every cluster makes
+    the batch path exactly brute-force bulk search, so the whole
+    probe-join/score/window machinery shares knn_batch's oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    return ivf.ivf_search_batch(
+        emb, assignments, centroids, _query_vecs(sf_dir, max_vec_id=8),
+        k=K, n_probe=len(centroids),
+    )
+
+
 @register(
     "knn_graph",
     """
@@ -1305,8 +1352,12 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NSW-capability parity: 2-hop frontier expansion from node 0 over
     the deterministic k=5 cosine kNN graph, distributed as Pregel-style
-    join rounds; the oracle walks the same graph with a recursive CTE."""
-    edges = ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    join rounds; the oracle walks the same graph with a recursive CTE.
+    Edges come from the block-matrix builder, so the whole query is
+    collect-free end to end."""
+    edges = ann.knn_graph_blocked(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_blocks=8
+    )
     return ann.bfs_hops(edges, seeds=[0], max_hops=2)
 
 

@@ -84,3 +84,31 @@ def test_knn_no_shuffle(spark, sf_dir):
     df = knn_brute_force(spark, sf_dir)
     assert plans.count_shuffles(df) == 0
     assert "TakeOrderedAndProject" in plans.plan_string(df)
+
+
+def test_asof_join_no_nested_loop(spark, sf_dir):
+    """The as-of join must compile to the union+window rewrite — one
+    shuffle on the by-key, NO nested-loop/cartesian join (the naive
+    range-condition formulation degenerates to BroadcastNestedLoopJoin,
+    which is quadratic at scale)."""
+    from local_vectordb_spark.queries_training import events_asof_last_view
+
+    df = events_asof_last_view(spark, sf_dir)
+    p = plans.plan_string(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_band_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The banded range join must run as a hash-partitioned equi-join
+    on (key, tolerance-cell) — never a nested-loop range join."""
+    from local_vectordb_spark.queries_training import (
+        events_band_clicks_near_errors,
+    )
+
+    df = events_band_clicks_near_errors(spark, sf_dir)
+    p = plans.plan_string(df)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    # the equi-join on the exploded cells is a real join in the plan
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
