@@ -82,6 +82,7 @@ _PRIORITY = [
     "stream_sliding_window",
     "ivf_batch_search",
     "ivf_batch_search_full_probe",
+    "api_search_batch_cosine",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
     "knn_graph",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "ivf_search_full_probe",
     "api_search_cosine",
     "dedup_embedding_cosine_lsh",
-    "mm_media_meta",
 ]
 
 

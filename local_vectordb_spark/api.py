@@ -382,6 +382,67 @@ class VectorDB:
             record_id_col="id", content_col="content",
         )
 
+    def search_batch(
+        self,
+        queries: list[tuple[int, str]] | None = None,
+        index_type: str = "cosine",
+        k: int = 5,
+        metadata: dict | None = None,
+        query_vecs: list[tuple[int, list[float]]] | None = None,
+    ) -> DataFrame:
+        """Bulk kNN — a SET of queries against chunks in one job per
+        strategy (SURVEY §7 hard part (a): search framed as batch, the
+        shape that scales; the reference can only loop its single-query
+        endpoint). `queries` is [(query_id, text)] (embedded in ONE
+        batch job, not per query) or pass `query_vecs` directly.
+
+        Strategies: cosine = one corpus scan + BLAS matmul top-k per
+        query (knn_batch); ivf = probe pairs broadcast-joined to the
+        assignments table, one scan for all queries (ivf_search_batch);
+        nsw = LSH candidates pooled across queries, then exact cosine
+        rescoring of the pool per query (extra pool members can only
+        improve a query's recall vs its own buckets). Returns
+        (query_id, id, score, content)."""
+        if index_type not in INDEX_TYPES:
+            raise ValueError(
+                f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
+            )
+        if query_vecs is None and not queries:
+            raise ValueError("provide queries or query_vecs")
+        if query_vecs is None:
+            rows = self.spark.createDataFrame(
+                [(int(i), t) for i, t in queries], "query_id long, t string"
+            ).select(
+                "query_id", self.embedder(F.col("t")).alias("v")
+            ).collect()
+            query_vecs = [(r.query_id, [float(x) for x in r.v]) for r in rows]
+        chunks = self._chunks_for_search(metadata)
+
+        if index_type == "cosine":
+            scored = knn.knn_batch(chunks, query_vecs, k=k, id_col="id")
+        elif index_type == "ivf":
+            centroids, assignments = self._ivf_index()
+            scored = ivf.ivf_search_batch(
+                chunks, assignments, centroids, query_vecs, k=k, id_col="id"
+            )
+        else:  # nsw -> pooled-LSH candidates + exact rescore
+            from functools import reduce
+
+            from local_vectordb_spark.operators.ann import lsh_search
+
+            pools = [
+                lsh_search(chunks, qv, k=k, id_col="id").select("id")
+                for _, qv in query_vecs
+            ]
+            cand_ids = reduce(lambda a, b: a.unionByName(b), pools).distinct()
+            candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
+            scored = knn.knn_batch(candidates, query_vecs, k=k, id_col="id")
+        return knn.hydrate(
+            scored, self.table("chunks"), id_col="id",
+            record_id_col="id", content_col="content",
+            keep_cols=("query_id",),
+        )
+
     def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
         table version.

@@ -125,6 +125,7 @@ def hydrate(
     id_col: str = "vec_id",
     record_id_col: str = "doc_id",
     content_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Join (id, score) results back to their source records (SURVEY Q6).
 
@@ -132,13 +133,15 @@ def hydrate(
     drops ids whose record vanished
     (/root/reference/src/models/collection.py:199-215); an inner join
     reproduces exactly that drop-missing semantics in one shuffle-free
-    broadcast join (the result set is k rows — always broadcastable).
+    broadcast join (the result set is k rows per query — always
+    broadcastable). `keep_cols` carries extra result columns (e.g. the
+    batch path's query_id) through the projection.
     """
     proj = records.select(
         F.col(record_id_col).alias(id_col), F.col(content_col).alias("content")
     )
     return F.broadcast(results).join(proj, id_col, "inner").select(
-        id_col, "score", "content"
+        *keep_cols, id_col, "score", "content"
     )
 
 

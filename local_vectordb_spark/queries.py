@@ -221,6 +221,40 @@ def api_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K)
 
 
+@register(
+    "api_search_batch_cosine",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    topk AS (
+      SELECT query_id, vec_id, score FROM (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]), 6) AS score,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]), 6) DESC,
+                          e.vec_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= {K}
+    )
+    SELECT t.query_id, CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk search through the facade: VectorDB.search_batch runs 8
+    queries in ONE corpus scan (broadcast query matrix + BLAS top-k
+    window) and hydrates content — the batch framing of the
+    reference's one-query-per-HTTP-call loop."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search_batch(
+        query_vecs=_query_vecs(sf_dir, max_vec_id=8), index_type="cosine", k=K
+    )
+
+
 # ==========================================================================
 # C1-C10 — batch CRUD semantics (SURVEY §2.1) over the star schema
 # ==========================================================================

@@ -88,6 +88,25 @@ def test_query_each_strategy_finds_exact_match(db, index_type):
     assert top.score == pytest.approx(1.0, abs=1e-5)
 
 
+@pytest.mark.parametrize("index_type", ["cosine", "ivf", "nsw"])
+def test_search_batch_each_strategy(db, index_type):
+    """search_batch must find each query's exact-match chunk in one
+    job, per strategy, with results tagged by query_id."""
+    d, *_ = db
+    qids = [0, 4, 7]
+    hits = d.search_batch(
+        queries=[(i, QUESTIONS[i]) for i in qids], index_type=index_type, k=3
+    ).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(qids), index_type
+    for i in qids:
+        top = max(by_q[i], key=lambda r: r.score)
+        assert top.content == QUESTIONS[i]
+        assert top.score == pytest.approx(1.0, abs=1e-5)
+
+
 def test_unknown_index_raises(db):
     d, *_ = db
     with pytest.raises(ValueError):
