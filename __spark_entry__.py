@@ -83,17 +83,21 @@ _PRIORITY = [
     "ivf_batch_search",
     "ivf_batch_search_full_probe",
     "api_search_batch_cosine",
+    "tpch_q4_priority_late_orders",
+    "tpch_q12_latency_priority",
+    "tpch_q21_waiting_suppliers",
+    "text_repetition_stats",
+    "text_pii_scrub_audit",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
     "knn_graph",
     "knn_graph_blocked",
     "graph_bfs_2hop",
-    "lsh_bucket_pairs",
-    "lsh_search",
-    "ivf_search",
     "ivf_search_full_probe",
-    "api_search_cosine",
-    "dedup_embedding_cosine_lsh",
+    # evicted to stay within the 50-slot window (each retains an
+    # r2-green driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
+    # lsh_search, ivf_search (rows-only checks), api_search_cosine,
+    # dedup_embedding_cosine_lsh
 ]
 
 

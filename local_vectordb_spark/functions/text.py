@@ -223,3 +223,89 @@ def shingles(text: Column, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams of the normalized text WITH multiplicity (unlike
+    ``shingles``, which dedups) — the unit for repetition scoring.
+    Built as a constant-count zip_with chain over n shifted slices, so
+    the token array is evaluated O(n) times, never per-gram (see the
+    expression-evaluation note in ``winnow_fingerprints``). Documents
+    with fewer than n tokens yield an empty array."""
+    toks = tokens(normalize_text(text))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return grams
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Gopher-style duplicate n-gram fraction: 1 - distinct/total.
+    High values flag boilerplate and degenerate repetition. 0.0 for
+    documents too short to form a gram."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6
+        )
+    )
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher's top-n-gram filter). Computed without a shuffle:
+    sort the gram array, then one aggregate() fold tracks the longest
+    run of equal neighbours — mode frequency of a sorted array."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), acc0, _merge, lambda acc: acc["best"])
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.round(best.cast("double") / total, 6)
+    )
+
+
+# PII patterns (regex-dialect portable: no backreferences, ASCII word
+# boundaries only — identical semantics under Java regex and RE2, so
+# the scrub is oracle-checkable in any SQL engine).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers with typed placeholders. Email first (its local part may
+    contain digits and dots that the other patterns could nibble),
+    then IP, then phone; placeholders contain no digits, so the
+    passes cannot re-match each other's output. Pure codegen'd
+    regexp_replace chain — one scan at any corpus size."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (pre-scrub), for audit aggregates."""
+    return {
+        "emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).cast("long"),
+        "ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).cast("long"),
+        "phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).cast("long"),
+    }

@@ -216,3 +216,126 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("gap_s"), 4).alias("max_gap_s"),
         )
     )
+
+
+@register(
+    "text_repetition_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x != '') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, toks,
+             list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                            s -> s[1] || ' ' || s[2]) AS bigrams
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+           END AS dup_word_frac,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE ROUND(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 6)
+           END AS dup_bigram_frac,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE ROUND((SELECT max(c) FROM (SELECT count(*) AS c
+                             FROM unnest(grams.bigrams) AS u(g) GROUP BY g)) * 1.0
+                           / len(bigrams), 6)
+           END AS top_bigram_frac
+    FROM grams
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters, one codegen'd scan and
+    ZERO shuffles: duplicate-word / duplicate-bigram fraction via
+    array_distinct, and the top-bigram occupancy via a sorted-array
+    run-length fold (mode frequency without exploding grams). The
+    explode→groupBy(doc, gram) formulation would shuffle the full gram
+    stream at 100 TB; per-row array expressions keep repetition scoring
+    embarrassingly parallel."""
+    from local_vectordb_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(T.normalize_text(F.col("text"))).cast("long").alias("n_words"),
+        T.dup_ngram_frac(F.col("text"), 1).alias("dup_word_frac"),
+        T.dup_ngram_frac(F.col("text"), 2).alias("dup_bigram_frac"),
+        T.top_ngram_frac(F.col("text"), 2).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "text_pii_scrub_audit",
+    r"""
+    WITH aug AS (
+      SELECT source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 call +' || CAST(15550100000 + doc_id AS VARCHAR) AS text
+      FROM documents
+    ), scrubbed AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+             len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS ips,
+             len(regexp_extract_all(text, '\+\d{7,15}')) AS phones,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g') AS clean
+      FROM aug
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS emails,
+           CAST(sum(ips) AS BIGINT) AS ips,
+           CAST(sum(phones) AS BIGINT) AS phones,
+           CAST(sum(len(clean)) AS BIGINT) AS scrubbed_chars
+    FROM scrubbed GROUP BY source
+    """,
+)
+def text_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / intl phone numbers) with a
+    per-source audit. The fixture corpus is synthetic and PII-free, so
+    each document is augmented with one deterministic instance of each
+    kind — identically in the oracle — making the scrub regexes and
+    replacement semantics value-checked, not just count-checked
+    (scrubbed_chars hashes the post-replacement lengths). The scrub
+    itself is a 3-deep regexp_replace chain: one codegen'd scan, no
+    Python, no shuffle before the tiny per-source aggregate."""
+    from local_vectordb_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +"),
+            (F.lit(15550100000) + F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    counts = T.pii_counts(F.col("text"))
+    return (
+        aug.select(
+            "source",
+            counts["emails"].alias("emails"),
+            counts["ips"].alias("ips"),
+            counts["phones"].alias("phones"),
+            F.length(T.scrub_pii(F.col("text"))).cast("long").alias("clean_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("emails").alias("emails"),
+            F.sum("ips").alias("ips"),
+            F.sum("phones").alias("phones"),
+            F.sum("clean_len").alias("scrubbed_chars"),
+        )
+    )
