@@ -88,16 +88,16 @@ _PRIORITY = [
     "tpch_q21_waiting_suppliers",
     "text_repetition_stats",
     "text_pii_scrub_audit",
+    "knn_sq8",
+    "stream_dedup_exact",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
-    "knn_graph",
     "knn_graph_blocked",
-    "graph_bfs_2hop",
     "ivf_search_full_probe",
     # evicted to stay within the 50-slot window (each retains an
     # r2-green driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
     # lsh_search, ivf_search (rows-only checks), api_search_cosine,
-    # dedup_embedding_cosine_lsh
+    # dedup_embedding_cosine_lsh, graph_bfs_2hop, knn_graph
 ]
 
 

@@ -34,6 +34,7 @@ HEADLINE = [
     "ivf_search",
     "knn_graph",
     "knn_graph_blocked",
+    "knn_sq8",
     # relational / star schema
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -42,6 +43,7 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q13_order_count_distribution",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
     "window_top_orders_per_customer",
     # event windowing / time-series joins
     "events_tumbling_hour",
@@ -54,6 +56,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_lsh",
     "text_quality",
+    "text_repetition_stats",
     "text_fingerprint_winnow",
     "embed_hashed",
     "sample_hash_10pct",

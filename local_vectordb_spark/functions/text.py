@@ -232,7 +232,11 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     the token array is evaluated O(n) times, never per-gram (see the
     expression-evaluation note in ``winnow_fingerprints``). Documents
     with fewer than n tokens yield an empty array."""
-    toks = tokens(normalize_text(text))
+    return ngrams_of(tokens(normalize_text(text)), n)
+
+
+def ngrams_of(toks: Column, n: int) -> Column:
+    """Word n-grams (with multiplicity) of a pre-computed token array."""
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.slice(toks, 1, m)
     for j in range(1, n):
@@ -244,11 +248,13 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     return grams
 
 
-def dup_ngram_frac(text: Column, n: int = 2) -> Column:
-    """Gopher-style duplicate n-gram fraction: 1 - distinct/total.
-    High values flag boilerplate and degenerate repetition. 0.0 for
-    documents too short to form a gram."""
-    grams = word_ngrams(text, n)
+def dup_frac_of(grams: Column) -> Column:
+    """Duplicate fraction of a PRE-COMPUTED gram array: 1 -
+    distinct/total (0.0 for an empty array). Take the array as a
+    column from a prior select — passing `word_ngrams(text, n)`
+    directly into several metrics re-tokenizes the document once per
+    metric (CollapseProject inlines nothing here; each output column
+    evaluates its whole tree)."""
     total = F.size(grams)
     return F.when(total == 0, F.lit(0.0)).otherwise(
         F.round(
@@ -257,12 +263,11 @@ def dup_ngram_frac(text: Column, n: int = 2) -> Column:
     )
 
 
-def top_ngram_frac(text: Column, n: int = 2) -> Column:
-    """Fraction of n-gram occurrences taken by the single most frequent
-    n-gram (Gopher's top-n-gram filter). Computed without a shuffle:
-    sort the gram array, then one aggregate() fold tracks the longest
-    run of equal neighbours — mode frequency of a sorted array."""
-    grams = word_ngrams(text, n)
+def top_frac_of(grams: Column) -> Column:
+    """Fraction of occurrences taken by the most frequent element of a
+    PRE-COMPUTED gram array. Computed without a shuffle: sort the
+    array, then one aggregate() fold tracks the longest run of equal
+    neighbours — mode frequency of a sorted array."""
     total = F.size(grams)
     acc0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -280,6 +285,21 @@ def top_ngram_frac(text: Column, n: int = 2) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(
         F.round(best.cast("double") / total, 6)
     )
+
+
+def dup_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Gopher-style duplicate n-gram fraction: 1 - distinct/total.
+    High values flag boilerplate and degenerate repetition. 0.0 for
+    documents too short to form a gram. (Single-metric convenience —
+    when computing several metrics per document, build the gram array
+    once in a prior select and use ``dup_frac_of``/``top_frac_of``.)"""
+    return dup_frac_of(word_ngrams(text, n))
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most frequent
+    n-gram (Gopher's top-n-gram filter). See ``top_frac_of``."""
+    return top_frac_of(word_ngrams(text, n))
 
 
 # PII patterns (regex-dialect portable: no backreferences, ASCII word

@@ -55,3 +55,37 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_product(a, b) / denom)
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization (SQ8): 1 byte per dimension, FAISS-style per-vector
+# min/max scaling. Deterministic arithmetic — quantize, reconstruct, and
+# any downstream distance are exactly reproducible in plain SQL, so the
+# quantized search path is oracle-checkable end to end.
+# --------------------------------------------------------------------------
+
+
+def sq8_codes(v: Column, vmin: Column, vmax: Column) -> Column:
+    """Per-dimension uint8 level (stored as INT 0..255) under the
+    vector's own [vmin, vmax] range. Pass vmin/vmax as PRE-COMPUTED
+    columns (array_min/array_max in a prior select) — capturing
+    array_min(v) inside the lambda would re-scan the array per element
+    (see the evaluation note in text.winnow_fingerprints). A constant
+    vector (vmax == vmin) maps to level 0."""
+    span = vmax - vmin
+    return F.transform(
+        _as_double(v),
+        lambda x: F.when(span == 0.0, F.lit(0))
+        .otherwise(F.round((x - vmin) * 255.0 / span, 0))
+        .cast("int"),
+    )
+
+
+def sq8_reconstruct(codes: Column, vmin: Column, vmax: Column) -> Column:
+    """Dequantize level codes back to doubles: vmin + level*span/255.
+    Reconstruction error is bounded by span/510 per dimension (half a
+    quantization step)."""
+    span = vmax - vmin
+    return F.transform(
+        codes, lambda c: vmin + c.cast("double") * span / 255.0
+    )

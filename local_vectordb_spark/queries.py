@@ -1588,6 +1588,70 @@ _register_dedup_components()
 
 
 # --------------------------------------------------------------------------
+# SQ8 scalar-quantized search: 4x smaller vectors (1 byte/dim), search
+# over the reconstructed corpus. Quantization is deterministic per-vector
+# min/max scaling, so the WHOLE quantized path is oracle-matched — the
+# DuckDB twin reproduces quantize + reconstruct + cosine exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_sq8",
+    f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS vmin,
+             list_max(embedding::DOUBLE[]) AS vmax
+      FROM embeddings
+    ), rec AS (
+      SELECT vec_id,
+             CASE WHEN vmax = vmin THEN list_transform(v, x -> vmin)
+                  ELSE list_transform(v, x ->
+                         vmin + round((x - vmin) * 255.0 / (vmax - vmin))
+                                * (vmax - vmin) / 255.0)
+             END AS rv
+      FROM base
+    )
+    SELECT vec_id, ROUND(list_cosine_similarity(rec.rv, q.qv), 6) AS score
+    FROM rec, q
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {K}
+    """,
+)
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the SQ8-RECONSTRUCTED corpus
+    (asymmetric search: the query vector stays full-precision, the
+    corpus is 1 byte/dim — the standard memory/recall trade FAISS
+    calls SQ8). vmin/vmax are computed once per row in a prior select
+    so the quantize lambda never rescans the array; everything stays
+    a JVM expression scan feeding the same TakeOrderedAndProject as
+    knn_brute_force. At 100 TB the codes (plus two doubles) are what
+    you'd persist, cutting the scan to ~1/4 of the float32 bytes."""
+    from local_vectordb_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("vmin"),
+        F.array_max("v").alias("vmax"),
+    )
+    rec = base.select(
+        "vec_id",
+        V.sq8_reconstruct(
+            V.sq8_codes(F.col("v"), F.col("vmin"), F.col("vmax")),
+            F.col("vmin"),
+            F.col("vmax"),
+        ).alias("embedding"),
+    )
+    return knn.knn_brute_force(rec, _query_vecs(sf_dir)[0][1], k=K)
+
+
+# --------------------------------------------------------------------------
 # Extended relational coverage registers itself on import (must stay at
 # the bottom: queries_relational imports `register` from this module).
 # --------------------------------------------------------------------------

@@ -259,12 +259,21 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_vectordb_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # Staged projections: tokenize once, build bigrams once, THEN score.
+    # Feeding text straight into all four metrics would re-tokenize the
+    # document per metric — CollapseProject keeps expensive multiply-
+    # referenced aliases as separate project stages, so toks/bigrams are
+    # materialized once per row here.
+    toks = docs.select(
+        "doc_id", T.tokens(T.normalize_text(F.col("text"))).alias("toks")
+    )
+    grams = toks.select("doc_id", "toks", T.ngrams_of(F.col("toks"), 2).alias("bigrams"))
+    return grams.select(
         "doc_id",
-        T.token_count(T.normalize_text(F.col("text"))).cast("long").alias("n_words"),
-        T.dup_ngram_frac(F.col("text"), 1).alias("dup_word_frac"),
-        T.dup_ngram_frac(F.col("text"), 2).alias("dup_bigram_frac"),
-        T.top_ngram_frac(F.col("text"), 2).alias("top_bigram_frac"),
+        F.size("toks").cast("long").alias("n_words"),
+        T.dup_frac_of(F.col("toks")).alias("dup_word_frac"),
+        T.dup_frac_of(F.col("bigrams")).alias("dup_bigram_frac"),
+        T.top_frac_of(F.col("bigrams")).alias("top_bigram_frac"),
     )
 
 

@@ -130,3 +130,39 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "stream_dedup_exact",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup ON INGEST: the staged stream carries every 7th event
+    DUPLICATED; dropDuplicatesWithinWatermark(event_id) must collapse
+    the feed back to exactly the original event set, so the per-type
+    totals hash-match the plain batch aggregate over undoctored events.
+    Duplicates share their original's timestamp, hence always arrive
+    inside the watermark horizon; state holds one key per event in the
+    horizon and is evicted as the watermark advances — the bounded-state
+    ingestion dedup you'd run in front of a 100 TB corpus build."""
+    src = _staged_events(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    dup_dir = os.path.join(tempfile.gettempdir(), f"lvdb_stream_{tag}", "events_dup")
+    if not os.path.exists(os.path.join(dup_dir, "_SUCCESS")):
+        ev = spark.read.parquet(src)
+        ev.unionByName(ev.filter(F.col("event_id") % 7 == 0)).repartition(
+            8
+        ).write.mode("overwrite").parquet(dup_dir)
+    stream = st.read_events_stream(spark, dup_dir)
+    deduped = st.stream_dedup(stream, keys=("event_id",))
+    out = st.run_available_now(deduped, "q_stream_dedup", output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

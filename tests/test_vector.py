@@ -50,3 +50,51 @@ def test_cosine_matches_math(spark):
         math.sqrt(14) * math.sqrt(16 + 25 + 0.25)
     )
     assert _one(spark, cosine_similarity, a, b) == pytest.approx(expect)
+
+
+# ---------------------------------------------------------------- SQ8
+
+
+def _sq8_roundtrip(spark, vec):
+    from local_vectordb_spark.functions import vector as V
+
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    base = df.select(
+        "v", F.array_min("v").alias("vmin"), F.array_max("v").alias("vmax")
+    )
+    row = base.select(
+        V.sq8_codes(F.col("v"), F.col("vmin"), F.col("vmax")).alias("codes"),
+        V.sq8_reconstruct(
+            V.sq8_codes(F.col("v"), F.col("vmin"), F.col("vmax")),
+            F.col("vmin"),
+            F.col("vmax"),
+        ).alias("rv"),
+    ).first()
+    return row.codes, row.rv
+
+
+def test_sq8_codes_in_byte_range_and_extremes_exact(spark):
+    vec = [-1.0, -0.25, 0.0, 0.6, 1.0]
+    codes, rv = _sq8_roundtrip(spark, vec)
+    assert all(0 <= c <= 255 for c in codes)
+    assert codes[0] == 0 and codes[-1] == 255
+    # range endpoints reconstruct exactly
+    assert rv[0] == pytest.approx(-1.0) and rv[-1] == pytest.approx(1.0)
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    import random
+
+    rng = random.Random(7)
+    vec = [rng.uniform(-2, 3) for _ in range(64)]
+    codes, rv = _sq8_roundtrip(spark, vec)
+    span = max(vec) - min(vec)
+    step = span / 255.0
+    for x, r in zip(vec, rv):
+        assert abs(x - r) <= step / 2 + 1e-12
+
+
+def test_sq8_constant_vector(spark):
+    codes, rv = _sq8_roundtrip(spark, [0.5, 0.5, 0.5])
+    assert codes == [0, 0, 0]
+    assert rv == pytest.approx([0.5, 0.5, 0.5])
