@@ -963,15 +963,14 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late supplier on a multi-supplier finished order.
 
     The oracle states it with the classic EXISTS / NOT EXISTS pair of
-    correlated self-joins; here both are re-expressed as ONE per-order
-    aggregate — n_supp = countDistinct(suppkey), n_late_supp =
-    countDistinct(suppkey) over late rows — joined back to the late
-    lineitems. EXISTS(other supplier) == n_supp > 1 and NOT EXISTS
-    (other LATE supplier) == n_late_supp = 1 (the late row's own
-    supplier). That turns two extra shuffles of the fact table into a
-    single reused groupBy on l_orderkey, and the oracle match proves
-    the rewrite exact. Supplier is broadcast; the final top-10 is a
+    correlated self-joins; here both collapse into per-order distinct-
+    supplier counts — EXISTS(other supplier) == n_supp > 1 and NOT
+    EXISTS(other LATE supplier) == n_late_supp = 1 (the late row's own
+    supplier) — and the oracle match proves the rewrite exact.
+    Supplier is broadcast; the final top-10 is a
     TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -984,16 +983,25 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Per-order supplier counts as WINDOW aggregates over the same
+    # l_orderkey partitioning — one shuffle, ONE scan of the fact join
+    # (a groupBy twin would re-scan lineitem+orders to build the
+    # per-order frame and join it back). collect_set per order is
+    # bounded by suppliers-per-order (single digits), not order size.
+    w = Window.partitionBy("l_orderkey")
+    annotated = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     return (
-        li.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        annotated.filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
