@@ -90,14 +90,15 @@ _PRIORITY = [
     "text_pii_scrub_audit",
     "knn_sq8",
     "stream_dedup_exact",
+    "events_partition_pruned_scan",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
-    "knn_graph_blocked",
     "ivf_search_full_probe",
     # evicted to stay within the 50-slot window (each retains an
     # r2-green driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
     # lsh_search, ivf_search (rows-only checks), api_search_cosine,
-    # dedup_embedding_cosine_lsh, graph_bfs_2hop, knn_graph
+    # dedup_embedding_cosine_lsh, graph_bfs_2hop, knn_graph,
+    # knn_graph_blocked
 ]
 
 

@@ -348,3 +348,43 @@ def text_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("clean_len").alias("scrubbed_chars"),
         )
     )
+
+
+@register(
+    "events_partition_pruned_scan",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click totals read from a hive-partitioned copy of events
+    (partitioned by event_type): the event_type predicate prunes whole
+    partition DIRECTORIES at planning time — PartitionFilters, not just
+    row-group pushdown — so the scan never opens the other types'
+    files. This is the layout tier a 100 TB events table runs on; the
+    oracle computes the same aggregate from the unpartitioned table,
+    proving layout changes nothing about results."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.sources import partitioned as P
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "events_by_type")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        P.write_partitioned(
+            load_table(spark, sf_dir, "events"), out, ["event_type"]
+        )
+    ev = P.read_partitioned(spark, out).filter(F.col("event_type") == "click")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -10,6 +10,7 @@ import uuid
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from local_vectordb_spark import sources
 
@@ -86,3 +87,67 @@ def test_snapshot_to_parquet(spark, ref_dir, tmp_path):
 def test_unknown_kind_raises(spark, ref_dir):
     with pytest.raises(ValueError):
         sources.read_collection(spark, str(ref_dir), "nope")
+
+
+# ---------------------------------------------------------------- layout
+
+
+def _events_df(spark):
+    from local_vectordb_spark.session import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    from local_vectordb_spark.sources import partitioned as P
+
+    path = str(tmp_path / "events_by_type")
+    ev = _events_df(spark)
+    P.write_partitioned(ev, path, ["event_type"])
+
+    back = P.read_partitioned(spark, path)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
+
+    # a partition-column filter must prune directories at planning time
+    clicks = back.filter(F.col("event_type") == "click")
+    plan = clicks._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # (inputFiles() lists the whole relation pre-pruning, so file-level
+    # verification goes through the plan's PartitionFilters above)
+    assert clicks.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_partition_file_counts(spark, tmp_path):
+    from local_vectordb_spark.sources import partitioned as P
+
+    path = str(tmp_path / "ev")
+    P.write_partitioned(_events_df(spark).repartition(4), path, ["event_type"])
+    counts = P.partition_file_counts(spark, path)
+    assert set(counts) == {
+        f"event_type={r.event_type}"
+        for r in _events_df(spark).select("event_type").distinct().collect()
+    }
+    assert all(v >= 1 for v in counts.values())
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    from local_vectordb_spark.sources import partitioned as P
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    ev = _events_df(spark)
+    # fragmented layout: many small files per partition
+    P.write_partitioned(ev.repartition(16), src, ["event_type"])
+    n_before = len(P.read_partitioned(spark, src).inputFiles())
+
+    P.compact(spark, src, out, ["event_type"], target_file_bytes=256 * 1024 * 1024)
+    compacted = P.read_partitioned(spark, out)
+    n_after = len(compacted.inputFiles())
+    assert n_after < n_before
+    # identical content, orderless
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, compacted.select(*ev.columns).collect()))
+    assert a == b
