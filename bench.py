@@ -35,6 +35,8 @@ HEADLINE = [
     "knn_graph",
     "knn_graph_blocked",
     "knn_sq8",
+    "fts_bm25",
+    "hybrid_rrf",
     # relational / star schema
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

@@ -1652,6 +1652,120 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full-text BM25 + hybrid lexical/vector search (RRF fusion). Both are
+# deterministic count arithmetic, so the WHOLE hybrid retrieval path is
+# oracle-matched — rare for a search engine.
+# --------------------------------------------------------------------------
+
+_FTS_TERMS = ["hash", "join", "merge"]
+_BM25_CTES = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT toks.doc_id, u.term
+      FROM toks, unnest(toks.t) AS u(term)
+      WHERE u.term IN ('hash', 'join', 'merge')
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS contrib
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    bm25 AS (
+      SELECT doc_id, ROUND(sum(contrib), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "fts_bm25",
+    f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm25
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query 'hash join merge'. Document
+    lengths come from size(tokens(...)) with NO explode; only tokens
+    matching a query term are exploded and shuffled (map-side filter),
+    and df/corpus stats broadcast back — at 100 TB the shuffled stream
+    is a few rows per matching doc, not the token stream."""
+    from local_vectordb_spark.operators import fulltext as FT
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        FT.bm25_scores(docs, _FTS_TERMS)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf",
+    f"""
+    WITH {_BM25_CTES},
+    bm25_top AS (
+      SELECT doc_id FROM bm25 ORDER BY bm25 DESC, doc_id ASC LIMIT 100
+    ),
+    bm25_ranked AS (
+      SELECT b.doc_id,
+             row_number() OVER (ORDER BY b.bm25 DESC, b.doc_id ASC) AS rank_a
+      FROM bm25 b JOIN bm25_top USING (doc_id)
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS score
+      FROM embeddings, q
+    ),
+    cos_top AS (SELECT doc_id FROM cos ORDER BY score DESC, doc_id ASC LIMIT 100),
+    cos_ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (ORDER BY c.score DESC, c.doc_id ASC) AS rank_b
+      FROM cos c JOIN cos_top USING (doc_id)
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(1.0 / (60 + rank_a), 0) + COALESCE(1.0 / (60 + rank_b), 0), 6) AS rrf
+    FROM bm25_ranked FULL OUTER JOIN cos_ranked USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 ('hash join merge') and cosine-vs-query-0
+    candidate lists (top-100 each, TakeOrderedAndProject) fused by
+    reciprocal-rank fusion 1/(60+rank). Fusion joins two ≤100-row
+    frames — the full corpora are never globally ranked. The lexical
+    side, the vector side, and the fusion all hash-match the oracle."""
+    from local_vectordb_spark.operators import fulltext as FT
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    rb = FT.ranked_top(FT.bm25_scores(docs, _FTS_TERMS), "bm25", "doc_id", 100)
+    cos = knn.knn_brute_force(emb, _query_vecs(sf_dir)[0][1], k=100).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    rc = FT.ranked_top(cos, "score", "doc_id", 100)
+    return (
+        FT.rrf_fuse(rb, rc)
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # Extended relational coverage registers itself on import (must stay at
 # the bottom: queries_relational imports `register` from this module).
 # --------------------------------------------------------------------------
