@@ -42,7 +42,6 @@ _PRIORITY = [
     # (a) never driver-checked before r3 — pipeline tail + all of
     # queries_relational / queries_training / queries_streaming
     "skew_salted_event_counts",
-    "text_bpe_token_stats",
     "events_interarrival",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
@@ -92,13 +91,15 @@ _PRIORITY = [
     "events_partition_pruned_scan",
     "fts_bm25",
     "hybrid_rrf",
+    "knn_mmr_diversified",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
     # evicted to stay within the 50-slot window (each retains an r1/r2
     # driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
     # lsh_search, ivf_search, sketch_distinct_users_daily (rows-only
     # checks), api_search_cosine, dedup_embedding_cosine_lsh,
-    # graph_bfs_2hop, knn_graph, knn_graph_blocked, ivf_search_full_probe
+    # graph_bfs_2hop, knn_graph, knn_graph_blocked,
+    # ivf_search_full_probe, text_bpe_token_stats (r1-green)
 ]
 
 

@@ -37,6 +37,7 @@ HEADLINE = [
     "knn_sq8",
     "fts_bm25",
     "hybrid_rrf",
+    "knn_mmr_diversified",
     # relational / star schema
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

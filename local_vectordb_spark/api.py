@@ -51,7 +51,7 @@ from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
-INDEX_TYPES = ("cosine", "ivf", "nsw")
+INDEX_TYPES = ("cosine", "ivf", "nsw", "hybrid")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -343,30 +343,62 @@ class VectorDB:
         k: int = 5,
         metadata: dict | None = None,
         query_vec: list[float] | None = None,
+        diversify: str | None = None,
     ) -> DataFrame:
         """kNN over chunks: embed the query (or take `query_vec`
         directly, skipping the embedder), route to the strategy,
         hydrate content. Returns (id, score, content) — the
-        FullSearchResult shape (src/models/search.py:17-31)."""
+        FullSearchResult shape (src/models/search.py:17-31).
+
+        index_type="hybrid" fuses BM25 over chunk content with the
+        cosine ranking by reciprocal-rank fusion (requires query TEXT
+        for the lexical side; score column is the RRF score).
+        diversify="mmr" re-ranks a 5k-deep candidate tier by maximal
+        marginal relevance (score column is the MMR score)."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
+        if diversify not in (None, "mmr"):
+            raise ValueError(f"unknown diversify {diversify!r}; only 'mmr'")
         if query_vec is None and query is None:
             raise ValueError("provide query text or query_vec")
+        if index_type == "hybrid" and query is None:
+            raise ValueError("hybrid search needs query text for the BM25 side")
         qvec = (
             [float(x) for x in query_vec]
             if query_vec is not None
             else self._embed_query(query)
         )
         chunks = self._chunks_for_search(metadata)
+        fetch = max(5 * k, 50) if diversify else k
 
-        if index_type == "cosine":
-            scored = knn.knn_brute_force(chunks, qvec, k=k, id_col="id")
+        if index_type == "hybrid":
+            from local_vectordb_spark.functions.text import tokens, normalize_text
+            from local_vectordb_spark.operators import fulltext as FT
+
+            terms_row = self.spark.createDataFrame([(query,)], "t string").select(
+                tokens(normalize_text(F.col("t"))).alias("terms")
+            ).first()
+            bm25 = FT.bm25_scores(
+                chunks, list(dict.fromkeys(terms_row.terms)),
+                text_col="content", id_col="id",
+            )
+            rb = FT.ranked_top(bm25, "bm25", "id", max(100, fetch))
+            cos = knn.knn_brute_force(chunks, qvec, k=max(100, fetch), id_col="id")
+            rc = FT.ranked_top(cos, "score", "id", max(100, fetch))
+            scored = (
+                FT.rrf_fuse(rb, rc, id_col="id")
+                .withColumnRenamed("rrf", "score")
+                .orderBy(F.desc("score"), F.asc("id"))
+                .limit(fetch)
+            )
+        elif index_type == "cosine":
+            scored = knn.knn_brute_force(chunks, qvec, k=fetch, id_col="id")
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search(
-                chunks, assignments, centroids, qvec, k=k, id_col="id"
+                chunks, assignments, centroids, qvec, k=fetch, id_col="id"
             )
         else:  # nsw -> LSH strategy swap (SURVEY §4: traversal is
             # sequential/driver-bound; LSH gives the same capability).
@@ -374,9 +406,23 @@ class VectorDB:
             # survivors by cosine so all strategies share score units.
             from local_vectordb_spark.operators.ann import lsh_search
 
-            cand_ids = lsh_search(chunks, qvec, k=k, id_col="id").select("id")
+            cand_ids = lsh_search(chunks, qvec, k=fetch, id_col="id").select("id")
             candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
-            scored = knn.knn_brute_force(candidates, qvec, k=k, id_col="id")
+            scored = knn.knn_brute_force(candidates, qvec, k=fetch, id_col="id")
+
+        if diversify == "mmr":
+            from local_vectordb_spark.operators import rerank
+
+            cand = F.broadcast(scored).join(
+                self._chunks_for_search(None).select("id", "embedding"), "id"
+            )
+            scored = (
+                rerank.mmr_rerank(
+                    cand, k=k, id_col="id", vec_col="embedding", rel_col="score"
+                )
+                .withColumnRenamed("mmr_score", "score")
+                .drop("mmr_rank")
+            )
         return knn.hydrate(
             scored, self.table("chunks"), id_col="id",
             record_id_col="id", content_col="content",

@@ -1652,6 +1652,69 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MMR diversified re-ranking: distributed recall tier (brute-force
+# top-50) -> bounded greedy rerank in one Arrow batch. The rounding +
+# tie-break contract in operators/rerank.py makes the sequential greedy
+# selection itself oracle-checkable via a recursive CTE.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_mmr_diversified",
+    """
+    WITH RECURSIVE
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS rel
+      FROM embeddings, q
+      ORDER BY rel DESC, vec_id ASC LIMIT 50
+    ),
+    pair AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+      FROM cand a, cand b
+    ),
+    sel AS (
+      SELECT 1 AS step, [t.vec_id] AS picked, t.vec_id AS pick,
+             ROUND(0.7 * t.rel, 6) AS mmr_score
+      FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1) t
+      UNION ALL
+      SELECT sel.step + 1, list_append(sel.picked, nxt.vec_id), nxt.vec_id, nxt.ms
+      FROM sel, LATERAL (
+        SELECT c.vec_id,
+               ROUND(0.7 * c.rel - 0.3 * (SELECT max(p.s) FROM pair p
+                                          WHERE p.ai = c.vec_id
+                                            AND list_contains(sel.picked, p.bi)), 6) AS ms
+        FROM cand c
+        WHERE NOT list_contains(sel.picked, c.vec_id)
+        ORDER BY ms DESC, c.vec_id ASC
+        LIMIT 1
+      ) nxt
+      WHERE sel.step < 10
+    )
+    SELECT pick AS vec_id, CAST(step AS INT) AS mmr_rank, mmr_score
+    FROM sel
+    """,
+)
+def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 from a brute-force top-50 candidate
+    tier: distributed recall (one corpus scan, TakeOrderedAndProject),
+    then the greedy relevance-vs-redundancy selection runs in a single
+    Arrow batch over the 50 candidates. The oracle replays the exact
+    selection sequence with a recursive CTE — possible because every
+    score is rounded to 6 dp and ties break by id at each step."""
+    from local_vectordb_spark.operators import rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = knn.knn_brute_force(emb, _query_vecs(sf_dir)[0][1], k=50)
+    cand = F.broadcast(topk).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return rerank.mmr_rerank(cand, k=10)
+
+
+# --------------------------------------------------------------------------
 # Full-text BM25 + hybrid lexical/vector search (RRF fusion). Both are
 # deterministic count arithmetic, so the WHOLE hybrid retrieval path is
 # oracle-matched — rare for a search engine.

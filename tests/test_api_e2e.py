@@ -113,6 +113,40 @@ def test_unknown_index_raises(db):
         d.search("anything", index_type="hnsw")
 
 
+def test_hybrid_search_finds_exact_match(db):
+    """RRF fusion: the chunk equal to the query ranks first on BOTH the
+    BM25 and cosine sides, so it must top the fused list (the rrf score
+    itself is ~1/61+1/61, not ~1.0)."""
+    d, *_ = db
+    hits = d.search(QUESTIONS[0], index_type="hybrid", k=3).collect()
+    assert len(hits) == 3
+    top = max(hits, key=lambda r: r.score)
+    assert top.content == QUESTIONS[0]
+    assert top.score == pytest.approx(2 / 61, abs=1e-4)
+
+
+def test_hybrid_requires_query_text(db):
+    d, *_ = db
+    with pytest.raises(ValueError, match="BM25"):
+        d.search(query_vec=[0.1] * 16, index_type="hybrid")
+
+
+def test_mmr_diversify_keeps_exact_match_first(db):
+    d, *_ = db
+    hits = d.search(QUESTIONS[0], diversify="mmr", k=3).collect()
+    assert len(hits) == 3
+    top = max(hits, key=lambda r: r.score)
+    assert top.content == QUESTIONS[0]
+    # first MMR pick scores lam * rel = 0.7 * ~1.0
+    assert top.score == pytest.approx(0.7, abs=1e-4)
+
+
+def test_unknown_diversify_raises(db):
+    d, *_ = db
+    with pytest.raises(ValueError, match="diversify"):
+        d.search("anything", diversify="dpp")
+
+
 def test_metadata_filter_restricts_results(db):
     d, *_ = db
     hits = d.search(QUESTIONS[0], k=10, metadata={"row": "4"}).collect()
