@@ -92,6 +92,7 @@ _PRIORITY = [
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",
+    "dedup_minhash_lsh_md5",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
     # evicted to stay within the 50-slot window (each retains an r1/r2

@@ -187,15 +187,23 @@ def minhash_lsh_dupes(
     banded = sigs.select(
         F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
     )
-    # Bucket-local pair generation: group by (band, band_hash) and emit
-    # pairs within each bucket. One shuffle, and signatures are computed
-    # ONCE — a banded self-join would shuffle the posting list twice and
-    # re-run the whole signature pipeline for each join side. Buckets
-    # are sorted so pairs come out a_id < b_id; the aggregate output is
-    # a materialization barrier, so the pair lambdas reference a plain
-    # attribute (no per-element re-evaluation). Pathologically hot
-    # buckets (e.g. millions of empty docs sharing a band) are the skew
-    # risk at scale — cap them with a pre-filter if the corpus has them.
+    return _bucket_pairs(banded, id_col, num_hashes, threshold)
+
+
+def _bucket_pairs(
+    banded: DataFrame, id_col: str, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Bucket-local pair generation shared by the xxhash64 and portable
+    MinHash variants: group by (band, band_hash) and emit pairs within
+    each bucket. One shuffle, and signatures are computed ONCE — a
+    banded self-join would shuffle the posting list twice and re-run
+    the whole signature pipeline for each join side. Buckets are sorted
+    so pairs come out a_id < b_id; the aggregate output is a
+    materialization barrier, so the pair lambdas reference a plain
+    attribute (no per-element re-evaluation). Pathologically hot
+    buckets (e.g. millions of empty docs sharing a band) are the skew
+    risk at scale — cap them with a pre-filter if the corpus has them.
+    """
     buckets = (
         banded.groupBy("band", "bh")
         .agg(
@@ -236,6 +244,65 @@ def minhash_lsh_dupes(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def minhash_lsh_dupes_portable(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH with an ENGINE-PORTABLE hash family: hash_i(shingle)
+    = md5(shingle || '#' || i) compared as lowercase hex strings (the
+    lexicographic min over hex is just as valid a random permutation
+    proxy as a numeric min). Identical strings hash identically in any
+    engine with md5, so — unlike the xxhash64 production variant, whose
+    driver check is rows-only — signatures, band keys, candidate pairs,
+    and Jaccard estimates here are all value-reproducible in plain SQL
+    and the whole pipeline is oracle-matched. Same plan shape as
+    `minhash_lsh_dupes` (one-pass signatures, bucket groupBy, never a
+    cross join); md5 costs more per shingle than xxhash64, which is why
+    the production path keeps xxhash64.
+    """
+    from local_vectordb_spark.session import ensure_min_parallelism
+
+    rows_per_band = num_hashes // bands
+    sets_df = shingle_sets(
+        ensure_min_parallelism(docs), id_col, text_col, n
+    )
+    # '~' sorts after every hex digit, so it is the string-domain +inf
+    init = F.array(*[F.lit("~") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        F.col("shingles"),
+        init,
+        lambda acc, s: F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    F.md5(F.concat(s, F.lit(f"#{i}"))),
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    sigs = sets_df.select(F.col(id_col), sig.alias("sig"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
+    )
+    return _bucket_pairs(banded, id_col, num_hashes, threshold)
 
 
 def connected_components(

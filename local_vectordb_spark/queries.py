@@ -1012,6 +1012,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_MD5_SIG_SQL = ", ".join(
+    f"list_min(list_transform(s, x -> md5(x || '#{i}')))" for i in range(16)
+)
+
+
+@register(
+    "dedup_minhash_lsh_md5",
+    rf"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, [{_MINHASH_MD5_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS asig, b.sig AS bsig
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT DISTINCT a_id, b_id,
+             ROUND(len(list_filter(list_zip(asig, bsig), z -> z[1] = z[2])) * 1.0 / 16, 6) AS est_jaccard
+      FROM pairs
+    )
+    SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable md5 hash family — the SAME
+    banding pipeline as dedup_minhash_lsh, but every signature value,
+    band key, candidate pair, and Jaccard estimate is value-reproduced
+    by the oracle (minima over md5 hex strings are engine-independent,
+    and n_agree/16 is an exact binary fraction, so even the rounding
+    cannot drift). This closes the exactness gap the xxhash64
+    production variant's rows-only check leaves open."""
+    return dedup.minhash_lsh_dupes_portable(
+        _docs_with_near_dupes(spark, sf_dir), threshold=0.5
+    )
+
+
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidates (rows-only, same reason)."""

@@ -49,6 +49,16 @@ def test_minhash_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_minhash_portable_estimates_jaccard(spark):
+    near = BASE.split(" ", 1)[1]
+    docs = _docs(spark, [(1, BASE), (2, near), (3, "xx yy zz aa bb cc dd ee")])
+    exact = dedup.ngram_jaccard_dupes(docs, threshold=0.0).collect()[0]["jaccard"]
+    rows = dedup.minhash_lsh_dupes_portable(docs, threshold=0.0).collect()
+    # the unrelated doc shares no shingles, so only the planted pair
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert abs(rows[0]["est_jaccard"] - exact) <= 0.3
+
+
 def test_simhash_identical_text_hamming_zero(spark):
     docs = _docs(spark, [(1, BASE), (2, BASE), (3, "other words entirely now")])
     out = dedup.simhash_dupes(docs, max_hamming=0).collect()
