@@ -78,7 +78,6 @@ _PRIORITY = [
     "ivf_add_remove_roundtrip",
     "graph_add_remove",
     "stream_sliding_window",
-    "ivf_batch_search",
     "ivf_batch_search_full_probe",
     "api_search_batch_cosine",
     "tpch_q4_priority_late_orders",
@@ -95,6 +94,10 @@ _PRIORITY = [
     "dedup_minhash_lsh_md5",
     # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
     # bucket length, asof _rid, versioned-commit guard, codec probe)
+    # ivf_batch_search is evicted in favor of dedup_minhash_lsh_md5: its
+    # driver check would be rows-only while its oracle-matched twin
+    # ivf_batch_search_full_probe stays in-window; it keeps a
+    # VERIFY_LOCAL_r3 rows-only pass.
     # evicted to stay within the 50-slot window (each retains an r1/r2
     # driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
     # lsh_search, ivf_search, sketch_distinct_users_daily (rows-only
