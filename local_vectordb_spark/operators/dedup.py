@@ -408,9 +408,22 @@ def simhash_dupes(
     cross join. Output: (a_id, b_id, hamming).
     """
     sigs = simhash_signatures(docs, id_col, text_col)
+    return _simhash_band_pairs(sigs, max_hamming, id_col, bits_per_band=16)
+
+
+def _simhash_band_pairs(
+    sigs: DataFrame, max_hamming: int, id_col: str, bits_per_band: int
+) -> DataFrame:
+    """Banded candidate join shared by the xxhash64 and portable-md5
+    SimHash variants: split the signature into 4 keys of
+    `bits_per_band` bits (pigeonhole: ≤3 differing bits ⇒ at least one
+    of 4 bands identical), equi-join per band, then verify Hamming."""
+    mask = (1 << bits_per_band) - 1
     bands = F.array(
         *[
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), bits_per_band * i).bitwiseAND(
+                F.lit(mask)
+            )
             for i in range(4)
         ]
     )
@@ -435,6 +448,55 @@ def simhash_dupes(
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_signatures_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash with an ENGINE-PORTABLE hash family: the token
+    hash is the first 15 hex chars of md5(token) read as an integer
+    (60 bits < 2^63, so `conv(..., 16, 10)` is exact in Spark and
+    `('0x' || hex)::BIGINT` is exact in any engine with 64-bit ints).
+    Same vote rule as `simhash_signatures`; unlike xxhash64, every
+    signature bit is value-reproducible in plain SQL, so the whole
+    near-dup pipeline can be oracle-checked, not just row-counted.
+    Output: (id, simhash BIGINT).
+    """
+    from local_vectordb_spark.functions.text import normalize_text, tokens
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+    def vote(j):
+        return lambda acc, h: acc + (
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+        ).cast("int")
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(60)]
+    sim = None
+    for j, v in enumerate(bit_votes):
+        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_dupes_portable(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`simhash_dupes` over the portable md5 hash family: identical
+    plan shape (4 pigeonhole band equi-joins over 15-bit keys, Hamming
+    verification, dropDuplicates), but signatures — and therefore
+    candidate pairs and Hamming distances — are bit-identical across
+    engines. Output: (a_id, b_id, hamming)."""
+    sigs = simhash_signatures_portable(docs, id_col, text_col)
+    return _simhash_band_pairs(sigs, max_hamming, id_col, bits_per_band=15)
 
 
 def embedding_near_dupes(

@@ -1072,6 +1072,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_md5",
+    rf"""
+    WITH all_docs AS ({_EXACT_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60),
+               j -> CASE WHEN 2 * len(list_filter(hs, v -> (v >> j) & 1 = 1)) > len(hs)
+                         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+      FROM h
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (15 * b.band)::INT) & 32767 AS key
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over the engine-portable md5 hash family: token hashes
+    are the first 60 bits of md5, so every signature bit — and hence
+    every candidate pair and Hamming distance — is value-reproduced by
+    the oracle, closing the rows-only gap of the xxhash64 production
+    variant the same way dedup_minhash_lsh_md5 does for MinHash."""
+    return dedup.simhash_dupes_portable(
+        _docs_with_exact_dupes(spark, sf_dir)
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH all_v AS (

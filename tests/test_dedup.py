@@ -65,6 +65,15 @@ def test_simhash_identical_text_hamming_zero(spark):
     assert [(r["a_id"], r["b_id"], r["hamming"]) for r in out] == [(1, 2, 0)]
 
 
+def test_simhash_portable_identical_text_hamming_zero(spark):
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, "other words entirely now")])
+    out = dedup.simhash_dupes_portable(docs, max_hamming=0).collect()
+    assert [(r["a_id"], r["b_id"], r["hamming"]) for r in out] == [(1, 2, 0)]
+    # signatures stay within 60 bits (portable across BIGINT engines)
+    sigs = dedup.simhash_signatures_portable(docs).collect()
+    assert all(0 <= r["simhash"] < (1 << 60) for r in sigs)
+
+
 def test_embedding_near_dupes_both_paths_agree(spark):
     vecs = spark.createDataFrame(
         [
