@@ -32,78 +32,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 3 front-loads (a) the 35 queries that had
-# never received a driver correctness row by r2 (the driver's r2 window
-# was exactly the first 50 of the old order), (b) this round's new
-# queries, and (c) every query whose code path changed this round. The
-# remaining (all green in r1/r2 and unchanged) entries follow; their
-# local re-verification is committed as VERIFY_LOCAL_r3.txt.
+# in registration order. Round 4 front-loads (a) the 6 queries committed
+# after the r3 VERIFY_LOCAL refresh (judge-verified 6/6 locally but with
+# no committed driver row — VERDICT r3 item #1), (b) every query added in
+# r4, and (c) queries whose code path was touched in r4 (dedup skew caps,
+# IVF pruning, BFS generalization). Remaining slots are filled with
+# r3-green queries whose modules were touched. Everything outside the
+# window is re-verified locally as VERIFY_LOCAL_r4.txt (last commit of
+# the round).
 _PRIORITY = [
-    # (a) never driver-checked before r3 — pipeline tail + all of
-    # queries_relational / queries_training / queries_streaming
-    "skew_salted_event_counts",
-    "events_interarrival",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "semi_join_deep_discount_orders",
-    "anti_join_never_bulk_ordered_parts",
-    "setops_wealthy_nations",
-    "grouping_sets_flag_status",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "scalar_subquery_premium_parts",
-    "pivot_status_by_priority",
-    "string_funcs_parts",
-    "date_funcs_monthly_revenue",
-    "numeric_stats_lineitem",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q13_order_count_distribution",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_rich_customers",
-    "window_running_totals",
-    "stream_tumbling_hour",
-    "stream_sessionize",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_train_val_test",
-    "pack_token_budget",
-    "text_scrub_denylist",
-    "decontam_ngram_overlap",
-    "tpch_q15_top_supplier",
-    "events_asof_last_view",
-    "events_band_clicks_near_errors",
-    # (b) new in r3
-    "ivf_add_remove_roundtrip",
-    "graph_add_remove",
-    "stream_sliding_window",
-    "ivf_batch_search_full_probe",
-    "api_search_batch_cosine",
-    "tpch_q4_priority_late_orders",
-    "tpch_q12_latency_priority",
-    "tpch_q21_waiting_suppliers",
-    "text_repetition_stats",
-    "text_pii_scrub_audit",
-    "knn_sq8",
-    "stream_dedup_exact",
-    "events_partition_pruned_scan",
-    "fts_bm25",
-    "hybrid_rrf",
-    "knn_mmr_diversified",
+    # (a) committed after the r3 evidence refresh — needs driver rows
+    "dedup_simhash_md5",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_promotion_suppliers",
+    # (b) new in r4 (names appended here as they land)
+    "embed_hashed_md5",
+    "ivf_search_pruned",
+    "graph_bfs_reachable",
+    "stream_then_ivf_search",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_bucket_stats",
+    "knn_batch_large",
+    "docs_window_quality_rank",
+    "events_session_funnel",
+    "tpch_q1_variant_pricing_summary",
+    "dedup_exact_url",
+    "text_langid_ngram",
+    "docs_quality_quantiles",
+    "events_retention_cohorts",
+    "embed_norm_stats",
+    "docs_field_extract_json",
+    "events_approx_quantiles_exact_twin",
+    "part_rollup_cube",
+    "orders_percentile_by_priority",
+    "docs_dedup_family_sizes",
+    "events_lag_lead_gaps",
+    "supplier_balance_ntile",
+    "docs_zipf_token_freq",
+    "events_error_burst_windows",
+    # (c) code paths touched in r4: dedup caps (ngram/bucket), IVF
+    # (pruned layout), graph BFS, api search_batch bound
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh_md5",
-    # (c) code paths touched in r3 (vectorized graph top-k, derived LSH
-    # bucket length, asof _rid, versioned-commit guard, codec probe)
-    # ivf_batch_search is evicted in favor of dedup_minhash_lsh_md5: its
-    # driver check would be rows-only while its oracle-matched twin
-    # ivf_batch_search_full_probe stays in-window; it keeps a
-    # VERIFY_LOCAL_r3 rows-only pass.
-    # evicted to stay within the 50-slot window (each retains an r1/r2
-    # driver row and a VERIFY_LOCAL_r3 pass): lsh_bucket_pairs,
-    # lsh_search, ivf_search, sketch_distinct_users_daily (rows-only
-    # checks), api_search_cosine, dedup_embedding_cosine_lsh,
-    # graph_bfs_2hop, knn_graph, knn_graph_blocked,
-    # ivf_search_full_probe, text_bpe_token_stats (r1-green)
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_embedding_cosine_lsh",
+    "ivf_search",
+    "ivf_search_full_probe",
+    "ivf_batch_search_full_probe",
+    "ivf_add_remove_roundtrip",
+    "graph_bfs_2hop",
+    "graph_add_remove",
+    "knn_graph",
+    "knn_graph_blocked",
+    "api_search_batch_cosine",
+    "api_search_cosine",
+    "knn_brute_force",
+    "knn_batch",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "lsh_bucket_pairs",
+    "stream_dedup_exact",
 ]
 
 
