@@ -32,70 +32,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 4 front-loads (a) the 6 queries committed
-# after the r3 VERIFY_LOCAL refresh (judge-verified 6/6 locally but with
-# no committed driver row — VERDICT r3 item #1), (b) every query added in
-# r4, and (c) queries whose code path was touched in r4 (dedup skew caps,
-# IVF pruning, BFS generalization). Remaining slots are filled with
-# r3-green queries whose modules were touched. Everything outside the
-# window is re-verified locally as VERIFY_LOCAL_r4.txt (last commit of
-# the round).
+# in registration order. Round 5 front-loads (a) the two queries broken
+# by the PySpark 4.1.2 TIMESTAMP_NTZ change and fixed this round
+# (functions/timeutil.epoch_micros), (b) queries added in r5 (names
+# appended here only once the code exists), (c) the 15 registry queries
+# that have never had a driver-window row (judge-verified locally only),
+# and (d) fills from the queries whose last driver row is r3. Everything
+# outside the window is re-verified locally as VERIFY_LOCAL_r5.txt.
 _PRIORITY = [
-    # (a) committed after the r3 evidence refresh — needs driver rows
-    "dedup_simhash_md5",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q20_promotion_suppliers",
-    # (b) new in r4 (names appended here as they land)
-    "embed_hashed_md5",
-    "ivf_search_pruned",
-    "graph_bfs_reachable",
-    "stream_then_ivf_search",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_bucket_stats",
-    "knn_batch_large",
-    "docs_window_quality_rank",
-    "events_session_funnel",
-    "tpch_q1_variant_pricing_summary",
-    "dedup_exact_url",
-    "text_langid_ngram",
-    "docs_quality_quantiles",
-    "events_retention_cohorts",
-    "embed_norm_stats",
-    "docs_field_extract_json",
-    "events_approx_quantiles_exact_twin",
-    "part_rollup_cube",
-    "orders_percentile_by_priority",
-    "docs_dedup_family_sizes",
-    "events_lag_lead_gaps",
-    "supplier_balance_ntile",
-    "docs_zipf_token_freq",
-    "events_error_burst_windows",
-    # (c) code paths touched in r4: dedup caps (ngram/bucket), IVF
-    # (pruned layout), graph BFS, api search_batch bound
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_md5",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_embedding_cosine_lsh",
-    "ivf_search",
-    "ivf_search_full_probe",
-    "ivf_batch_search_full_probe",
-    "ivf_add_remove_roundtrip",
-    "graph_bfs_2hop",
-    "graph_add_remove",
-    "knn_graph",
-    "knn_graph_blocked",
-    "api_search_batch_cosine",
-    "api_search_cosine",
-    "knn_brute_force",
-    "knn_batch",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "lsh_bucket_pairs",
-    "stream_dedup_exact",
+    # (a) fixed in r5 — NTZ-safe epoch helper
+    "events_band_clicks_near_errors",
+    "events_interarrival",
+    # (b) new in r5
+    # (c) never had a driver-window row
+    "text_langid",
+    "dedup_simhash",
+    "embed_letter_knn",
+    "embed_hashed",
+    "mm_media_meta",
+    "mm_frame_sample",
+    "ivf_batch_search",
+    "lsh_search",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnow",
+    "chunk_documents",
+    "embed_pool_by_label",
+    "quantiles_order_value",
+    "text_bpe_token_stats",
+    "sketch_distinct_users_daily",
+    # (d) last driver row is r3
+    "knn_sq8",
+    "knn_mmr_diversified",
+    "fts_bm25",
+    "hybrid_rrf",
+    "skew_salted_event_counts",
+    "text_repetition_stats",
+    "text_pii_scrub_audit",
+    "events_partition_pruned_scan",
+    "events_asof_last_view",
+    "stream_tumbling_hour",
+    "stream_sliding_window",
+    "stream_sessionize",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "split_train_val_test",
+    "pack_token_budget",
+    "text_scrub_denylist",
+    "decontam_ngram_overlap",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_rich_customers",
+    "semi_join_deep_discount_orders",
+    "anti_join_never_bulk_ordered_parts",
+    "setops_wealthy_nations",
+    "grouping_sets_flag_status",
+    "scalar_subquery_premium_parts",
+    "pivot_status_by_priority",
+    "window_running_totals",
 ]
 
 

@@ -113,14 +113,21 @@ def band_join_count(
     equi-join on (key…, cell) + the exact |Δt| ≤ tol filter. Left rows
     with no neighbours keep count 0 (left join + conditional count).
     """
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
     rid = "__band_rid__"
     if rid in left.columns:
         raise ValueError(
             f"band_join_count: left side already has a {rid!r} column"
         )
-    micros = F.unix_micros(F.col(ts_col))
+    # dtype-branching epoch helper: PySpark 4.x reads the events table's
+    # parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which unix_micros
+    # rejects — resolve per side since left/right schemas may differ.
+    l_micros = epoch_micros(left, ts_col)
+    r_micros = epoch_micros(right, ts_col)
     tol_us = int(tolerance_s) * 1_000_000
-    cell = F.floor(micros / F.lit(tol_us))
+    cell = F.floor(l_micros / F.lit(tol_us))
+    r_cell = F.floor(r_micros / F.lit(tol_us))
     # A per-input-row disambiguator keeps fully duplicate left rows
     # from collapsing into one output row in the regrouping after the
     # explode. row_number partitioned by ALL left columns is
@@ -133,10 +140,10 @@ def band_join_count(
     w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
     lk = (
         left.withColumn(rid, F.row_number().over(w))
-        .withColumn("_l_us", micros)
+        .withColumn("_l_us", l_micros)
         .withColumn("_cell", F.explode(F.array(cell - 1, cell, cell + 1)))
     )
-    rk = right.select(*by_cols, cell.alias("_cell"), micros.alias("_r_us"))
+    rk = right.select(*by_cols, r_cell.alias("_cell"), r_micros.alias("_r_us"))
     joined = lk.join(rk, [*by_cols, "_cell"], "left")
     hit = (
         F.col("_r_us").isNotNull()

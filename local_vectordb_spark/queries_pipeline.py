@@ -201,11 +201,12 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate anomaly detection). One shuffle on the window partition key."""
     from pyspark.sql import Window
 
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap = (
-        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    ) / 1_000_000.0
+    us = epoch_micros(ev, "ts")
+    gap = (us - F.lag(us).over(w)) / 1_000_000.0
     return (
         ev.select("event_type", gap.alias("gap_s"))
         .filter(F.col("gap_s").isNotNull())

@@ -75,16 +75,18 @@ def test_band_join_count_matches_naive(spark, sf_dir):
         r.event_id: r.n
         for r in band_join_count(errors, clicks, "ts", ["user_id"], 600, "n").collect()
     }
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
     clicks_renamed = clicks.select("user_id", F.col("ts").alias("c_ts"))
+    joined = errors.join(clicks_renamed, "user_id", "left")
     naive = {
         r.event_id: r.n
-        for r in errors.join(clicks_renamed, "user_id", "left")
-        .withColumn(
+        for r in joined.withColumn(
             "hit",
             (
                 F.col("c_ts").isNotNull()
                 & (
-                    F.abs(F.unix_micros("ts") - F.unix_micros("c_ts"))
+                    F.abs(epoch_micros(joined, "ts") - epoch_micros(joined, "c_ts"))
                     <= 600 * 1_000_000
                 )
             ).cast("long"),
