@@ -44,6 +44,9 @@ _PRIORITY = [
     "events_band_clicks_near_errors",
     "events_interarrival",
     # (b) new in r5
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_md5_capped",
+    "dedup_lsh_bucket_audit",
     # (c) never had a driver-window row
     "text_langid",
     "dedup_simhash",

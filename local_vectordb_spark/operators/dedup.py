@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from local_vectordb_spark.functions.text import fingerprint, shingles
@@ -69,6 +69,7 @@ def ngram_jaccard_dupes(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -78,14 +79,33 @@ def ngram_jaccard_dupes(
     Output: (a_id, b_id, jaccard) with a_id < b_id.
 
     The join key is the shingle itself, so hot shingles are the skew
-    risk; at scale, drop ultra-frequent shingles first (they carry no
-    dedup signal) — AQE skew-join handles the rest.
+    risk: a shingle shared by d docs emits d·(d-1)/2 pair rows, and on
+    boilerplate-heavy corpora (license headers, templated pages) one
+    shingle can hit millions of docs — the quadratic escape hatch.
+    `max_df` caps it: shingles with document frequency > max_df are
+    removed from the shingle UNIVERSE (stopword semantics — both the
+    intersection counts and the set sizes are computed over the kept
+    shingles), so per-shingle join fan-out is bounded by max_df². The
+    hot-shingle list is tiny by construction (only shingles above the
+    cap), so the filter is a broadcast anti-join — the posting list is
+    never shuffled for it. Default None preserves exact Jaccard.
     """
     sets_df = shingle_sets(docs, id_col, text_col, n)
     sizes = sets_df.select(F.col(id_col), "n_shingles")
     posting = sets_df.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
+    if max_df is not None:
+        hot = (
+            posting.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = posting.groupBy(id_col).agg(
+            F.count("*").alias("n_shingles")
+        )
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
@@ -162,6 +182,7 @@ def minhash_lsh_dupes(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs — the 100 TB dedup path.
 
@@ -187,11 +208,15 @@ def minhash_lsh_dupes(
     banded = sigs.select(
         F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
     )
-    return _bucket_pairs(banded, id_col, num_hashes, threshold)
+    return _bucket_pairs(banded, id_col, num_hashes, threshold, max_bucket_size)
 
 
 def _bucket_pairs(
-    banded: DataFrame, id_col: str, num_hashes: int, threshold: float
+    banded: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Bucket-local pair generation shared by the xxhash64 and portable
     MinHash variants: group by (band, band_hash) and emit pairs within
@@ -200,10 +225,27 @@ def _bucket_pairs(
     the whole signature pipeline for each join side. Buckets are sorted
     so pairs come out a_id < b_id; the aggregate output is a
     materialization barrier, so the pair lambdas reference a plain
-    attribute (no per-element re-evaluation). Pathologically hot
-    buckets (e.g. millions of empty docs sharing a band) are the skew
-    risk at scale — cap them with a pre-filter if the corpus has them.
+    attribute (no per-element re-evaluation).
+
+    Pathologically hot buckets (e.g. millions of empty docs sharing a
+    band) are the skew risk at scale: a bucket of size m emits m·(m-1)/2
+    pairs in a single task, and the collect_list buffer holds all m
+    signatures. `max_bucket_size` bounds BOTH by rank-filtering members
+    to the first `max_bucket_size` ids BEFORE the collect (row_number
+    over a sort-based, spillable window — never a giant in-memory
+    array), so per-bucket work is O(max_bucket_size²) however
+    degenerate the corpus. The window and the groupBy hash-partition on
+    the same (band, bh) key, so the cap adds no extra shuffle. Dropped
+    pairs are observable via :func:`lsh_bucket_audit` on the same
+    banded input. Default None keeps exact LSH semantics.
     """
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bh").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket_size)
+            .drop("_rk")
+        )
     buckets = (
         banded.groupBy("band", "bh")
         .agg(
@@ -254,6 +296,7 @@ def minhash_lsh_dupes_portable(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH with an ENGINE-PORTABLE hash family: hash_i(shingle)
     = md5(shingle || '#' || i) compared as lowercase hex strings (the
@@ -266,6 +309,23 @@ def minhash_lsh_dupes_portable(
     `minhash_lsh_dupes` (one-pass signatures, bucket groupBy, never a
     cross join); md5 costs more per shingle than xxhash64, which is why
     the production path keeps xxhash64.
+    """
+    banded = minhash_banded_portable(docs, num_hashes, bands, id_col, text_col, n)
+    return _bucket_pairs(banded, id_col, num_hashes, threshold, max_bucket_size)
+
+
+def minhash_banded_portable(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig, band, bh) banding rows for the md5-portable hash
+    family — the shared first half of :func:`minhash_lsh_dupes_portable`,
+    exposed so :func:`lsh_bucket_audit` can audit the same buckets pair
+    generation sees.
     """
     from local_vectordb_spark.session import ensure_min_parallelism
 
@@ -299,10 +359,34 @@ def minhash_lsh_dupes_portable(
             for i in range(bands)
         ]
     )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.col("sig"), F.posexplode(band_arr).alias("band", "bh")
     )
-    return _bucket_pairs(banded, id_col, num_hashes, threshold)
+
+
+def lsh_bucket_audit(
+    banded: DataFrame, id_col: str, max_bucket_size: int
+) -> DataFrame:
+    """Dropped-pairs audit for a capped LSH run: for every bucket over
+    `max_bucket_size`, how many members it has and how many candidate
+    pairs the cap discards — C(m,2) − C(cap,2). A capped dedup is an
+    approximation; this makes the approximation MEASURABLE (sum the
+    column for the corpus-wide dropped-pair count) instead of silent.
+    Output: (band, bh, bucket_size, n_pairs_dropped), one shuffle on
+    the same (band, bh) key as pair generation.
+    """
+    m = F.col("bucket_size").cast("long")
+    cap = F.lit(max_bucket_size).cast("long")
+    return (
+        banded.groupBy("band", "bh")
+        .agg(F.count(id_col).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .withColumn(
+            "n_pairs_dropped",
+            (m * (m - 1) - cap * (cap - 1)) / F.lit(2),
+        )
+        .withColumn("n_pairs_dropped", F.col("n_pairs_dropped").cast("long"))
+    )
 
 
 def connected_components(

@@ -1065,6 +1065,143 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    rf"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    posting0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM posting0 GROUP BY shingle HAVING count(*) <= 4),
+    posting AS (SELECT p.doc_id, p.shingle FROM posting0 p JOIN keep USING (shingle)),
+    sized AS (SELECT doc_id, count(*) AS ns FROM posting GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.ns + sb.ns - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sized sa ON sa.doc_id = a_id
+      JOIN sized sb ON sb.doc_id = b_id
+    )
+    SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the hot-shingle df cap (max_df=4): shingles
+    in more than 4 docs are dropped from the shingle universe before the
+    inverted-index join, bounding per-shingle join fan-out — the skew
+    guard for boilerplate-heavy corpora. At sf0.01 the cap removes 180
+    hot shingles while every planted near-dup pair survives; the oracle
+    reproduces the capped universe exactly."""
+    return dedup.ngram_jaccard_dupes(
+        _docs_with_near_dupes(spark, sf_dir), threshold=0.5, max_df=4
+    )
+
+
+@register(
+    "dedup_minhash_lsh_md5_capped",
+    rf"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, [{_MINHASH_MD5_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    ranked AS (
+      SELECT doc_id, sig, band, bh,
+             row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+      FROM banded
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS asig, b.sig AS bsig
+      FROM ranked a JOIN ranked b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       AND a.rk <= 2 AND b.rk <= 2
+    ),
+    scored AS (
+      SELECT DISTINCT a_id, b_id,
+             ROUND(len(list_filter(list_zip(asig, bsig), z -> z[1] = z[2])) * 1.0 / 16, 6) AS est_jaccard
+      FROM pairs
+    )
+    SELECT a_id, b_id, est_jaccard FROM scored WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh_md5_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 MinHash+LSH with the bucket-size cap (max_bucket_size=2):
+    each (band, band-hash) bucket is rank-truncated to its 2 smallest
+    doc_ids BEFORE pair generation, bounding per-bucket work at
+    O(cap²) — the skew guard for degenerate buckets (e.g. millions of
+    near-empty docs agreeing on a band). At sf0.01 seven size-3 buckets
+    are truncated; the oracle applies the identical rank filter."""
+    return dedup.minhash_lsh_dupes_portable(
+        _docs_with_near_dupes(spark, sf_dir), threshold=0.5, max_bucket_size=2
+    )
+
+
+@register(
+    "dedup_lsh_bucket_audit",
+    rf"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, [{_MINHASH_MD5_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, sig, b.band,
+             md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT band, bh, count(*) AS bucket_size,
+           CAST((count(*) * (count(*) - 1) - 2) / 2 AS BIGINT) AS n_pairs_dropped
+    FROM banded GROUP BY band, bh HAVING count(*) > 2
+    """,
+)
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-pairs audit for the capped LSH run: every bucket over the
+    cap (2) with its size and the number of candidate pairs the cap
+    discards — C(m,2) − C(2,2). Capped dedup is an approximation; this
+    query makes the loss measurable instead of silent."""
+    banded = dedup.minhash_banded_portable(_docs_with_near_dupes(spark, sf_dir))
+    return dedup.lsh_bucket_audit(banded, "doc_id", max_bucket_size=2)
+
+
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidates (rows-only, same reason)."""

@@ -137,3 +137,52 @@ def test_embedding_near_dupes_lsh_matches_blas(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    """Skew guard: 10k docs sharing one hot shingle must not generate
+    the ~50M quadratic pair rows — the df cap removes the shingle from
+    the universe, leaving only pairs supported by rare shingles."""
+    hot = "common boiler plate"
+    rows = [(i, f"{hot} unique{i} token{i} filler{i}") for i in range(10_000)]
+    # one genuine near-dup pair sharing rare shingles
+    rows += [(20_000, "alpha beta gamma delta epsilon"),
+             (20_001, "alpha beta gamma delta epsilon")]
+    docs = _docs(spark, rows)
+    out = dedup.ngram_jaccard_dupes(docs, threshold=0.5, max_df=4).collect()
+    assert [(r["a_id"], r["b_id"]) for r in out] == [(20_000, 20_001)]
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_ngram_jaccard_max_df_none_unchanged(spark):
+    """Default (no cap) is byte-identical to the pre-cap behavior."""
+    near = BASE.split(" ", 1)[1]
+    docs = _docs(spark, [(1, BASE), (2, near), (3, "xx yy zz aa bb cc dd ee")])
+    uncapped = dedup.ngram_jaccard_dupes(docs, threshold=0.5).collect()
+    huge_cap = dedup.ngram_jaccard_dupes(docs, threshold=0.5, max_df=10**6).collect()
+    assert sorted(map(tuple, uncapped)) == sorted(map(tuple, huge_cap))
+
+
+def test_minhash_bucket_cap_bounds_pairs_and_audits(spark):
+    """Skew guard: 10k identical docs collapse into one bucket per
+    band; the cap bounds pair generation at C(cap,2) per bucket and the
+    audit reports exactly what was dropped."""
+    rows = [(i, BASE) for i in range(10_000)]
+    docs = _docs(spark, rows)
+    cap = 5
+    pairs = dedup.minhash_lsh_dupes_portable(
+        docs, threshold=0.0, max_bucket_size=cap
+    ).collect()
+    # every bucket holds the same first `cap` ids (identical sigs, rank
+    # by doc_id) → exactly C(cap,2) distinct pairs, est_jaccard 1.0
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+    assert all(r["a_id"] < cap and r["b_id"] < cap for r in pairs)
+
+    banded = dedup.minhash_banded_portable(docs)
+    audit = dedup.lsh_bucket_audit(banded, "doc_id", max_bucket_size=cap).collect()
+    assert len(audit) == 4  # one oversized bucket per band
+    n = 10_000
+    expected_drop = n * (n - 1) // 2 - cap * (cap - 1) // 2
+    assert all(r["bucket_size"] == n for r in audit)
+    assert all(r["n_pairs_dropped"] == expected_drop for r in audit)
