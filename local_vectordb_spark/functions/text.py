@@ -7,7 +7,7 @@ returns a Column usable in select/filter/groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # A tiny per-language marker lexicon for the n-gram/stopword language-ID
@@ -212,6 +212,70 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
             mins, F.slice(hashes, off + 1, n_windows), lambda a, b: F.least(a, b)
         )
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints_batch(k: int = 7, w: int = 4) -> Column:
+    """Arrow-batched winnowing UDF factory: returns a pandas UDF
+    computing the SAME fingerprints as :func:`winnow_fingerprints`
+    (apply it to ``normalize_text(ascii_only(text))`` — normalization
+    stays JVM-side so cross-engine semantics are untouched; the UDF is
+    pure integer arithmetic, engine-independent by construction).
+
+    Why this exists: the pure-Column form builds one expression tree
+    with ~k·w textual copies of the char-code pipeline. Runtime
+    subexpression elimination keeps its steady-state execution fast,
+    but ANALYSIS of the ~36 KB tree costs seconds per fresh plan under
+    PySpark 4.1.x (the BENCH r4 `text_fingerprint_winnow` regression is
+    plan-compile, not execution). The UDF plan is a few nodes — fast to
+    analyze — and the per-row work is vectorized numpy over char codes
+    (Arrow batch in, no per-row Python in the interpreter loop shape
+    that row-UDFs have). Prefer this in repeated-fresh-plan contexts
+    (benchmarks, interactive use); the Column form remains for
+    pure-JVM pipelines.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    B, M = ROLLING_BASE, ROLLING_MOD
+    weights = [pow(B, k - 1 - j, M) for j in range(k)]
+    pad = np.iinfo(np.int64).max
+
+    def _one(t: str | None) -> list[int] | None:
+        if t is None:
+            return None
+        c = np.frombuffer(t.encode("ascii", "ignore"), dtype=np.uint8).astype(
+            np.int64
+        )
+        n = len(c)
+        if n < k:
+            h = 0
+            for x in c.tolist():
+                h = (h * B + x) % M
+            return [h]
+        m = n - k + 1
+        H = np.zeros(m, dtype=np.int64)
+        for j, wt in enumerate(weights):
+            H = (H + c[j : j + m] * wt) % M
+        nw = max(m - w + 1, 1)
+        mins = H[:nw].copy()
+        for off in range(1, w):
+            seg = H[off : off + nw]
+            if len(seg) < nw:  # short tail: min over available only
+                seg = np.concatenate(
+                    [seg, np.full(nw - len(seg), pad, dtype=np.int64)]
+                )
+            mins = np.minimum(mins, seg)
+        return sorted(set(mins.tolist()))
+
+    def _winnow(texts):
+        return texts.map(_one)
+
+    # `from __future__ import annotations` stringizes hints, which the
+    # pandas-UDF type-hint inference can't resolve — set real ones
+    _winnow.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_winnow, ArrayType(LongType()))
 
 
 def shingles(text: Column, n: int = 3) -> Column:

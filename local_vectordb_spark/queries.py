@@ -1777,8 +1777,16 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans. Both engines compute the identical k-gram rolling hashes and
     per-window minima, so the oracle match is exact."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    fps = T.winnow_fingerprints(F.col("text"), k=7, w=4)
-    return docs.select("doc_id", F.explode(fps).alias("fp"))
+    # Arrow-batched variant: the pure-Column form's ~36 KB expression
+    # tree costs seconds of plan ANALYSIS per fresh plan under 4.1.x
+    # (the BENCH r4 regression); normalization stays JVM-side, the UDF
+    # is engine-independent integer arithmetic, so the oracle match is
+    # unchanged
+    winnow = T.winnow_fingerprints_batch(k=7, w=4)
+    norm = T.normalize_text(T.ascii_only(F.col("text")))
+    return docs.select(
+        "doc_id", F.explode(winnow(norm)).alias("fp")
+    )
 
 
 # --------------------------------------------------------------------------

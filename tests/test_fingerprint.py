@@ -51,3 +51,27 @@ def test_winnow_case_and_whitespace_invariant(spark):
     noisy = "  THE quick   Brown fox JUMPS over the lazy dog while the cat watches from the warm windowsill and the birds sing in the garden outside "
     a, b = _fps(spark, [DOC, noisy])
     assert a == b
+
+
+def test_winnow_batch_udf_matches_column_form(spark):
+    """The Arrow-batched winnow (pandas UDF over normalized text) must
+    emit byte-identical fingerprints to the pure-Column HOF form,
+    including the edge cases: doc shorter than k (whole-string hash),
+    doc with fewer than w windows (min over available), empty string,
+    and non-ASCII stripping."""
+    rows = [
+        (DOC,),
+        ("tiny",),            # < k chars → whole-string rolling hash
+        ("exactly7",),        # 8 chars → 2 grams, 1 window
+        ("",),                # empty → [0]
+        ("héllo wörld this is mixed unicode content for the stripper",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    col_form = df.select(
+        F.array_sort(T.winnow_fingerprints(F.col("t"))).alias("fps")
+    ).collect()
+    wn = T.winnow_fingerprints_batch()
+    udf_form = df.select(
+        wn(T.normalize_text(T.ascii_only(F.col("t")))).alias("fps")
+    ).collect()
+    assert [r.fps for r in col_form] == [r.fps for r in udf_form]
