@@ -44,6 +44,7 @@ _PRIORITY = [
     "events_band_clicks_near_errors",
     "events_interarrival",
     # (b) new in r5
+    "embed_hashed_md5",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

@@ -55,6 +55,42 @@ def letter_count_embedding(text: Column) -> Column:
     )
 
 
+def md5_embedding(text: Column, dim: int = 8) -> Column:
+    """Deterministic text → vector with an ENGINE-PORTABLE hash family,
+    fully JVM-side: component j is the first 60 bits of
+    md5(text || '#' || j) mapped affinely into [-1, 1), then the vector
+    is L2-normalized. The same md5-twin trick the MinHash/SimHash
+    portable variants use (identical strings hash identically in any
+    engine with md5), so — unlike ``hashed_embedding_udf``, whose
+    sha256+numpy-RNG draw has no SQL equivalent and is checked
+    rows-only — every component here is value-reproducible in plain
+    SQL and the whole E1→Q1→Q2 pipeline gets an exact oracle.
+    Reference boundary: /root/reference/src/embeddings.py:11-15 (the
+    Cohere call this deterministic stand-in replaces for testing).
+
+    60 bits = 15 hex chars keeps the value inside a BIGINT in every
+    engine; /2^59 − 1 is exact IEEE scaling (power-of-two divide), so
+    doubles agree bit-for-bit across engines.
+    """
+    comps = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(text, F.lit(f"#{j}"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(float(1 << 59))
+            - F.lit(1.0)
+        )
+        for j in range(dim)
+    ]
+    vec = F.array(*comps)
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(norm == 0.0, vec).otherwise(
+        F.transform(vec, lambda x: x / norm)
+    )
+
+
 def hashed_embedding_udf(dim: int = 64, seed: int = 42):
     """Seeded hash→vector embedder as an Arrow-batched pandas UDF.
 

@@ -1362,6 +1362,58 @@ def embed_letter_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MD5_EMB_SQL = """
+      SELECT doc_id, v FROM (
+        SELECT doc_id,
+               (SELECT list(('0x' || substr(md5(text || '#' || j), 1, 15))::BIGINT
+                            / 576460752303423488.0 - 1.0)
+                FROM unnest(range(0, 8)) AS u(j)) AS raw
+        FROM documents
+      ), LATERAL (
+        SELECT CASE WHEN sqrt(list_aggregate(list_transform(raw, x -> x*x), 'sum')) = 0
+                    THEN raw
+                    ELSE list_transform(raw, x -> x / sqrt(list_aggregate(list_transform(raw, y -> y*y), 'sum')))
+               END AS v
+      )
+"""
+
+
+@register(
+    "embed_hashed_md5",
+    f"""
+    WITH emb AS ({_MD5_EMB_SQL})
+    SELECT e.doc_id,
+           ROUND(list_dot_product(e.v, q.v), 6) AS score
+    FROM emb e CROSS JOIN (SELECT v FROM emb WHERE doc_id = 7) q
+    ORDER BY score DESC, e.doc_id ASC
+    LIMIT {K}
+    """,
+)
+def embed_hashed_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+Q2 with the md5-PORTABLE hash embedding: every component is
+    the first 60 bits of md5(text||'#'||j) scaled into [-1,1) and
+    L2-normalized, so — unlike the sha256+RNG `embed_hashed`, which is
+    rows-only — the full embed→search pipeline is value-matched by the
+    oracle (the same md5-twin strategy the MinHash/SimHash portable
+    variants use). Reference boundary: src/embeddings.py:11-15."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", emb_fn.md5_embedding(F.col("text"), dim=8).alias("v")
+    )
+    q = emb.filter(F.col("doc_id") == 7).select(F.col("v").alias("qv"))
+    from local_vectordb_spark.functions.vector import dot_product
+
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(dot_product(F.col("v"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
 @register("embed_hashed")
 def embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 pandas-UDF backend (rows-only: hash→vector has no SQL oracle;

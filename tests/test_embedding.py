@@ -146,3 +146,22 @@ def test_api_embedding_udf_with_fake_transport(spark):
         .collect()
     )
     assert {r.t: list(r.v) for r in rows} == {t: _vec_for(t) for t in ("apple", "fig", "kiwi")}
+
+
+def test_md5_embedding_unit_norm_and_deterministic(spark):
+    from local_vectordb_spark.functions.embedding import md5_embedding
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different text"), (4, "")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id", md5_embedding(F.col("text"), dim=8).alias("v")
+    ).collect()
+    vs = {r.id: r.v for r in out}
+    assert vs[1] == vs[2]            # same text → same vector
+    assert vs[1] != vs[3]            # different text → different vector
+    assert all(len(v) == 8 for v in vs.values())
+    for i in (1, 3, 4):
+        n = sum(x * x for x in vs[i]) ** 0.5
+        assert abs(n - 1.0) < 1e-9   # L2-normalized (md5 of '' is still a hash)
