@@ -45,6 +45,8 @@ _PRIORITY = [
     "events_interarrival",
     # (b) new in r5
     "embed_hashed_md5",
+    "ivf_search_pruned",
+    "ivf_sign_pruned",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

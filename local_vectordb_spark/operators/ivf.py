@@ -159,6 +159,37 @@ def ivf_search_batch(
     )
 
 
+def sign_bucket(vec_col, n_bits: int = 4):
+    """Deterministic IVF bucketing: bucket id = the sign bits of the
+    first `n_bits` vector components (axis-aligned hyperplane LSH).
+    Unlike KMeans clusters, the bucket of a vector is a pure expression
+    of its values — engine-independent, so a SQL oracle can reproduce
+    the exact candidate set, and stable under re-clustering (a vector
+    never migrates). The trade-off is no data-adaptive centroids; it is
+    the layout tier for oracle-exact pruned search, not a KMeans
+    replacement.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    b = F.lit(0)
+    for i in range(n_bits):
+        b = b + F.when(
+            F.element_at(c, i + 1) >= 0, F.lit(1 << (n_bits - 1 - i))
+        ).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def sign_probe(query_vec: Sequence[float], n_bits: int = 4) -> list[int]:
+    """Buckets within Hamming distance 1 of the query's sign bucket —
+    the query's own bucket plus each one-bit flip (vectors near a
+    hyperplane may land on either side; probing the adjacent buckets
+    recovers them). n_bits+1 of the 2^n_bits buckets → the scan reads
+    ~(n_bits+1)/2^n_bits of a sign-partitioned table."""
+    qb = sum(
+        (1 << (n_bits - 1 - i)) for i in range(n_bits) if query_vec[i] >= 0
+    )
+    return [qb] + [qb ^ (1 << j) for j in range(n_bits)]
+
+
 def ivf_add(model, new_rows: DataFrame, assignments: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """X4 — assign new vectors with the existing model (no refit)."""

@@ -1589,6 +1589,99 @@ def ivf_batch_search_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_physical_for(spark: SparkSession, sf_dir: str):
+    """Hive-partitioned IVF layout, written once per (process, corpus):
+    the KMeans assignments table laid out as
+    ``.../cluster_id=N/part-*.parquet`` so an n_probe filter prunes
+    whole directories (PartitionFilters), not just row groups. This is
+    the physical form §2's Q4 notes reserve for true partition pruning."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.sources import partitioned as P
+
+    key = ("phys", sf_dir)
+    if key not in _IVF_CACHE:
+        centroids, assignments = _ivf_index_for(spark, sf_dir)
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "ivf_assign")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            P.write_partitioned(assignments, path, ["cluster_id"])
+        _IVF_CACHE[key] = (centroids, path)
+    return _IVF_CACHE[key]
+
+
+@register("ivf_search_pruned")
+def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 over the PHYSICAL IVF layout: assignments hive-partitioned by
+    cluster_id, so the n_probe=3 filter prunes 13 of 16 partition
+    directories at planning time (asserted as PartitionFilters in
+    tests/test_plans.py). Rows-only like ivf_search — the cluster
+    assignment is seed-dependent — with the same recall invariant; the
+    sign-bucket variant below is the oracle-exact pruned path."""
+    from local_vectordb_spark.sources import partitioned as P
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, path = _ivf_physical_for(spark, sf_dir)
+    assignments = P.read_partitioned(spark, path)
+    return ivf.ivf_search(
+        emb, assignments, centroids, _query_vecs(sf_dir)[0][1], k=K, n_probe=3
+    )
+
+
+_SIGN_BUCKET_SQL = """CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END
+             + CASE WHEN {v}[2] >= 0 THEN 4 ELSE 0 END
+             + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END
+             + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END"""
+
+
+@register(
+    "ivf_sign_pruned",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-EXACT pruned vector search: embeddings physically
+    partitioned by their 4-bit axis-sign bucket (deterministic
+    hyperplane LSH — a pure expression of the vector, reproducible in
+    any engine, unlike KMeans). The probe reads the query's bucket
+    plus its 4 Hamming-1 neighbours: 5 of 16 partition directories,
+    pruned at planning time, and the oracle reproduces the exact
+    candidate set and top-k. This closes the gap where every pruned
+    search was rows-only."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.sources import partitioned as P
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        P.write_partitioned(
+            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
+            path,
+            ["bucket"],
+        )
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe(qv, n_bits=4)
+    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    return knn.knn_brute_force(cand, qv, k=K)
+
+
 @register(
     "knn_graph",
     """

@@ -6,6 +6,8 @@ should fail HERE, not in a cluster bill.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from local_vectordb_spark import plans, queries
 from local_vectordb_spark.queries_relational import (
     tpch_q6_forecast_revenue,
@@ -112,3 +114,56 @@ def test_band_join_is_equi_join_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     )
+
+
+def test_ivf_search_pruned_physical_layout(spark, sf_dir):
+    """The registered pruned query must (a) scan the hive-partitioned
+    assignments with a cluster_id PartitionFilter — directory pruning,
+    not just row-group pushdown — and (b) return exactly what the
+    logical (unpartitioned-assignments) path returns on the same index."""
+    from local_vectordb_spark import queries as q
+
+    pruned = q.ivf_search_pruned(spark, sf_dir)
+    plan = plans.plan_string(pruned)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "cluster_id" in plan[idx : idx + 300]
+    logical = q.SPARK_QUERIES["ivf_search"](spark, sf_dir)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, logical.collect())
+    )
+
+
+def test_ivf_sign_pruned_reads_only_probed_buckets(spark, sf_dir):
+    """The oracle-exact sign-bucket search prunes to the 5 probed
+    partition directories (of 16) and its candidates all carry probed
+    bucket ids."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import ivf
+
+    df = q.SPARK_QUERIES["ivf_sign_pruned"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "bucket" in plan[idx : idx + 300]
+    qv = q._query_vecs(sf_dir)[0][1]
+    probed = set(ivf.sign_probe(qv, n_bits=4))
+    assert len(probed) == 5
+    # pruning is real: the partitioned table has more buckets than the
+    # probe touches, and the pruned scan only ever surfaces probed ones
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    table = spark.read.parquet(path)
+    all_buckets = {r.bucket for r in table.select("bucket").distinct().collect()}
+    assert len(all_buckets) > len(probed)
+    seen = {
+        r.bucket
+        for r in table.filter(F.col("bucket").isin(list(probed)))
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    assert seen <= probed
