@@ -47,6 +47,7 @@ _PRIORITY = [
     "embed_hashed_md5",
     "ivf_search_pruned",
     "ivf_sign_pruned",
+    "stream_then_ivf_search",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

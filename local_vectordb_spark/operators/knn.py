@@ -140,8 +140,14 @@ def hydrate(
     proj = records.select(
         F.col(record_id_col).alias(id_col), F.col(content_col).alias("content")
     )
-    return F.broadcast(results).join(proj, id_col, "inner").select(
-        *keep_cols, id_col, "score", "content"
+    # re-sort after the join: joins do not preserve order, and the
+    # reference's hydrated response is rank-ordered
+    # (src/models/collection.py:334-335 sorts before hydration)
+    return (
+        F.broadcast(results)
+        .join(proj, id_col, "inner")
+        .select(*keep_cols, id_col, "score", "content")
+        .orderBy(*keep_cols, F.desc("score"), F.asc(id_col))
     )
 
 

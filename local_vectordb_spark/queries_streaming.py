@@ -166,3 +166,94 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register("stream_then_ivf_search")
+def stream_then_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming index maintenance: seed a VectorDB from the
+    documents table, force the first IVF build, then stream 50 NEW
+    chunk JSON records through the foreachBatch upsert
+    (streaming/ingest.run_chunk_upsert_stream_into_db). Each committed
+    batch bumps the table version, invalidating the build-once IVF
+    cache; the closing ivf search rebuilds over the streamed state and
+    ranks the streamed chunks. Rows-only (KMeans assignment is
+    seed/impl-dependent); the version/rebuild invariants are asserted
+    in tests/test_streaming.py."""
+    import json
+    import shutil
+
+    from local_vectordb_spark.api import VectorDB
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"lvdb_sivf_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "incoming")
+    os.makedirs(src_dir)
+    db = VectorDB(spark, os.path.join(base, "db"))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ts = "2025-01-01 00:00:00"
+    db.add(
+        "libraries",
+        spark.createDataFrame(
+            [("lib1", {}, ts, ts, "corpus")],
+            "id string, metadata map<string,string>, created_at string, "
+            "updated_at string, name string",
+        ).select(
+            "id", "metadata",
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("updated_at").cast("timestamp").alias("updated_at"),
+            "name",
+        ),
+    )
+    db.add(
+        "documents",
+        docs.select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            F.concat(F.lit("doc "), F.col("doc_id")).alias("name"),
+            F.lit("lib1").alias("library_id"),
+        ),
+    )
+    db.add(
+        "chunks",
+        docs.select(
+            F.concat(F.lit("c"), F.col("doc_id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            F.col("text").alias("content"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.concat(F.lit("d"), F.col("doc_id")).alias("document_id"),
+        ),
+    )
+    # first search forces the initial IVF build
+    db.search(query="bootstrap probe", index_type="ivf", k=1).collect()
+
+    # stream 50 new chunks (no embedding — the upsert batch embeds them)
+    new_texts = {
+        r.doc_id: r.text for r in docs.filter(F.col("doc_id") < 50).collect()
+    }
+    for doc_id, text in sorted(new_texts.items()):
+        rec = {
+            "id": f"s{doc_id}",
+            "metadata": {"origin": "stream"},
+            "created_at": ts,
+            "updated_at": ts,
+            "content": f"streamed update: {text}",
+            "embedding": None,
+            "document_id": f"d{doc_id}",
+        }
+        with open(os.path.join(src_dir, f"s{doc_id}.json"), "w") as f:
+            json.dump(rec, f)
+    st.run_chunk_upsert_stream_into_db(
+        spark, src_dir, db, os.path.join(base, "ckpt")
+    )
+
+    # the rebuilt index must surface the streamed content: query with a
+    # streamed chunk's exact text — top hit is that chunk
+    return db.search(
+        query=f"streamed update: {new_texts[7]}", index_type="ivf", k=10
+    ).select("id", F.round("score", 6).alias("score"))

@@ -8,4 +8,7 @@ from local_vectordb_spark.streaming.pipeline import (  # noqa: F401
     watermarked_tumbling,
 )
 from local_vectordb_spark.streaming.stateful import running_user_totals  # noqa: F401
-from local_vectordb_spark.streaming.ingest import run_chunk_upsert_stream  # noqa: F401
+from local_vectordb_spark.streaming.ingest import (  # noqa: F401
+    run_chunk_upsert_stream,
+    run_chunk_upsert_stream_into_db,
+)

@@ -73,3 +73,50 @@ def run_chunk_upsert_stream(
         q.stop()
         raise TimeoutError("chunk upsert stream did not drain in time")
     return spark.read.parquet(table_path)
+
+
+def run_chunk_upsert_stream_into_db(
+    spark: SparkSession,
+    src_dir: str,
+    db,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain chunk JSON files from ``src_dir`` into a :class:`VectorDB`
+    via foreachBatch keyed upserts: per micro-batch, ids new to the
+    table go through ``db.add`` (FK validation, duplicate rejection,
+    batch embed) and existing ids through ``db.update`` (partial merge,
+    re-embed on content change). Every committed batch bumps the
+    table version, so the build-once IVF index (api.VectorDB._ivf_index)
+    invalidates and the NEXT search rebuilds over the streamed state —
+    index maintenance rides the version pointer, once per batch, never
+    per record (the reference rebuilds per insert,
+    /root/reference/src/models/collection.py:97-99). Returns the final
+    chunks table.
+    """
+    stream = (
+        spark.readStream.schema(CHUNK_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .json(src_dir)
+    )
+
+    def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["id"])
+        existing = db.table("chunks").select("id")
+        new_rows = batch.join(existing, "id", "left_anti")
+        upd_rows = batch.join(existing, "id", "left_semi")
+        if new_rows.limit(1).count():
+            db.add("chunks", new_rows)
+        if upd_rows.limit(1).count():
+            db.update("chunks", upd_rows)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("chunk upsert stream did not drain in time")
+    return db.table("chunks")

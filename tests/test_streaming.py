@@ -8,6 +8,7 @@ import json
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from local_vectordb_spark import streaming as st
 from local_vectordb_spark.operators import events as ev
@@ -187,3 +188,85 @@ def test_chunk_upsert_stream_two_drains(spark, tmp_path):
     t2 = st.run_chunk_upsert_stream(spark, str(src), table, ckpt)
     assert t2.count() == 4
     assert t2.filter(f"id = '{ids[0]}'").collect()[0].content == "v2 chunk 0"
+
+
+def test_stream_upserts_invalidate_and_rebuild_ivf(spark, sf_dir, tmp_path):
+    """foreachBatch upserts through the VectorDB must bump the table
+    version (invalidating the build-once IVF cache), and the
+    post-stream search must rebuild and rank the streamed content."""
+    import json
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.streaming.ingest import (
+        run_chunk_upsert_stream_into_db,
+    )
+
+    db = VectorDB(spark, str(tmp_path / "db"))
+    ts = "2025-01-01 00:00:00"
+    db.add(
+        "libraries",
+        spark.createDataFrame(
+            [("lib1", ts, ts, "corpus")],
+            "id string, created_at string, updated_at string, name string",
+        ).select(
+            "id",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.col("created_at").cast("timestamp").alias("created_at"),
+            F.col("updated_at").cast("timestamp").alias("updated_at"),
+            "name",
+        ),
+    )
+    rows = [(f"d{i}", f"doc {i}") for i in range(20)]
+    db.add(
+        "documents",
+        spark.createDataFrame(rows, "id string, name string").select(
+            "id",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            "name",
+            F.lit("lib1").alias("library_id"),
+        ),
+    )
+    db.add(
+        "chunks",
+        spark.createDataFrame(
+            [(f"c{i}", f"baseline content number {i}", f"d{i}") for i in range(20)],
+            "id string, content string, document_id string",
+        ).select(
+            "id",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            "content",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            "document_id",
+        ),
+    )
+    db.search(query="warm the index", index_type="ivf", k=1).collect()
+    v_before = db._version
+    ivf_before = db._ivf_version
+    assert ivf_before == v_before  # index is current pre-stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    special = "a completely unmistakable streamed sentence about zebras"
+    for i in range(5):
+        rec = {
+            "id": f"s{i}",
+            "metadata": {},
+            "created_at": ts,
+            "updated_at": ts,
+            "content": special if i == 3 else f"streamed filler {i}",
+            "embedding": None,
+            "document_id": f"d{i}",
+        }
+        (src / f"s{i}.json").write_text(json.dumps(rec))
+    run_chunk_upsert_stream_into_db(spark, str(src), db, str(tmp_path / "ckpt"))
+
+    assert db._version > v_before          # stream committed new versions
+    assert db._ivf_version < db._version   # cache is stale -> will rebuild
+    hits = db.search(query=special, index_type="ivf", k=3).collect()
+    assert db._ivf_version == db._version  # search rebuilt the index
+    assert hits[0].id == "s3"              # streamed chunk is the top hit
+    assert db.table("chunks").count() == 25
