@@ -435,6 +435,7 @@ class VectorDB:
         k: int = 5,
         metadata: dict | None = None,
         query_vecs: list[tuple[int, list[float]]] | None = None,
+        max_driver_queries: int = 1024,
     ) -> DataFrame:
         """Bulk kNN — a SET of queries against chunks in one job per
         strategy (SURVEY §7 hard part (a): search framed as batch, the
@@ -448,13 +449,28 @@ class VectorDB:
         nsw = LSH candidates pooled across queries, then exact cosine
         rescoring of the pool per query (extra pool members can only
         improve a query's recall vs its own buckets). Returns
-        (query_id, id, score, content)."""
+        (query_id, id, score, content).
+
+        Query sets up to `max_driver_queries` take the interactive
+        path (embeddings collected to the driver, closed over the
+        BLAS/probe kernels — the fastest shape for small batches).
+        Larger sets NEVER route vectors through the driver: they embed
+        distributed and join as a broadcast query table
+        (knn.knn_batch_table / ivf.ivf_search_batch_table, including a
+        distributed centroid probe). nsw caps at the bound — its pooled
+        LSH candidate generation is per-query driver work by
+        construction; large sets should use cosine/ivf."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
         if query_vecs is None and not queries:
             raise ValueError("provide queries or query_vecs")
+        n_queries = len(queries) if query_vecs is None else len(query_vecs)
+        if n_queries > max_driver_queries:
+            return self._search_batch_table(
+                queries, index_type, k, metadata, query_vecs
+            )
         if query_vecs is None:
             rows = self.spark.createDataFrame(
                 [(int(i), t) for i, t in queries], "query_id long, t string"
@@ -483,6 +499,46 @@ class VectorDB:
             cand_ids = reduce(lambda a, b: a.unionByName(b), pools).distinct()
             candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
             scored = knn.knn_batch(candidates, query_vecs, k=k, id_col="id")
+        return knn.hydrate(
+            scored, self.table("chunks"), id_col="id",
+            record_id_col="id", content_col="content",
+            keep_cols=("query_id",),
+        )
+
+    def _search_batch_table(
+        self,
+        queries,
+        index_type: str,
+        k: int,
+        metadata: dict | None,
+        query_vecs,
+    ) -> DataFrame:
+        """Large-set batch search: the query set becomes a DataFrame,
+        embedding runs distributed, and scoring joins a broadcast query
+        table — no per-query driver state at any point."""
+        if index_type not in ("cosine", "ivf"):
+            raise ValueError(
+                f"index {index_type!r} does not scale past max_driver_queries "
+                "(its candidate generation is per-query driver work); use "
+                "'cosine' or 'ivf' for large query sets"
+            )
+        if query_vecs is not None:
+            qdf = self.spark.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in query_vecs],
+                "query_id long, qv array<double>",
+            )
+        else:
+            qdf = self.spark.createDataFrame(
+                [(int(i), t) for i, t in queries], "query_id long, t string"
+            ).select("query_id", self.embedder(F.col("t")).alias("qv"))
+        chunks = self._chunks_for_search(metadata)
+        if index_type == "cosine":
+            scored = knn.knn_batch_table(chunks, qdf, k=k, id_col="id")
+        else:
+            centroids, assignments = self._ivf_index()
+            scored = ivf.ivf_search_batch_table(
+                chunks, assignments, centroids, qdf, k=k, id_col="id"
+            )
         return knn.hydrate(
             scored, self.table("chunks"), id_col="id",
             record_id_col="id", content_col="content",

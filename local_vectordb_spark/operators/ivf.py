@@ -190,6 +190,82 @@ def sign_probe(query_vec: Sequence[float], n_bits: int = 4) -> list[int]:
     return [qb] + [qb ^ (1 << j) for j in range(n_bits)]
 
 
+def ivf_search_batch_table(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Q4 batch with the query set as a DATAFRAME: like
+    ``ivf_search_batch`` but nothing is collected to the driver — the
+    centroid probe itself runs distributed (queries × the tiny
+    broadcast centroid table, squared-L2 ranked by a per-query window,
+    keep n_probe), matching ``probe_clusters``'s L2-with-index-tiebreak
+    ordering exactly. The probe pairs then broadcast-join the
+    assignments table as usual. This is the unbounded-cardinality path:
+    a 100 TB corpus against millions of queries never routes query
+    vectors through the driver.
+    """
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    spark = vectors.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id int, _cv array<double>",
+    )
+    # squared L2 ranks identically to L2 and skips the sqrt
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(query_vec_col).cast("array<double>"),
+            F.col("_cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pw = Window.partitionBy(query_id_col).orderBy(
+        F.asc("_d2"), F.asc("cluster_id")
+    )
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(query_id_col, "cluster_id", d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, "cluster_id")
+    )
+    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
+        query_id_col, id_col
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col(query_vec_col)),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_add(model, new_rows: DataFrame, assignments: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """X4 — assign new vectors with the existing model (no refit)."""

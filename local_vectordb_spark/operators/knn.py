@@ -119,6 +119,50 @@ def knn_batch(
     )
 
 
+def knn_batch_table(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Top-k per query with the query set as a DATAFRAME — the
+    unbounded-cardinality twin of :func:`knn_batch`.
+
+    ``knn_batch`` closes its (collected) query matrix over a pandas
+    UDF, which is optimal for interactive batches but collects every
+    query embedding to the driver first — unbounded for pipeline-scale
+    query sets (millions of queries joining a corpus). Here queries
+    stay distributed end to end: a broadcast nested-loop join pairs
+    every (vector, query), the JVM cosine expression scores inside
+    whole-stage codegen, and the per-query top-k is one window. The
+    broadcast bound is executor memory (~tens of MB of query vectors ≈
+    hundreds of thousands of queries); beyond that, swap the broadcast
+    for a shuffled cross join or an IVF/LSH-pruned candidate join.
+    Output: (query_id, id, score) — identical to knn_batch.
+    """
+    from local_vectordb_spark.functions.vector import cosine_similarity
+
+    scored = vectors.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 def hydrate(
     results: DataFrame,
     records: DataFrame,

@@ -255,6 +255,45 @@ def api_search_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "api_search_batch_table",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    topk AS (
+      SELECT query_id, vec_id, score FROM (
+        SELECT q.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]), 6) AS score,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec::DOUBLE[]), 6) DESC,
+                          e.vec_id ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= {K}
+    )
+    SELECT t.query_id, CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_batch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED batch path through the facade: forcing
+    max_driver_queries=0 routes the same 8 queries through the
+    distributed query-table plan (queries stay a DataFrame, broadcast
+    joined, never collected) — and must hash-match the driver-path
+    oracle exactly. At pipeline scale this is the only shape that
+    works; identical results is the point."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search_batch(
+        query_vecs=_query_vecs(sf_dir, max_vec_id=8),
+        index_type="cosine",
+        k=K,
+        max_driver_queries=0,
+    )
+
+
 # ==========================================================================
 # C1-C10 — batch CRUD semantics (SURVEY §2.1) over the star schema
 # ==========================================================================

@@ -365,3 +365,51 @@ def test_keep_versions_retention(spark, tmp_path):
         if e.startswith("v") and e[1:].isdigit()
     ]
     assert len(vdirs) == 3
+
+
+@pytest.mark.parametrize("index_type", ["cosine", "ivf"])
+def test_search_batch_table_path_matches_driver_path(db, index_type):
+    """A query set just over the driver bound must route through the
+    distributed table path and return exactly what the driver path
+    returns for the same queries."""
+    d, *_ = db
+    qids = [0, 4, 7]
+    qs = [(i, QUESTIONS[i]) for i in qids]
+    driver = d.search_batch(queries=qs, index_type=index_type, k=3)
+    table = d.search_batch(
+        queries=qs, index_type=index_type, k=3, max_driver_queries=0
+    )
+    assert sorted(map(tuple, driver.collect())) == sorted(
+        map(tuple, table.collect())
+    )
+
+
+def test_search_batch_10k_queries_distributed(db):
+    """10k queries exceed the driver bound: the batch must run via the
+    distributed query-table path (no per-query driver state) and return
+    k hits for every query."""
+    d, *_ = db
+    n, k = 10_000, 2
+    qs = [(i, QUESTIONS[i % len(QUESTIONS)]) for i in range(n)]
+    out = d.search_batch(queries=qs, index_type="cosine", k=k)
+    rows = out.groupBy("query_id").count().collect()
+    assert len(rows) == n
+    assert all(r["count"] == k for r in rows)
+    # spot check: each query's top hit is its exact-match chunk
+    top = {
+        r.query_id: r.content
+        for r in out.collect()
+        if r.score > 0.99999
+    }
+    for qid in (0, 5000, 9999):
+        assert top[qid] == QUESTIONS[qid % len(QUESTIONS)]
+
+
+def test_search_batch_nsw_rejects_oversized_set(db):
+    d, *_ = db
+    with pytest.raises(ValueError, match="does not scale"):
+        d.search_batch(
+            queries=[(i, "x") for i in range(3)],
+            index_type="nsw",
+            max_driver_queries=2,
+        )
