@@ -32,6 +32,7 @@ HEADLINE = [
     "knn_hydrated",
     "knn_metadata_filter",
     "ivf_search",
+    "ivf_sign_pruned",  # r5: oracle-exact partition-pruned search
     "knn_graph",
     "knn_graph_blocked",
     "knn_sq8",
@@ -57,6 +58,8 @@ HEADLINE = [
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped",  # r5: skew-capped near-dup path
+    "api_search_batch_table",  # r5: unbounded batch-search path
     "dedup_embedding_cosine_lsh",
     "text_quality",
     "text_repetition_stats",
