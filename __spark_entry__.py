@@ -49,6 +49,7 @@ _PRIORITY = [
     "ivf_sign_pruned",
     "stream_then_ivf_search",
     "api_search_batch_table",
+    "graph_beam_search",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

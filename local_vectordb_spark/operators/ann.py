@@ -224,6 +224,58 @@ def bfs_hops(
     return visited
 
 
+def graph_beam_search(
+    edges: DataFrame,
+    scored: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    hops: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The reference's NSW greedy best-first search
+    (/root/reference/src/models/nsw_index.py:116-162) re-expressed for
+    a distributed engine: fixed-hop BEAM search over the kNN-graph
+    edges DataFrame.
+
+    The sequential algorithm walks one best candidate at a time with a
+    visited set and an early-stop — inherently driver-bound. The
+    distributed re-expression replaces "expand the single best" with
+    "expand the top-`beam` of everything seen" for a FIXED number of
+    hops: each hop joins the frontier to the edges table (one bounded
+    shuffle), unions the neighbours into the visited set, and re-ranks.
+    Entry point = min id (the reference enters at an arbitrary dict
+    key, :127; min id is the deterministic choice), ties break id
+    ascending — so, over the deterministic kNN graph, the entire
+    traversal is value-reproducible in unrolled SQL, which the greedy
+    original (data-dependent stop condition) is not.
+
+    `scored` is the (id, score) relevance scan (knn.score_all — lazy;
+    only visited rows are ever computed). Returns the top-`k` of the
+    final visited set: (id, score).
+    """
+    entry = scored.select(F.min(id_col).alias(id_col))
+    visited = scored.join(F.broadcast(entry), id_col)
+    frontier = visited
+    for _ in range(hops):
+        nbrs = (
+            edges.join(
+                F.broadcast(frontier.select(F.col(id_col).alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias(id_col))
+            .distinct()
+            .join(scored, id_col)
+        )
+        visited = (
+            visited.unionByName(nbrs)
+            .dropDuplicates([id_col])
+            # barrier: keeps hop h+1's plan from re-expanding hops 1..h
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited.orderBy(F.desc("score"), F.asc(id_col)).limit(beam)
+    return visited.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def graph_add(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     """X7 — insert bidirectional edges for new nodes (batch union)."""
     reversed_edges = new_edges.select(

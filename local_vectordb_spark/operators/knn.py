@@ -57,15 +57,29 @@ def knn_brute_force(
     and ties are broken by id ascending (the reference's sort is
     unstable on ties).
     """
+    return (
+        score_all(vectors, query_vec, id_col=id_col, vec_col=vec_col)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def score_all(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, score) for EVERY vector vs one literal query — the shared
+    scoring scan under brute-force kNN and graph traversal (lazy: only
+    the rows a consumer touches are ever scored)."""
     qn = F.array(*[F.lit(x) for x in _unit(query_vec)])
     norm = l2_norm(F.col(vec_col))
     score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col(vec_col), qn) / norm
     )
-    return (
-        vectors.select(F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score"))
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
+    return vectors.select(
+        F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score")
     )
 
 

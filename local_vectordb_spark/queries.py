@@ -1817,6 +1817,62 @@ def graph_bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.bfs_hops(edges, seeds=[0], max_hops=2)
 
 
+_BEAM_GRAPH_SQL = """
+    pair_scores AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM pair_scores
+      ) WHERE rn <= 5
+    ),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    )
+"""
+
+
+@register(
+    "graph_beam_search",
+    f"""
+    WITH {_BEAM_GRAPH_SQL},
+    v0 AS (SELECT vec_id, score FROM rel
+           WHERE vec_id = (SELECT min(vec_id) FROM rel)),
+    n1 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN v0 ON g.src = v0.vec_id),
+    v1 AS (SELECT * FROM v0
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n1 USING (vec_id)),
+    f1 AS (SELECT * FROM v1 ORDER BY score DESC, vec_id ASC LIMIT 8),
+    n2 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN f1 ON g.src = f1.vec_id),
+    v2 AS (SELECT * FROM v1
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n2 USING (vec_id)),
+    f2 AS (SELECT * FROM v2 ORDER BY score DESC, vec_id ASC LIMIT 8),
+    n3 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN f2 ON g.src = f2.vec_id),
+    v3 AS (SELECT * FROM v2
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n3 USING (vec_id))
+    SELECT vec_id, score FROM v3 ORDER BY score DESC, vec_id ASC LIMIT {K}
+    """,
+)
+def graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST reference algorithm without a distributed twin: NSW
+    greedy best-first search (nsw_index.py:116-162), re-expressed as
+    3-hop beam-8 search over the deterministic k=5 kNN graph. Each hop
+    expands the current top-beam's edges and re-ranks everything seen;
+    entry = min vec_id (the reference's entry is an arbitrary dict
+    key). Over the deterministic graph the whole traversal unrolls
+    into plain SQL, so — unlike the greedy original with its
+    data-dependent stop — it is value-checked end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = ann.knn_graph(emb, k=5)
+    scored = knn.score_all(emb, _query_vecs(sf_dir)[0][1])
+    return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
+
+
 @register(
     "ivf_add_remove_roundtrip",
     f"""

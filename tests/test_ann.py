@@ -163,3 +163,26 @@ def test_knn_graph_blocked_odd_block_count(spark, sf_dir):
         for r in ann.knn_graph_blocked(emb, k=3, n_blocks=7).collect()
     }
     assert got == want
+
+
+def test_graph_beam_search_deterministic_and_recalls(spark, sf_dir):
+    """Fixed-hop beam search over the kNN graph (the NSW greedy-search
+    swap): deterministic across runs, scores sorted desc with id
+    tiebreak, and recall@10 vs brute force well above chance on the
+    fixture corpus."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import knn
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = q._query_vecs(sf_dir)[0][1]
+    edges = ann.knn_graph(emb, k=5)
+    scored = knn.score_all(emb, qv)
+    a = ann.graph_beam_search(edges, scored, k=10, beam=8, hops=3).collect()
+    b = ann.graph_beam_search(edges, scored, k=10, beam=8, hops=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    scores = [r.score for r in a]
+    assert scores == sorted(scores, reverse=True)
+    beam_ids = {r.vec_id for r in a}
+    brute_ids = {r.vec_id for r in knn.knn_brute_force(emb, qv, k=10).collect()}
+    assert len(beam_ids & brute_ids) / 10 >= 0.5
