@@ -280,12 +280,34 @@ def winnow_fingerprints_batch(k: int = 7, w: int = 4) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text — the unit
-    set for Jaccard/MinHash dedup."""
+    set for Jaccard/MinHash dedup.
+
+    Built as a constant-count zip_with chain over n shifted slices of
+    the token array (the expression-evaluation discipline from
+    ``winnow_fingerprints``): the original
+    ``transform(sequence(...), i -> concat_ws(slice(toks, i+1, n)))``
+    CAPTURES ``toks`` in the lambda, re-running the whole
+    normalize+tokenize pipeline once PER GRAM — O(words²) regex work
+    per document, ~10× the runtime of the shingle scan at sf0.1 under
+    the 4.1.x interpreted HOF path. Semantics are unchanged, including
+    the edges the SQL oracles pin: documents with fewer than n tokens
+    yield ONE shorter gram (join of the available tokens), and empty/
+    whitespace-only text yields [''].
+    """
     toks = tokens(normalize_text(text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    m = F.greatest(F.size(toks) - n, F.lit(0)) + F.lit(1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        # tail grams run past the array: zip_with pads with null — keep
+        # the shorter gram, matching concat_ws-of-available semantics
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, m),
+            lambda g, t: F.when(t.isNull(), g).otherwise(
+                F.concat(g, F.lit(" "), t)
+            ),
+        )
+    grams = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(grams)
     return F.array_distinct(grams)
 
 

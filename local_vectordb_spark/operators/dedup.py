@@ -90,7 +90,11 @@ def ngram_jaccard_dupes(
     cap), so the filter is a broadcast anti-join — the posting list is
     never shuffled for it. Default None preserves exact Jaccard.
     """
-    sets_df = shingle_sets(docs, id_col, text_col, n)
+    from local_vectordb_spark.session import ensure_min_parallelism
+
+    # CPU-heavy per-row shingling: a single small parquet file arrives
+    # as 1-2 splits and would pin the whole pipeline to 2 cores
+    sets_df = shingle_sets(ensure_min_parallelism(docs), id_col, text_col, n)
     sizes = sets_df.select(F.col(id_col), "n_shingles")
     posting = sets_df.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
@@ -106,16 +110,31 @@ def ngram_jaccard_dupes(
         sizes = posting.groupBy(id_col).agg(
             F.count("*").alias("n_shingles")
         )
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Bucket-local pair generation (same shape as _bucket_pairs): ONE
+    # shuffle of the posting list into per-shingle member lists, pairs
+    # exploded bucket-locally. A two-sided self-join would shuffle the
+    # posting list twice AND re-run the shingle pipeline per side.
+    # Per-shingle work is C(df,2) — bounded by max_df when capped; the
+    # aggregate output is a materialization barrier, so the pair
+    # lambdas reference a plain attribute.
+    buckets = (
+        posting.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda m2: F.struct(m.alias("a"), m2.alias("b")),
+            ),
         )
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+            F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
         )
         .agg(F.count("*").alias("n_inter"))
     )
