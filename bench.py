@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped",  # r5: skew-capped near-dup path
+    "dedup_simhash_md5",  # r5: one-pass simhash (was 60 aggregate passes)
     "api_search_batch_table",  # r5: unbounded batch-search path
     "dedup_embedding_cosine_lsh",
     "text_quality",

@@ -468,33 +468,59 @@ def connected_components(
     return labels
 
 
+def _simhash_expr(hashes, n_bits: int):
+    """SimHash from a token-hash array in ONE aggregate pass.
+
+    The naive form — n_bits separate `aggregate(hashes, ...)` branches,
+    one per bit — re-evaluates `hashes` (the whole tokenize+hash
+    pipeline) once PER BIT per row: 60-64 full passes, ~10-20× the
+    query runtime at sf0.1 under the 4.1.x interpreted HOF path. Same
+    discipline as the MinHash signatures: one aggregate whose
+    accumulator carries ALL n_bits running vote counts, with the
+    bit-assembly in the finish lambda (the accumulator is a plain
+    variable there — referencing it n_bits times costs nothing).
+    Vote rule unchanged: bit_j = 1 iff Σ_tokens (bit_j(hash)*2-1) > 0.
+    """
+    init = F.array(*[F.lit(0) for _ in range(n_bits)])
+
+    def merge(acc, h):
+        return F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for j in range(n_bits)
+            ]
+        )
+
+    def finish(acc):
+        sim = None
+        for j in range(n_bits):
+            bit = F.when(
+                F.element_at(acc, j + 1) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            term = F.shiftleft(bit, j)
+            sim = term if sim is None else sim.bitwiseOR(term)
+        return sim
+
+    return F.aggregate(hashes, init, merge, finish)
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc from token xxhash64 bit votes (JVM-side).
 
     bit_j(doc) = 1 iff Σ_tokens (bit_j(xxhash64(token))*2 - 1) > 0.
-    Output: (id, simhash BIGINT).
+    Output: (id, simhash BIGINT). One aggregate pass (see
+    :func:`_simhash_expr`).
     """
     from local_vectordb_spark.functions.text import normalize_text, tokens
 
     toks = tokens(normalize_text(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote(j):
-        # closure factory: F.aggregate requires an exactly-2-ary merge
-        # lambda, so the bit index can't ride along as a default arg
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(64)]
-    sim = None
-    for j, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    return docs.select(
+        F.col(id_col), _simhash_expr(hashes, 64).alias("simhash")
+    )
 
 
 def simhash_dupes(
@@ -510,7 +536,9 @@ def simhash_dupes(
     bands identical), so candidates come from 4 equi-joins, not a
     cross join. Output: (a_id, b_id, hamming).
     """
-    sigs = simhash_signatures(docs, id_col, text_col)
+    from local_vectordb_spark.session import ensure_min_parallelism
+
+    sigs = simhash_signatures(ensure_min_parallelism(docs), id_col, text_col)
     return _simhash_band_pairs(sigs, max_hamming, id_col, bits_per_band=16)
 
 
@@ -533,20 +561,42 @@ def _simhash_band_pairs(
     banded = sigs.select(
         F.col(id_col), F.col("simhash"), F.posexplode(bands).alias("band", "key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # bucket-local pair generation (same shape as _bucket_pairs): one
+    # shuffle into per-(band, key) member lists, signatures computed
+    # ONCE — a two-sided self-join would shuffle the banded rows twice
+    # and re-run the whole signature aggregate per side
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+                )
+            ).alias("ms")
         )
+        .filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda m2: F.struct(
+                    m["id"].alias("a_id"),
+                    m2["id"].alias("b_id"),
+                    F.bit_count(
+                        m["simhash"].bitwiseXOR(m2["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            ham.alias("hamming"),
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            F.col("p.hamming").alias("hamming"),
         )
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("hamming") <= max_hamming)
@@ -572,19 +622,9 @@ def simhash_signatures_portable(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-
-    def vote(j):
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        ).cast("int")
-
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(j)) for j in range(60)]
-    sim = None
-    for j, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+    return docs.select(
+        F.col(id_col), _simhash_expr(hashes, 60).alias("simhash")
+    )
 
 
 def simhash_dupes_portable(
@@ -598,7 +638,11 @@ def simhash_dupes_portable(
     verification, dropDuplicates), but signatures — and therefore
     candidate pairs and Hamming distances — are bit-identical across
     engines. Output: (a_id, b_id, hamming)."""
-    sigs = simhash_signatures_portable(docs, id_col, text_col)
+    from local_vectordb_spark.session import ensure_min_parallelism
+
+    sigs = simhash_signatures_portable(
+        ensure_min_parallelism(docs), id_col, text_col
+    )
     return _simhash_band_pairs(sigs, max_hamming, id_col, bits_per_band=15)
 
 
