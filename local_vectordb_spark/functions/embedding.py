@@ -46,12 +46,28 @@ def letter_count_embedding(text: Column) -> Column:
         )
         for ch in LETTERS
     ]
-    vec = F.array(*counts)
-    norm = F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return F.when(norm == 0.0, vec).otherwise(
-        F.transform(vec, lambda x: x / norm)
+    return _l2_normalized(F.array(*counts))
+
+
+def _l2_normalized(vec: Column) -> Column:
+    """L2-normalize an array column with ONE sum-of-squares pass.
+
+    The naive ``transform(vec, x -> x / norm)`` CAPTURES ``norm`` in
+    the lambda, so the full norm aggregate — and the vector expression
+    under it — re-evaluates once PER ELEMENT (the dim² trap that made
+    embed_letter_knn ~5× slower at sf0.1). Here the sum of squares is
+    the aggregate's accumulator and the divide lives in its finish
+    lambda, where referencing the accumulator and the (argument-bound)
+    array costs nothing extra. Zero vectors pass through unscaled,
+    matching the oracle's CASE guard.
+    """
+    return F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+        lambda s: F.when(s == 0.0, vec).otherwise(
+            F.transform(vec, lambda x: x / F.sqrt(s))
+        ),
     )
 
 
@@ -84,11 +100,7 @@ def md5_embedding(text: Column, dim: int = 8) -> Column:
         )
         for j in range(dim)
     ]
-    vec = F.array(*comps)
-    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
-    return F.when(norm == 0.0, vec).otherwise(
-        F.transform(vec, lambda x: x / norm)
-    )
+    return _l2_normalized(F.array(*comps))
 
 
 def hashed_embedding_udf(dim: int = 64, seed: int = 42):

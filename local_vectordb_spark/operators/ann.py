@@ -205,6 +205,10 @@ def bfs_hops(
     re-weighting pass is needed. Output: (node, hop).
     """
     spark = edges.sparkSession
+    # materialize the edge list once: every round joins against it, and
+    # without the barrier each round re-derives the FULL graph-build
+    # lineage (an O(n²/blocks) matmul when fed from knn_graph_blocked)
+    edges = edges.localCheckpoint(eager=True)
     visited = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "node long, hop int"
     )

@@ -102,6 +102,7 @@ def band_join_count(
     by_cols: Sequence[str],
     tolerance_s: int,
     count_alias: str = "n_band",
+    unique_key: str | None = None,
 ) -> DataFrame:
     """Count, for each left row, the right rows with the same `by_cols`
     key whose timestamp lies within ±`tolerance_s` seconds (the banded
@@ -130,18 +131,21 @@ def band_join_count(
     r_cell = F.floor(r_micros / F.lit(tol_us))
     # A per-input-row disambiguator keeps fully duplicate left rows
     # from collapsing into one output row in the regrouping after the
-    # explode. row_number partitioned by ALL left columns is
-    # DETERMINISTIC under task retries (identical rows are
-    # interchangeable, so any 1..m numbering yields the same groups) —
-    # unlike monotonically_increasing_id, which can re-assign ids when
-    # an unstable upstream partitioning is recomputed and silently
-    # split/merge groups. Costs one extra shuffle on the full row; at
-    # scale pass a real unique key column instead and group on it.
-    w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
-    lk = (
-        left.withColumn(rid, F.row_number().over(w))
-        .withColumn("_l_us", l_micros)
-        .withColumn("_cell", F.explode(F.array(cell - 1, cell, cell + 1)))
+    # explode. With a caller-declared `unique_key` the key itself is
+    # the disambiguator — zero extra cost, the 100 TB path. Otherwise
+    # row_number partitioned by ALL left columns: DETERMINISTIC under
+    # task retries (identical rows are interchangeable, so any 1..m
+    # numbering yields the same groups) — unlike
+    # monotonically_increasing_id, which can re-assign ids when an
+    # unstable upstream partitioning is recomputed and silently
+    # split/merge groups — but it costs one extra full-row shuffle.
+    if unique_key is not None:
+        lk = left.withColumn(rid, F.col(unique_key))
+    else:
+        w = Window.partitionBy(*left.columns).orderBy(F.lit(1))
+        lk = left.withColumn(rid, F.row_number().over(w))
+    lk = lk.withColumn("_l_us", l_micros).withColumn(
+        "_cell", F.explode(F.array(cell - 1, cell, cell + 1))
     )
     rk = right.select(*by_cols, r_cell.alias("_cell"), r_micros.alias("_r_us"))
     joined = lk.join(rk, [*by_cols, "_cell"], "left")

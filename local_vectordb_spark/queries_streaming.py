@@ -191,7 +191,13 @@ def stream_then_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src_dir)
     db = VectorDB(spark, os.path.join(base, "db"))
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # seed corpus capped at 500 docs: the e2e exercises versioned
+    # writes + index invalidation, whose cost is per-WRITE, not
+    # per-row; an uncapped seed just multiplies parquet churn with sf
+    # (identical behavior at sf0.01, where doc_ids are 0..499)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 500
+    )
     ts = "2025-01-01 00:00:00"
     db.add(
         "libraries",

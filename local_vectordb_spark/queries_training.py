@@ -432,5 +432,6 @@ def events_band_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFram
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     return band_join_count(
-        errors, clicks, "ts", ["user_id"], 60, "n_clicks_60s"
+        errors, clicks, "ts", ["user_id"], 60, "n_clicks_60s",
+        unique_key="event_id",
     ).select("event_id", "user_id", "n_clicks_60s")

@@ -144,3 +144,21 @@ def test_band_join_duplicate_left_rows_preserved(spark):
     rows = band_join_count(left, right, "ts", ["user_id"], 60, "n").collect()
     assert len(rows) == 2
     assert [r.n for r in rows] == [1, 1]
+
+
+def test_band_join_unique_key_matches_rownumber_path(spark, sf_dir):
+    """The unique_key fast path (no full-row window shuffle) must
+    return exactly what the row_number fallback returns when the key
+    really is unique."""
+    from local_vectordb_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    slow = band_join_count(errors, clicks, "ts", ["user_id"], 600, "n")
+    fast = band_join_count(
+        errors, clicks, "ts", ["user_id"], 600, "n", unique_key="event_id"
+    )
+    assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
