@@ -114,19 +114,38 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language by marker hits; 'und' (undetermined) when no
-    marker matches. Deterministic tie-break: language name ascending."""
-    scores = lang_scores(text)
-    pairs = F.array(
-        *[
-            F.struct(score.alias("hits"), F.lit(lang).alias("lang"))
-            for lang, score in sorted(scores.items())
-        ]
-    )
-    # pick max hits, then min lang among maxima (deterministic tie-break)
-    max_hits = F.array_max(F.transform(pairs, lambda p: p["hits"]))
-    winners = F.filter(pairs, lambda p: p["hits"] == max_hits)
-    first = F.array_min(F.transform(winners, lambda p: p["lang"]))
-    return F.when(max_hits == 0, F.lit("und")).otherwise(first)
+    marker matches. Deterministic tie-break: language name ascending.
+
+    One fold over the (hits, lang) array: the earlier max_hits/winners
+    formulation CAPTURED the pairs array inside filter/transform
+    lambdas, re-evaluating all five tokenize+count expressions dozens
+    of times per row (the winnow/shingles capture trap). Here pairs is
+    the aggregate's ARGUMENT (one evaluation); strict `>` keeps the
+    first — lexicographically smallest — language among maxima because
+    the array is built in sorted-language order.
+    """
+    langs = sorted(LANG_MARKERS)
+    toks = tokens(F.lower(text))
+    init = F.array(*[F.lit(0) for _ in langs])
+
+    def merge(acc, t):
+        return F.array(
+            *[
+                F.element_at(acc, i + 1)
+                + F.when(t.isin(LANG_MARKERS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    def finish(acc):
+        mx = F.greatest(*[F.element_at(acc, i + 1) for i in range(len(langs))])
+        expr = F.when(mx == F.lit(0), F.lit("und"))
+        # chained whens in sorted-language order: first max wins
+        for i, lang in enumerate(langs):
+            expr = expr.when(F.element_at(acc, i + 1) == mx, F.lit(lang))
+        return expr
+
+    return F.aggregate(toks, init, merge, finish)
 
 
 def normalize_text(text: Column) -> Column:
