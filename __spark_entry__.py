@@ -50,6 +50,10 @@ _PRIORITY = [
     "stream_then_ivf_search",
     "api_search_batch_table",
     "graph_beam_search",
+    "orders_percentile_by_priority",
+    "part_cube_brand_size",
+    "events_retention_cohorts",
+    "docs_zipf_token_freq",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

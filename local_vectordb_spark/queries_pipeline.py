@@ -389,3 +389,85 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+           CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+    FROM days d JOIN cohorts c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, d.day) BETWEEN 0 AND 7
+    GROUP BY c.cohort_day, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day-offset 0..7 — the standard engagement matrix. Two
+    shuffles (distinct user-days, then the cohort join aggregates);
+    the cohort table is per-user and broadcastable at any corpus size
+    where users fit a dim table, and the offset bound keeps the
+    output O(days x 8)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    off = F.datediff(F.col("day"), F.col("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .filter((off >= 0) & (off <= 7))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "docs_zipf_token_freq",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY token)
+    SELECT token, freq, CAST(rank AS INT) AS rank FROM (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+      FROM freq
+    ) WHERE rank <= 50
+    """,
+)
+def docs_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency head (the Zipf curve's top 50): explode →
+    count → global rank. The groupBy is map-side-combined (hot tokens
+    collapse before the shuffle) and the final rank runs over the
+    already-tiny distinct-token aggregate, so the single-partition
+    window never sees raw tokens — the corpus-stats primitive behind
+    vocabulary builds and stopword lists."""
+    from local_vectordb_spark.functions.text import tokens as toks_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(toks_fn(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("token", "freq", "rank")
+    )

@@ -1311,3 +1311,74 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Exact per-group percentiles (the interpolated-quantile surface)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_percentile_by_priority",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (one hash-agg shuffle;
+    Spark's `percentile` sorts within each group's aggregation buffer).
+    Continuous interpolation matches DuckDB's quantile_cont exactly, so
+    unlike approx_percentile sketches this is value-reproducible. At
+    100 TB the same plan holds: percentile state is per-group, and the
+    cardinality of the group key (5 priorities) bounds the reduce side."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE (completes the grouping surface: GROUP BY / ROLLUP / SETS / CUBE)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_cube_brand_size",
+    """
+    SELECT coalesce(p_brand, 'ALL') AS brand,
+           coalesce(CAST(p_size AS VARCHAR), 'ALL') AS size,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           ROUND(sum(p_retailprice), 2) AS sum_retail
+    FROM part
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def part_cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (brand, size): all four grouping combinations in
+    ONE pass (Spark expands the cube map-side — one shuffle, not four
+    scans). Completes the grouping-operator surface next to
+    rollup_revenue (ROLLUP) and grouping_sets_flag_status (SETS)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.cube("p_brand", "p_size")
+        .agg(
+            F.count("*").alias("n_parts"),
+            # sum, not avg: retail prices are 2dp quantities, so the
+            # rounded sum is stable under float add-order differences;
+            # a rounded AVG can land exactly on a half-cent boundary
+            # and flip between engines
+            F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("p_size").cast("string"), F.lit("ALL")).alias("size"),
+            "n_parts",
+            "sum_retail",
+        )
+    )
