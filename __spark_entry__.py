@@ -54,6 +54,8 @@ _PRIORITY = [
     "part_cube_brand_size",
     "events_retention_cohorts",
     "docs_zipf_token_freq",
+    "events_session_funnel",
+    "supplier_balance_ntile",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

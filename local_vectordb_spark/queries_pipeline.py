@@ -471,3 +471,46 @@ def docs_zipf_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("token", "freq", "rank")
     )
+
+
+@register(
+    "events_session_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'click') AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+           CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS BIGINT)
+             AS n_view_click_purchase
+    FROM firsts
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the first
+    occurrence of each stage, counted only when stages happen IN ORDER
+    — the product-analytics sequence-matching primitive. One
+    conditional-aggregation shuffle on user_id; no self-joins, no
+    per-stage scans, so the plan is a single pass however many stages
+    the funnel has."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    ordered_click = F.col("t_click") > F.col("t_view")
+    ordered_purchase = ordered_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(ordered_click, 1)).alias("n_view_click"),
+        F.count(F.when(ordered_purchase, 1)).alias("n_view_click_purchase"),
+    )

@@ -1382,3 +1382,40 @@ def part_cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_retail",
         )
     )
+
+
+@register(
+    "supplier_balance_ntile",
+    """
+    SELECT quartile,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           ROUND(min(s_acctbal), 2) AS min_bal,
+           ROUND(max(s_acctbal), 2) AS max_bal
+    FROM (
+      SELECT s_acctbal,
+             CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS INT)
+               AS quartile
+      FROM supplier
+    )
+    GROUP BY quartile
+    """,
+)
+def supplier_balance_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles over account balance (deterministic tie-break by
+    key) aggregated per bucket — the bucketed-ranking window function
+    the surface was missing next to row_number/rank/lag. The global
+    window sorts only the supplier dim table; per-bucket aggregation
+    combines map-side."""
+    s = load_table(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.select("s_acctbal", F.ntile(4).over(w).cast("int").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+        )
+    )
