@@ -1,0 +1,202 @@
+"""HTTP serving adapter: the reference's REST surface over the batch
+facade.
+
+The reference exposes its engine as a FastAPI app
+(/root/reference/src/main.py:90-341: CRUD on libraries/documents/chunks
+plus POST /query). This engine is batch-first by design (SURVEY §7
+hard part (a)): the scalable interfaces are the DataFrame facade
+(api.VectorDB) and the streaming ingest, not request/response CRUD on
+a Spark driver. This module exists for API parity — a user of the
+reference can point their HTTP client here and run the same routes —
+implemented as a thin stdlib adapter over :class:`VectorDB`:
+
+- one JSON record in a request body becomes a one-row DataFrame through
+  the same validated/embedded/versioned write path batch callers use;
+- ``POST /query`` routes to ``VectorDB.search`` (cosine/ivf/nsw/hybrid
+  — the reference's COSINE/IVF/NSW enum accepted case-insensitively)
+  and returns the reference's ``{"results": [{id, confidence,
+  content}]}`` shape (src/models/search.py:6-31);
+- list endpoints ``collect()`` — fine for a demo corpus, marked here
+  so nobody mistakes it for the 100 TB path. Real deployments serve
+  search from an exported index, not the Spark driver.
+
+No FastAPI/uvicorn dependency: ``http.server`` from the stdlib, so the
+adapter runs in the bare test container.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.api import INDEX_TYPES, VectorDB
+from local_vectordb_spark.sources.json_records import SCHEMAS
+
+_PARENT_FIELD = {"documents": "library_id", "chunks": "document_id"}
+_PARENT_KIND = {"documents": "libraries", "chunks": "documents"}
+
+
+def _row_to_json(row) -> dict:
+    out = {}
+    for k, v in row.asDict(recursive=True).items():
+        out[k] = str(v) if hasattr(v, "isoformat") else v
+    return out
+
+
+def _record_df(db: VectorDB, kind: str, body: dict, item_id: str):
+    """One request body -> a one-row DataFrame in the kind's schema
+    (missing fields null; the write path fills timestamps/embeddings)."""
+    fields = {f.name: None for f in SCHEMAS[kind].fields}
+    fields.update({k: v for k, v in body.items() if k in fields})
+    fields["id"] = item_id
+    if fields.get("metadata") is not None:
+        fields["metadata"] = {str(k): str(v) for k, v in fields["metadata"].items()}
+    row_df = db.spark.createDataFrame(
+        [tuple(fields[f.name] for f in SCHEMAS[kind].fields)], SCHEMAS[kind]
+    )
+    ts_cols = [
+        f.name
+        for f in SCHEMAS[kind].fields
+        if f.dataType.simpleString() == "timestamp" and fields[f.name] is None
+    ]
+    for c in ts_cols:
+        row_df = row_df.withColumn(c, F.lit(None).cast("timestamp"))
+    return row_df
+
+
+class _Handler(BaseHTTPRequestHandler):
+    db: VectorDB  # injected by make_server
+
+    # ------------- plumbing -------------
+
+    def _send(self, code: int, payload=None) -> None:
+        body = b"" if payload is None else json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def log_message(self, *args) -> None:  # quiet test output
+        pass
+
+    def _route(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        kind = parts[0] if parts else ""
+        item = parts[1] if len(parts) > 1 else None
+        return kind, item
+
+    # ------------- verbs -------------
+
+    def do_GET(self) -> None:
+        kind, item = self._route()
+        if kind in ("", "health"):
+            self._send(200, {"status": "ok"})
+            return
+        if kind not in SCHEMAS:
+            self._send(404, {"detail": f"unknown collection {kind!r}"})
+            return
+        if item is None:
+            self._send(200, [_row_to_json(r) for r in self.db.table(kind).collect()])
+            return
+        rows = self.db.get(kind, item).collect()
+        if not rows:
+            self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
+            return
+        self._send(200, _row_to_json(rows[0]))
+
+    def do_POST(self) -> None:
+        kind, _ = self._route()
+        if kind == "reset":
+            self.db.reset()
+            self._send(200, {"status": "reset"})
+            return
+        if kind == "query":
+            self._do_query()
+            return
+        if kind not in SCHEMAS:
+            self._send(404, {"detail": f"unknown collection {kind!r}"})
+            return
+        body = self._body()
+        fk = _PARENT_FIELD.get(kind)
+        if fk and not self.db.exists(_PARENT_KIND[kind], str(body.get(fk))):
+            self._send(404, {"detail": f"parent {body.get(fk)} not found"})
+            return
+        item_id = str(body.get("id") or uuid.uuid4())
+        if self.db.exists(kind, item_id):
+            self._send(409, {"detail": f"{item_id} already exists"})
+            return
+        self.db.add(kind, _record_df(self.db, kind, body, item_id))
+        self._send(201, _row_to_json(self.db.get(kind, item_id).collect()[0]))
+
+    def do_PUT(self) -> None:
+        kind, item = self._route()
+        if kind not in SCHEMAS or item is None:
+            self._send(404, {"detail": "unknown route"})
+            return
+        if not self.db.exists(kind, item):
+            self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
+            return
+        self.db.update(kind, _record_df(self.db, kind, self._body(), item))
+        self._send(200, _row_to_json(self.db.get(kind, item).collect()[0]))
+
+    def do_DELETE(self) -> None:
+        kind, item = self._route()
+        if kind not in SCHEMAS or item is None:
+            self._send(404, {"detail": "unknown route"})
+            return
+        if not self.db.exists(kind, item):
+            self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
+            return
+        self.db.delete(kind, self.db.spark.createDataFrame([(item,)], "id string"))
+        self._send(204)
+
+    # ------------- search -------------
+
+    def _do_query(self) -> None:
+        body = self._body()
+        collection = body.get("collection", "chunks")
+        if collection != "chunks":
+            # only chunks carry embeddings — same effective constraint
+            # as the reference (indexes are registered on chunks only,
+            # src/main.py:33-44 -> 400 on unconfigured index)
+            self._send(400, {"detail": "search is configured on 'chunks' only"})
+            return
+        index_type = str(body.get("index_type", "cosine")).lower()
+        if index_type not in INDEX_TYPES:
+            self._send(400, {"detail": f"unknown index {index_type!r}"})
+            return
+        try:
+            hits = self.db.search(
+                query=body.get("text"),
+                index_type=index_type,
+                k=int(body.get("limit", 5)),
+                metadata=body.get("metadata") or None,
+            ).collect()
+        except ValueError as e:
+            self._send(400, {"detail": str(e)})
+            return
+        self._send(
+            200,
+            {
+                "results": [
+                    {"id": r.id, "confidence": r.score, "content": r.content}
+                    for r in hits
+                ]
+            },
+        )
+
+
+def make_server(db: VectorDB, host: str = "127.0.0.1", port: int = 0):
+    """Build (not start) a ThreadingHTTPServer bound to the facade.
+    ``port=0`` picks an ephemeral port (``server.server_address[1]``)."""
+    handler = type("BoundHandler", (_Handler,), {"db": db})
+    return ThreadingHTTPServer((host, port), handler)

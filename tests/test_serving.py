@@ -1,0 +1,117 @@
+"""End-to-end test of the HTTP serving adapter: the reference's REST
+routes (create library -> document -> chunks -> query, plus 404/409
+paths and cascade delete) against a live ThreadingHTTPServer bound to
+a VectorDB. Mirrors the reference's own e2e shape (tests/e2e.py) with
+the deterministic embedder instead of Cohere."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from local_vectordb_spark.api import VectorDB
+from local_vectordb_spark.serving import make_server
+
+QUESTIONS = [
+    "what is the capital of germany",
+    "how do rainbows form in the sky",
+    "who wrote the origin of species",
+]
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    db = VectorDB(spark, str(tmp_path_factory.mktemp("serve_db")))
+    srv = make_server(db)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _req(base, method, path, body=None):
+    data = None if body is None else json.dumps(body).encode()
+    req = urllib.request.Request(base + path, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as e:
+        raw = e.read()
+        return e.code, json.loads(raw) if raw else None
+
+
+def test_full_rest_flow(server):
+    assert _req(server, "GET", "/health")[0] == 200
+    assert _req(server, "POST", "/reset")[0] == 200
+
+    code, lib = _req(server, "POST", "/libraries", {"name": "corpus"})
+    assert code == 201
+    lib_id = lib["id"]
+
+    # FK validation: document with a bogus parent is rejected
+    code, _ = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": "nope"}
+    )
+    assert code == 404
+
+    code, doc = _req(
+        server, "POST", "/documents", {"name": "faq", "library_id": lib_id}
+    )
+    assert code == 201
+    doc_id = doc["id"]
+
+    chunk_ids = []
+    for q in QUESTIONS:
+        code, ch = _req(
+            server, "POST", "/chunks", {"content": q, "document_id": doc_id}
+        )
+        assert code == 201
+        assert ch["embedding"] is not None  # embedded on create
+        chunk_ids.append(ch["id"])
+
+    # duplicate id rejected with 409 (C9)
+    code, _ = _req(
+        server,
+        "POST",
+        "/chunks",
+        {"id": chunk_ids[0], "content": "dup", "document_id": doc_id},
+    )
+    assert code == 409
+
+    # query: exact-match content must surface as top hit with ~1.0 score
+    code, res = _req(
+        server,
+        "POST",
+        "/query",
+        {"collection": "chunks", "index_type": "COSINE", "text": QUESTIONS[1], "limit": 2},
+    )
+    assert code == 200
+    top = res["results"][0]
+    assert top["content"] == QUESTIONS[1]
+    assert top["confidence"] == pytest.approx(1.0, abs=1e-5)
+
+    # unknown index type is a 400, like the reference's unconfigured-index path
+    code, _ = _req(server, "POST", "/query", {"index_type": "bogus", "text": "x"})
+    assert code == 400
+
+    # partial update re-embeds changed content (PUT path)
+    code, updated = _req(
+        server, "PUT", f"/chunks/{chunk_ids[0]}", {"content": "fresh text"}
+    )
+    assert code == 200 and updated["content"] == "fresh text"
+
+    # cascade: deleting the library removes documents and chunks
+    assert _req(server, "DELETE", f"/libraries/{lib_id}")[0] == 204
+    assert _req(server, "GET", f"/documents/{doc_id}")[0] == 404
+    assert _req(server, "GET", "/chunks")[1] == []
+
+
+def test_point_lookup_404(server):
+    assert _req(server, "GET", "/libraries/does-not-exist")[0] == 404
+    assert _req(server, "GET", "/nonsense")[0] == 404
