@@ -89,3 +89,90 @@ def test_rolling_hash_equality_iff_normalized_equality(sp, a, b):
         # mod-2^31 collisions exist in principle; for these tiny inputs
         # a collision would indicate a real bug
         assert h[0] != h[1]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab c.!é\t\n0",  # spaces/tabs/punct/non-ASCII/digits
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_shingles_match_python_reference(sp, texts):
+    """The zip_with-chain shingle builder equals the straightforward
+    Python definition (normalize, tokenize, join every 3-token window,
+    short docs -> one shorter gram, empty -> ['']) for arbitrary text."""
+    import re
+
+    def ref(t: str) -> list[str]:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        toks = [w for w in norm.split(" ") if w != ""]
+        if not toks:
+            return [""]
+        grams = [
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1)
+        ]
+        return sorted(set(grams), key=grams.index)  # distinct, first-seen
+
+    df = sp.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: sorted(r.s)
+        for r in df.select("i", T.shingles(F.col("t")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == sorted(ref(t)), (t, got[i])
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XYZ.!?é12\t", min_size=0, max_size=60),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SLOW
+def test_winnow_udf_equals_column_form(sp, texts):
+    """The Arrow-batched winnow UDF is byte-identical to the Column HOF
+    form on arbitrary text (normalization, short docs, non-ASCII)."""
+    df = sp.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    col_form = {
+        r.i: r.fps
+        for r in df.select(
+            "i", F.array_sort(T.winnow_fingerprints(F.col("t"))).alias("fps")
+        ).collect()
+    }
+    wn = T.winnow_fingerprints_batch()
+    udf_form = {
+        r.i: r.fps
+        for r in df.select(
+            "i", wn(T.normalize_text(T.ascii_only(F.col("t")))).alias("fps")
+        ).collect()
+    }
+    assert col_form == udf_form
+
+
+@given(
+    micros=st.lists(
+        st.integers(0, 4_102_444_800_000_000),  # 1970..2100 in µs
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_epoch_micros_roundtrip_ntz(sp, micros):
+    """epoch_micros inverts timestamp construction exactly for NTZ
+    columns across the full representable range (no tz dependence,
+    no precision loss)."""
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
+    df = sp.createDataFrame([(m,) for m in micros], "us long").select(
+        F.col("us"), F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts")
+    )
+    out = df.select("us", epoch_micros(df, "ts").alias("back")).collect()
+    assert all(r.us == r.back for r in out)
