@@ -56,6 +56,8 @@ _PRIORITY = [
     "docs_zipf_token_freq",
     "events_session_funnel",
     "supplier_balance_ntile",
+    "events_error_burst_windows",
+    "docs_quality_quantiles",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

@@ -53,6 +53,8 @@ HEADLINE = [
     "events_tumbling_hour",
     "events_sessionize",
     "events_asof_last_view",
+    "events_session_funnel",  # r5: ordered-funnel conditional agg
+    "graph_beam_search",  # r5: NSW traversal as distributed beam search
     # streaming engine
     "stream_tumbling_hour",
     # LLM-pipeline ops

@@ -514,3 +514,87 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(ordered_click, 1)).alias("n_view_click"),
         F.count(F.when(ordered_purchase, 1)).alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "events_error_burst_windows",
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(to_timestamp(bucket * 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_errors,
+           ROUND(n_errors / avg(n_errors) OVER (), 4) AS vs_avg
+    FROM b QUALIFY n_errors > 1.15 * avg(n_errors) OVER ()
+    """,
+)
+def events_error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: 6-hour tumbling buckets whose error count
+    exceeds 1.15x the corpus-wide bucket average — a RELATIVE threshold,
+    so the query is scale-free (the same plan flags the same bursts at
+    any sf). Buckets come from epoch arithmetic (timeutil.epoch_micros,
+    identical in both engines); the global average is an empty-frame
+    window over the already-aggregated buckets (120 rows), not the raw
+    events."""
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.floor(epoch_micros(ev, "ts") / 21_600_000_000).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_errors"))
+    )
+    avg_all = F.avg("n_errors").over(Window.partitionBy())
+    return (
+        b.withColumn("_avg", avg_all)
+        .filter(F.col("n_errors") > 1.15 * F.col("_avg"))
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("bucket") * 21600), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "n_errors",
+            F.round(F.col("n_errors") / F.col("_avg"), 4).alias("vs_avg"),
+        )
+    )
+
+
+@register(
+    "docs_quality_quantiles",
+    r"""
+    WITH q AS (
+      SELECT source,
+             ROUND((
+               least(len(list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'), x -> x != '')) / 100.0, 1.0)
+               + least(5.0 * (len(list_filter(string_split_regex(lower(text), '\s+'), x -> list_contains(['the','a','of','and','is','in','to','it'], x)))
+                       * 1.0 / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')), 1)), 1.0)
+               + greatest(0.0, 1.0 - 5.0 * (length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) * 1.0 / length(text)))
+             ) / 3.0, 6) AS quality
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT source,
+           ROUND(quantile_cont(quality, 0.1), 6) AS p10,
+           ROUND(quantile_cont(quality, 0.5), 6) AS p50,
+           ROUND(quantile_cont(quality, 0.9), 6) AS p90
+    FROM q GROUP BY source
+    """,
+)
+def docs_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution per source (p10/p50/p90 of the
+    composite heuristic) — the filter-threshold-tuning scan run before
+    choosing a corpus quality cutoff. Quality is rounded to 6dp BEFORE
+    the quantile on both engines, so interpolation happens over
+    identical inputs."""
+    from local_vectordb_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    q = docs.select("source", T.quality_score(F.col("text")).alias("quality"))
+    return q.groupBy("source").agg(
+        F.round(F.percentile("quality", F.lit(0.1)), 6).alias("p10"),
+        F.round(F.percentile("quality", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("quality", F.lit(0.9)), 6).alias("p90"),
+    )
