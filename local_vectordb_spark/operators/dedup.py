@@ -445,6 +445,10 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "node")
         )
+        # change detection fused into the label projection: the flag is
+        # materialized by the SAME checkpoint as the labels, so the
+        # convergence check is a filter over cached rows — not a second
+        # join job per round against the previous labels
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -452,17 +456,12 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
