@@ -58,6 +58,7 @@ _PRIORITY = [
     "supplier_balance_ntile",
     "events_error_burst_windows",
     "docs_quality_quantiles",
+    "docs_dedup_family_sizes",
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh_md5_capped",
     "dedup_lsh_bucket_audit",

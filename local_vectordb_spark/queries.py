@@ -2323,3 +2323,36 @@ from local_vectordb_spark import queries_pipeline  # noqa: E402, F401
 from local_vectordb_spark import queries_relational  # noqa: E402, F401
 from local_vectordb_spark import queries_streaming  # noqa: E402, F401
 from local_vectordb_spark import queries_training  # noqa: E402, F401
+
+
+def _register_dedup_family_sizes() -> None:
+    """Duplicate-group size histogram over the SAME component assignment
+    dedup_components verifies — the dedup REPORTING scan ('how much of
+    the corpus is duplicated, in how large families') a pipeline runs
+    before choosing keep/drop policy."""
+    comp_sql = ORACLE_SQL["dedup_components"]
+    sql = f"""
+    WITH comp AS ({comp_sql}),
+    fam AS (SELECT component, CAST(count(*) AS BIGINT) AS family_size
+            FROM comp GROUP BY component)
+    SELECT family_size,
+           CAST(count(*) AS BIGINT) AS n_families,
+           CAST(sum(family_size) AS BIGINT) AS n_docs
+    FROM fam GROUP BY family_size
+    """
+
+    @register("docs_dedup_family_sizes", sql)
+    def docs_dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Histogram of duplicate-family sizes: components → per-family
+        count → per-size family/doc totals. Two tiny aggregations on top
+        of the label-propagation output (the heavy lifting is the pair
+        generation, shared with dedup_components)."""
+        comp = SPARK_QUERIES["dedup_components"](spark, sf_dir)
+        fam = comp.groupBy("component").agg(F.count("*").alias("family_size"))
+        return fam.groupBy("family_size").agg(
+            F.count("*").alias("n_families"),
+            F.sum("family_size").alias("n_docs"),
+        )
+
+
+_register_dedup_family_sizes()
