@@ -167,3 +167,64 @@ def test_ivf_sign_pruned_reads_only_probed_buckets(spark, sf_dir):
         .collect()
     }
     assert seen <= probed
+
+
+def test_beam_search_final_plan_and_hop_shape(spark, sf_dir):
+    """The beam search's per-hop materialization barriers mean the
+    FINAL plan is a top-k over the (tiny) checkpointed visited set —
+    TakeOrderedAndProject over an in-memory scan, no join re-expansion.
+    The hop join itself (edges x broadcast frontier) must be a
+    broadcast hash join, asserted on an unbarriered single hop."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import ann, knn
+    from local_vectordb_spark.session import load_table
+
+    df = q.SPARK_QUERIES["graph_beam_search"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = ann.knn_graph(emb, k=5).localCheckpoint(eager=True)
+    scored = knn.score_all(emb, q._query_vecs(sf_dir)[0][1])
+    frontier = scored.orderBy(F.desc("score")).limit(8)
+    hop = edges.join(
+        F.broadcast(frontier.select(F.col("vec_id").alias("src"))), "src"
+    )
+    hop_plan = plans.plan_string(hop)
+    assert "BroadcastHashJoin" in hop_plan
+    assert "CartesianProduct" not in hop_plan
+
+
+def test_batch_table_path_broadcasts_queries(spark, sf_dir):
+    """The unbounded batch-search path must broadcast the QUERY table
+    against the corpus scan (BroadcastNestedLoopJoin is the intended
+    all-pairs physical op) — the corpus itself is never shuffled for
+    scoring; the only exchange is the per-query top-k window."""
+    from local_vectordb_spark.operators.knn import knn_batch_table
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.limit(4).select(
+        emb.vec_id.alias("query_id"),
+        emb.embedding.cast("array<double>").alias("qv"),
+    )
+    df = knn_batch_table(emb, qdf, k=3)
+    plan = plans.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_capped_jaccard_no_cartesian_single_pair_shuffle(spark, sf_dir):
+    """The capped Jaccard plan must stay an equi-join/groupBy pipeline:
+    no cartesian product, no broadcast of the (potentially huge)
+    posting list — only the tiny hot-shingle list broadcasts for the
+    anti-join."""
+    from local_vectordb_spark.operators import dedup
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    df = dedup.ngram_jaccard_dupes(docs, threshold=0.5, max_df=4)
+    plan = plans.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
