@@ -117,7 +117,13 @@ _PRIORITY = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = dict(q.SPARK_QUERIES)
-    ordered = {n: all_q[n] for n in _PRIORITY if n in all_q}
+    # fail FAST on names without code: a silent skip would shift every
+    # later entry's slot in the 50-query driver window unnoticed (and
+    # r4 shipped exactly that bug as 24 phantom names)
+    missing = [n for n in _PRIORITY if n not in all_q]
+    if missing:
+        raise AssertionError(f"_PRIORITY names not in registry: {missing}")
+    ordered = {n: all_q[n] for n in _PRIORITY}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
     return ordered
 

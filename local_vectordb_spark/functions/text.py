@@ -311,9 +311,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     the 4.1.x interpreted HOF path. Semantics are unchanged, including
     the edges the SQL oracles pin: documents with fewer than n tokens
     yield ONE shorter gram (join of the available tokens), and empty/
-    whitespace-only text yields [''].
+    whitespace-only/NULL text yields [''] (the pre-rewrite Column form
+    emitted [''] for NULL too; the coalesce keeps that, where the bare
+    chain would propagate NULL and silently drop the doc from dedup).
     """
-    toks = tokens(normalize_text(text))
+    toks = F.coalesce(
+        tokens(normalize_text(text)), F.array().cast("array<string>")
+    )
     m = F.greatest(F.size(toks) - n, F.lit(0)) + F.lit(1)
     grams = F.slice(toks, 1, m)
     for j in range(1, n):

@@ -43,6 +43,9 @@ def epoch_micros(df: DataFrame, ts_col: str) -> Column:
         epoch_ntz = F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00"))
         return F.timestamp_diff("MICROSECOND", epoch_ntz, col)
     if isinstance(dtype, LongType):
-        # integer `div` — double `/` loses exactness above 2^53 ns
-        return F.expr(f"`{ts_col}` div 1000")
+        # FLOOR division in exact integer arithmetic: subtract the
+        # positive remainder first — bare `div` truncates toward zero,
+        # which would put pre-1970 nanos one microsecond high, and
+        # double `/` loses exactness above 2^53 ns
+        return F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, 1000)) div 1000")
     return F.unix_micros(col)

@@ -195,6 +195,7 @@ def bfs_hops(
     max_hops: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """Bounded breadth-first expansion over the kNN graph: every node
     reachable from ``seeds`` within ``max_hops``, with its minimum hop
@@ -207,8 +208,11 @@ def bfs_hops(
     spark = edges.sparkSession
     # materialize the edge list once: every round joins against it, and
     # without the barrier each round re-derives the FULL graph-build
-    # lineage (an O(n²/blocks) matmul when fed from knn_graph_blocked)
-    edges = edges.localCheckpoint(eager=True)
+    # lineage (an O(n²/blocks) matmul when fed from knn_graph_blocked).
+    # Callers that already hold a materialized edge list pass
+    # checkpoint_edges=False to skip the duplicate barrier job.
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=True)
     visited = spark.createDataFrame(
         [(int(s), 0) for s in seeds], "node long, hop int"
     )

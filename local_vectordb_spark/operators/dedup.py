@@ -100,6 +100,12 @@ def ngram_jaccard_dupes(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
     if max_df is not None:
+        # barrier: the capped path consumes the posting list three ways
+        # (df aggregate, recomputed sizes, pair buckets) — without it
+        # the CPU-heavy shingling lineage re-executes per consumer. The
+        # materialization is the exploded posting list itself (what the
+        # shuffle would carry anyway), spilled to local disk at scale.
+        posting = posting.localCheckpoint(eager=True)
         hot = (
             posting.groupBy("shingle")
             .agg(F.count("*").alias("_df"))

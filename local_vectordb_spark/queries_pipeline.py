@@ -524,7 +524,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_errors
       FROM events WHERE event_type = 'error' GROUP BY 1
     )
-    SELECT strftime(to_timestamp(bucket * 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT strftime(make_timestamp(bucket * 21600000000), '%Y-%m-%d %H:%M:%S') AS window_start,
            n_errors,
            ROUND(n_errors / avg(n_errors) OVER (), 4) AS vs_avg
     FROM b QUALIFY n_errors > 1.15 * avg(n_errors) OVER ()

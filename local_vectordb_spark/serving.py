@@ -27,10 +27,9 @@ adapter runs in the bare test container.
 from __future__ import annotations
 
 import json
+import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-from pyspark.sql import functions as F
 
 from local_vectordb_spark.api import INDEX_TYPES, VectorDB
 from local_vectordb_spark.sources.json_records import SCHEMAS
@@ -54,17 +53,17 @@ def _record_df(db: VectorDB, kind: str, body: dict, item_id: str):
     fields["id"] = item_id
     if fields.get("metadata") is not None:
         fields["metadata"] = {str(k): str(v) for k, v in fields["metadata"].items()}
-    row_df = db.spark.createDataFrame(
+    return db.spark.createDataFrame(
         [tuple(fields[f.name] for f in SCHEMAS[kind].fields)], SCHEMAS[kind]
     )
-    ts_cols = [
-        f.name
-        for f in SCHEMAS[kind].fields
-        if f.dataType.simpleString() == "timestamp" and fields[f.name] is None
-    ]
-    for c in ts_cols:
-        row_df = row_df.withColumn(c, F.lit(None).cast("timestamp"))
-    return row_df
+
+
+# Serializes all mutating routes: VectorDB's flock guard makes a lost
+# race a loud ConcurrentWriteError, but an HTTP adapter should make
+# concurrent single-record writes simply QUEUE (the reference's
+# behavior under uvicorn's default single worker). Reads stay lock-free
+# — they see the last committed version pointer.
+_WRITE_LOCK = threading.Lock()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -94,9 +93,35 @@ class _Handler(BaseHTTPRequestHandler):
         item = parts[1] if len(parts) > 1 else None
         return kind, item
 
+    def _safely(self, fn) -> None:
+        """Every verb runs under this envelope: malformed bodies and
+        bad parameter types answer 400, anything else 500 — the handler
+        thread must always produce an HTTP response, never a stack
+        trace and a reset socket."""
+        try:
+            fn()
+        except (json.JSONDecodeError, ValueError, TypeError, KeyError, AttributeError) as e:
+            self._send(400, {"detail": f"bad request: {e}"})
+        except Exception as e:  # noqa: BLE001
+            self._send(500, {"detail": f"{type(e).__name__}: {e}"})
+
     # ------------- verbs -------------
 
     def do_GET(self) -> None:
+        self._safely(self._get)
+
+    def do_POST(self) -> None:
+        self._safely(self._post)
+
+    def do_PUT(self) -> None:
+        with _WRITE_LOCK:
+            self._safely(self._put)
+
+    def do_DELETE(self) -> None:
+        with _WRITE_LOCK:
+            self._safely(self._delete)
+
+    def _get(self) -> None:
         kind, item = self._route()
         if kind in ("", "health"):
             self._send(200, {"status": "ok"})
@@ -113,10 +138,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._send(200, _row_to_json(rows[0]))
 
-    def do_POST(self) -> None:
+    def _post(self) -> None:
         kind, _ = self._route()
         if kind == "reset":
-            self.db.reset()
+            with _WRITE_LOCK:
+                self.db.reset()
             self._send(200, {"status": "reset"})
             return
         if kind == "query":
@@ -126,18 +152,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"detail": f"unknown collection {kind!r}"})
             return
         body = self._body()
-        fk = _PARENT_FIELD.get(kind)
-        if fk and not self.db.exists(_PARENT_KIND[kind], str(body.get(fk))):
-            self._send(404, {"detail": f"parent {body.get(fk)} not found"})
-            return
-        item_id = str(body.get("id") or uuid.uuid4())
-        if self.db.exists(kind, item_id):
-            self._send(409, {"detail": f"{item_id} already exists"})
-            return
-        self.db.add(kind, _record_df(self.db, kind, body, item_id))
+        with _WRITE_LOCK:
+            fk = _PARENT_FIELD.get(kind)
+            if fk and not self.db.exists(_PARENT_KIND[kind], str(body.get(fk))):
+                self._send(404, {"detail": f"parent {body.get(fk)} not found"})
+                return
+            item_id = str(body.get("id") or uuid.uuid4())
+            if self.db.exists(kind, item_id):
+                self._send(409, {"detail": f"{item_id} already exists"})
+                return
+            self.db.add(kind, _record_df(self.db, kind, body, item_id))
         self._send(201, _row_to_json(self.db.get(kind, item_id).collect()[0]))
 
-    def do_PUT(self) -> None:
+    def _put(self) -> None:
         kind, item = self._route()
         if kind not in SCHEMAS or item is None:
             self._send(404, {"detail": "unknown route"})
@@ -148,7 +175,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.db.update(kind, _record_df(self.db, kind, self._body(), item))
         self._send(200, _row_to_json(self.db.get(kind, item).collect()[0]))
 
-    def do_DELETE(self) -> None:
+    def _delete(self) -> None:
         kind, item = self._route()
         if kind not in SCHEMAS or item is None:
             self._send(404, {"detail": "unknown route"})

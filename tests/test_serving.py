@@ -115,3 +115,32 @@ def test_full_rest_flow(server):
 def test_point_lookup_404(server):
     assert _req(server, "GET", "/libraries/does-not-exist")[0] == 404
     assert _req(server, "GET", "/nonsense")[0] == 404
+
+
+def test_malformed_requests_get_http_errors_not_resets(server):
+    """Bad inputs must come back as HTTP 4xx responses, never a closed
+    socket: malformed JSON, a non-integer limit, and a non-dict
+    metadata each hit the error envelope."""
+    req = urllib.request.Request(
+        server + "/libraries", data=b"not json {", method="POST"
+    )
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+    code, _ = _req(server, "POST", "/query", {"text": "x", "limit": "abc"})
+    assert code == 400
+
+    code, lib = _req(server, "POST", "/libraries", {"name": "m"})
+    assert code == 201
+    code, _ = _req(
+        server,
+        "POST",
+        "/documents",
+        {"name": "d", "library_id": lib["id"], "metadata": [1, 2]},
+    )
+    assert code == 400
