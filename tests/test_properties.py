@@ -176,3 +176,43 @@ def test_epoch_micros_roundtrip_ntz(sp, micros):
     )
     out = df.select("us", epoch_micros(df, "ts").alias("back")).collect()
     assert all(r.us == r.back for r in out)
+
+
+@given(
+    nanos=st.lists(
+        st.integers(-(10**15), 4 * 10**18),  # pre-1970 through ~2096 in ns
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_epoch_micros_long_branch_floors(sp, nanos):
+    """The legacy nanos-as-long branch must FLOOR to microseconds —
+    truncation would put pre-1970 values one microsecond high and
+    disagree with the timestamp branches for the same instant."""
+    from local_vectordb_spark.functions.timeutil import epoch_micros
+
+    df = sp.createDataFrame([(n,) for n in nanos], "ts long")
+    out = df.select(F.col("ts"), epoch_micros(df, "ts").alias("us")).collect()
+    for r in out:
+        assert r.us == r.ts // 1000  # python // is floor division
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=8
+    )
+)
+@SLOW
+def test_sign_bucket_probe_invariants(sp, vec):
+    """sign_bucket lands in [0, 16) and matches the driver-side probe's
+    own-bucket computation; the Hamming-1 probe set has 5 distinct
+    buckets including the query's own."""
+    from local_vectordb_spark.operators.ivf import sign_bucket, sign_probe
+
+    df = sp.createDataFrame([(vec,)], "embedding array<float>")
+    [row] = df.select(sign_bucket("embedding", 4).alias("b")).collect()
+    probed = sign_probe(vec, 4)
+    assert 0 <= row.b < 16
+    assert row.b == probed[0]  # spark expr == driver-side computation
+    assert len(set(probed)) == 5 and row.b in probed
