@@ -261,6 +261,10 @@ def graph_beam_search(
     only visited rows are ever computed). Returns the top-`k` of the
     final visited set: (id, score).
     """
+    # materialize the edge list once — every hop (and every per-hop
+    # visited checkpoint) joins against it, and without the barrier the
+    # full graph-BUILD lineage re-executes per hop
+    edges = edges.localCheckpoint(eager=True)
     entry = scored.select(F.min(id_col).alias(id_col))
     visited = scored.join(F.broadcast(entry), id_col)
     frontier = visited
