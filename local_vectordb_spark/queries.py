@@ -575,8 +575,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join + agg + top-k. customer is the small dim → broadcast;
-    the only shuffle is the groupBy on o_orderkey."""
+    """Multi-join + agg + top-k. No explicit broadcast hints: orders and
+    customer grow linearly with SF, so a hard hint would override the
+    64 MB autoBroadcastJoinThreshold and OOM the driver at 100x scale.
+    At small SF the planner/AQE still picks broadcast-hash on its own;
+    at 100 TB it degrades gracefully to a shuffled join."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -587,8 +590,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -623,8 +626,12 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-way star join: every dimension broadcasts; lineitem (the
-    fact) is never shuffled until the final small groupBy."""
+    """Five-way star join. Only the genuinely bounded dims carry
+    broadcast hints (nation = 25 rows, region = 5 rows — fixed for any
+    SF). orders/customer/supplier scale linearly, so they get no hint:
+    the planner broadcasts them while they fit under
+    autoBroadcastJoinThreshold and falls back to a shuffled join at
+    100x instead of OOMing the driver."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -635,10 +642,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

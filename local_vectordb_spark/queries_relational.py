@@ -85,8 +85,11 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lost-revenue report: lineitem filtered scan-side on returnflag,
-    orders/customer/nation broadcast, single groupBy shuffle then
-    TakeOrderedAndProject for the top 20."""
+    nation (25 rows, SF-invariant) broadcast by hint, single groupBy
+    shuffle then TakeOrderedAndProject for the top 20.
+    orders/customer get NO hint — they grow with SF, and a hard hint
+    would override autoBroadcastJoinThreshold at 100x; the planner
+    still broadcasts them at small SF on its own."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -95,8 +98,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -267,9 +270,10 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promotion revenue share: CASE inside two sums over one broadcast
-    join — no second pass, no shuffle of the fact side at all (final
-    agg is a single row)."""
+    """Promotion revenue share: CASE inside two sums over one join —
+    no second pass; the final agg is a single row. part is SF-linear
+    (SF x 200k) so it carries no broadcast hint; the planner
+    broadcasts it while small and shuffles at 100x."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -278,7 +282,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc_price), 6).alias("promo_pct")
         )
@@ -342,8 +346,11 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers: HAVING subquery as a semi join. The big
-    orderkey set is tiny after the HAVING filter → broadcast semi join,
-    so lineitem shuffles once (the groupBy), never for the IN."""
+    orderkey set is small after the HAVING filter but still SF-linear,
+    so no hard broadcast hint anywhere — AQE converts the semi join to
+    broadcast at runtime when the filtered set actually fits, and
+    falls back to a shuffled semi join at 100x. lineitem shuffles for
+    its groupBy, never for the IN when the set is small."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -354,10 +361,10 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         .select("l_orderkey")
     )
     return (
-        l.join(F.broadcast(big).withColumnRenamed("l_orderkey", "bk"),
+        l.join(big.withColumnRenamed("l_orderkey", "bk"),
                F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
@@ -570,9 +577,10 @@ def numeric_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: bilateral trade volume between two nations by year.
-    Six-way join; every dimension broadcasts, nation twice under
-    different aliases — the fact table is never shuffled until the
-    final (tiny) groupBy."""
+    Six-way join; only nation (25 rows, twice under different aliases)
+    is hint-broadcast. orders/customer/supplier are SF-linear, so they
+    get no hint — planner/AQE broadcasts them while small, shuffles at
+    100x instead of OOMing the driver."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -586,9 +594,9 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     ).filter(F.col("cust_nation").isin(*pair))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -630,8 +638,11 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 shape: one nation's share of a region's ECONOMY-part import
-    volume per year — conditional-sum ratio over a seven-way broadcast
-    star join."""
+    volume per year — conditional-sum ratio over a seven-way star
+    join. Hints only on the SF-invariant sides (nation x2, region);
+    orders/customer/supplier and the filtered-but-SF-linear part get
+    none, so the plan degrades to shuffled joins at 100x instead of
+    forcing a driver-side broadcast."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -645,13 +656,13 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
         .agg(
             F.round(
@@ -716,7 +727,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan while the mixed predicate evaluates post-join."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     d1 = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)
@@ -1002,7 +1013,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         annotated.filter(
             F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -1075,8 +1086,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = p.filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
     cand = (
-        ps.join(F.broadcast(parts), ps.l_partkey == parts.p_partkey)
-        .join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+        ps.join(parts, ps.l_partkey == parts.p_partkey)
+        .join(eu, ps.l_suppkey == F.col("s_suppkey"))
         .withColumn("min_cost", F.min("cost").over(Window.partitionBy("p_partkey")))
     )
     return cand.filter(F.col("cost") == F.col("min_cost")).select(
@@ -1105,8 +1116,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 shape (profit by supplier nation × order year): ps_supplycost
-    becomes 0.6 × p_retailprice (deterministic unit-cost proxy). part/
-    supplier/nation broadcast; the only shuffle joins the two fact
+    becomes 0.6 × p_retailprice (deterministic unit-cost proxy). Only
+    nation (25 rows) is hint-broadcast; part/supplier are SF-linear so
+    the planner decides for them. The heavy shuffle joins the two fact
     tables on l_orderkey = o_orderkey — at scale that is the
     co-partitioned join you would bucket both tables on."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -1119,8 +1131,8 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1174,9 +1186,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        l.join(
-            F.broadcast(asia), l.l_suppkey == F.col("s_suppkey"), "left_semi"
-        )
+        l.join(asia, l.l_suppkey == F.col("s_suppkey"), "left_semi")
         .withColumn(
             "cents",
             F.round(
@@ -1221,7 +1231,9 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     excluding flagged suppliers): the partsupp bridge is the DISTINCT
     (l_partkey, l_suppkey) projection of lineitem — one shuffle that
     also serves the count-distinct; negative-balance suppliers stand in
-    for the complaints NOT IN, as a broadcast anti join."""
+    for the complaints NOT IN, as an anti join (no hard hint — the
+    flagged-supplier set is SF-linear; AQE broadcasts it while it
+    fits)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
@@ -1233,10 +1245,8 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("s_suppkey")
     bridge = l.select("l_partkey", "l_suppkey").distinct()
     return (
-        bridge.join(
-            F.broadcast(bad), bridge.l_suppkey == F.col("s_suppkey"), "left_anti"
-        )
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        bridge.join(bad, bridge.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1275,9 +1285,10 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 shape (suppliers with above-threshold stock of candidate
     parts): availqty > half-of-shipped becomes shipped-qty > 1.2× the
     part's mean across suppliers — the same nested-aggregation
-    semi-join chain. Candidate part keys broadcast into the lineitem
-    scan filter; the qualifying-supplier set semi-joins the supplier
-    dim. l_quantity values are small integers stored as doubles, so the
+    semi-join chain. Candidate part keys semi-join the lineitem scan
+    and the qualifying-supplier set semi-joins the supplier dim — both
+    SF-linear, so neither carries a hard broadcast hint (AQE converts
+    to broadcast while they fit). l_quantity values are small integers stored as doubles, so the
     sums and the mean are exact in both engines."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
@@ -1290,7 +1301,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             l.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -1299,7 +1310,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part_avg = shipped.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
     qual = (
-        shipped.join(F.broadcast(part_avg), "l_partkey")
+        shipped.join(part_avg, "l_partkey")
         .filter(F.col("qty") > 1.2 * F.col("avg_qty"))
         .select("l_suppkey")
         .distinct()
@@ -1308,7 +1319,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
               F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(qual), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(qual, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
 

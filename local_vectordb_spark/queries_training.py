@@ -331,7 +331,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top supplier by quarterly revenue (TPC-H Q15 shape, inlined
     view). Plan: one groupBy shuffle builds the per-supplier revenue;
     the max is a single-row agg broadcast back for the filter; the
-    supplier dim broadcasts for hydration. The fact table is scanned
+    winner set (≈1 row after the max filter) joins the supplier dim —
+    no hard hint on supplier (SF-linear); AQE broadcasts the tiny
+    winner side at runtime. The fact table is scanned
     once — the revenue aggregate is reused for both the max and the
     final filter via a cached single-pass DataFrame."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -351,7 +353,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_rev").alias("_mx"))
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx._mx)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",

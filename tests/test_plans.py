@@ -215,6 +215,61 @@ def test_batch_table_path_broadcasts_queries(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_hint_forced_fact_broadcasts(spark, sf_dir):
+    """The 100x OOM gate: with autoBroadcastJoinThreshold=-1 the only
+    BroadcastExchanges left in a plan are hint-forced, so any fact
+    table (orders/customer/lineitem/part/supplier — all SF-linear)
+    scanned un-reduced under one is a hard-coded broadcast that would
+    OOM the driver at 100 TB. Bounded sides (nation=25, region=5) and
+    cardinality-reduced subtrees (1-row aggregates, top-k sets) are
+    allowed."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    gated = [
+        n
+        for n in SPARK_QUERIES
+        if n.startswith("tpch_")
+        or n in ("window_top_orders_per_customer", "scalar_subquery_premium_parts")
+    ]
+    assert len(gated) >= 15
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = {}
+        for name in gated:
+            df = SPARK_QUERIES[name](spark, sf_dir)
+            hits = plans.unreduced_fact_broadcasts(df)
+            if hits:
+                bad[name] = hits
+        assert not bad, f"hint-forced fact broadcasts: {bad}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_broadcast_audit_detects_forced_fact_broadcast(spark, sf_dir):
+    """The gate itself must fire: a deliberate F.broadcast(lineitem)
+    join is reported, and a nation-side hint is not."""
+    from local_vectordb_spark.session import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        l = load_table(spark, sf_dir, "lineitem")
+        n = load_table(spark, sf_dir, "nation")
+        bad = o.join(F.broadcast(l), o.o_orderkey == l.l_orderkey)
+        assert plans.unreduced_fact_broadcasts(bad) == ["lineitem"]
+        # a reduced (aggregated) fact subtree is allowed
+        agg = l.groupBy("l_orderkey").count()
+        ok = o.join(F.broadcast(agg), o.o_orderkey == agg.l_orderkey)
+        assert plans.unreduced_fact_broadcasts(ok) == []
+        # nation is not a fact table
+        dim = o.join(F.broadcast(n), o.o_custkey == n.n_nationkey)
+        assert plans.unreduced_fact_broadcasts(dim) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_capped_jaccard_no_cartesian_single_pair_shuffle(spark, sf_dir):
     """The capped Jaccard plan must stay an equi-join/groupBy pipeline:
     no cartesian product, no broadcast of the (potentially huge)
