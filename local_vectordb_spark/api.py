@@ -454,10 +454,14 @@ class VectorDB:
         Query sets up to `max_driver_queries` take the interactive
         path (embeddings collected to the driver, closed over the
         BLAS/probe kernels — the fastest shape for small batches).
-        Larger sets NEVER route vectors through the driver: they embed
-        distributed and join as a broadcast query table
-        (knn.knn_batch_table / ivf.ivf_search_batch_table, including a
-        distributed centroid probe). nsw caps at the bound — its pooled
+        Larger sets embed distributed and join as a broadcast query
+        table (knn.knn_batch_table / ivf.ivf_search_batch_table,
+        including a distributed centroid probe) — no vectors route
+        through the driver, but the query TABLE still broadcasts to
+        every executor, which bounds this path at roughly the
+        hundreds-of-thousands of queries that fit a broadcast (see
+        knn_batch_table); past that, pre-shard the query set and loop,
+        or join it shuffled. nsw caps at the driver bound — its pooled
         LSH candidate generation is per-query driver work by
         construction; large sets should use cosine/ivf."""
         if index_type not in INDEX_TYPES:

@@ -103,6 +103,7 @@ def band_join_count(
     tolerance_s: int,
     count_alias: str = "n_band",
     unique_key: str | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Count, for each left row, the right rows with the same `by_cols`
     key whose timestamp lies within ±`tolerance_s` seconds (the banded
@@ -113,6 +114,13 @@ def band_join_count(
     left side explodes into 3 candidate cells and the join is a plain
     equi-join on (key…, cell) + the exact |Δt| ≤ tol filter. Left rows
     with no neighbours keep count 0 (left join + conditional count).
+
+    `unique_key` is a TRUSTED contract: it skips the row_number
+    disambiguator, so if the declared column is NOT actually unique,
+    left rows sharing a key value silently collapse into one output
+    row — the exact bug the fallback exists to prevent. Pass
+    `validate_unique=True` to pay one counting job that raises on a
+    violated contract (debug/test tool; leave off on the hot path).
     """
     from local_vectordb_spark.functions.timeutil import epoch_micros
 
@@ -140,6 +148,17 @@ def band_join_count(
     # unstable upstream partitioning is recomputed and silently
     # split/merge groups — but it costs one extra full-row shuffle.
     if unique_key is not None:
+        if validate_unique:
+            total, distinct = left.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(unique_key)).alias("d"),
+            ).first()
+            if total != distinct:
+                raise ValueError(
+                    f"band_join_count: unique_key={unique_key!r} is not "
+                    f"unique ({total} rows, {distinct} distinct values) — "
+                    "duplicate left rows would silently collapse"
+                )
         lk = left.withColumn(rid, F.col(unique_key))
     else:
         w = Window.partitionBy(*left.columns).orderBy(F.lit(1))

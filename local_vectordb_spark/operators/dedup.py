@@ -406,11 +406,14 @@ def lsh_bucket_audit(
         banded.groupBy("band", "bh")
         .agg(F.count(id_col).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket_size)
+        # The numerator is always even and non-negative, so halving by
+        # shiftright stays exact in 64-bit integer math; a float `/ 2`
+        # loses exactness past 2^53 (bucket sizes ~9.5e7, plausible on
+        # a degenerate 100 TB corpus).
         .withColumn(
             "n_pairs_dropped",
-            (m * (m - 1) - cap * (cap - 1)) / F.lit(2),
+            F.shiftright(m * (m - 1) - cap * (cap - 1), 1),
         )
-        .withColumn("n_pairs_dropped", F.col("n_pairs_dropped").cast("long"))
     )
 
 
@@ -485,6 +488,10 @@ def _simhash_expr(hashes, n_bits: int):
     bit-assembly in the finish lambda (the accumulator is a plain
     variable there — referencing it n_bits times costs nothing).
     Vote rule unchanged: bit_j = 1 iff Σ_tokens (bit_j(hash)*2-1) > 0.
+    NULL token arrays (NULL text) hash to 0, same as an empty array —
+    so NULL-text docs stay in the candidate pool and pair with
+    empty-string docs instead of silently dropping out (the aggregate
+    alone would return NULL for a NULL input array).
     """
     init = F.array(*[F.lit(0) for _ in range(n_bits)])
 
@@ -507,7 +514,9 @@ def _simhash_expr(hashes, n_bits: int):
             sim = term if sim is None else sim.bitwiseOR(term)
         return sim
 
-    return F.aggregate(hashes, init, merge, finish)
+    return F.coalesce(
+        F.aggregate(hashes, init, merge, finish), F.lit(0).cast("long")
+    )
 
 
 def simhash_signatures(

@@ -41,7 +41,9 @@ _PARENT_KIND = {"documents": "libraries", "chunks": "documents"}
 def _row_to_json(row) -> dict:
     out = {}
     for k, v in row.asDict(recursive=True).items():
-        out[k] = str(v) if hasattr(v, "isoformat") else v
+        # ISO-8601 'T' form, matching the reference API's JSON
+        # timestamp serialization (str() would emit a space separator).
+        out[k] = v.isoformat() if hasattr(v, "isoformat") else v
     return out
 
 

@@ -162,3 +162,31 @@ def test_band_join_unique_key_matches_rownumber_path(spark, sf_dir):
         errors, clicks, "ts", ["user_id"], 600, "n", unique_key="event_id"
     )
     assert sorted(map(tuple, slow.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_band_join_validate_unique_raises_on_duplicate_key(spark):
+    """ADVICE r5: the unique_key contract is trusted on the hot path;
+    validate_unique=True pays one counting job and raises when the
+    declared key is not actually unique instead of silently collapsing
+    duplicate left rows."""
+    import pytest
+
+    t = _ts("2024-01-01T10:00:00")
+    left = spark.createDataFrame(
+        [("e1", "u1", t), ("e1", "u2", t)], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame([("u1", t)], ["user_id", "ts"])
+    with pytest.raises(ValueError, match="not unique"):
+        band_join_count(
+            left, right, "ts", ["user_id"], 60, "n",
+            unique_key="event_id", validate_unique=True,
+        )
+    # a genuinely unique key passes validation
+    ok_left = spark.createDataFrame(
+        [("e1", "u1", t), ("e2", "u2", t)], ["event_id", "user_id", "ts"]
+    )
+    rows = band_join_count(
+        ok_left, right, "ts", ["user_id"], 60, "n",
+        unique_key="event_id", validate_unique=True,
+    ).collect()
+    assert len(rows) == 2

@@ -186,3 +186,16 @@ def test_minhash_bucket_cap_bounds_pairs_and_audits(spark):
     expected_drop = n * (n - 1) // 2 - cap * (cap - 1) // 2
     assert all(r["bucket_size"] == n for r in audit)
     assert all(r["n_pairs_dropped"] == expected_drop for r in audit)
+
+
+def test_simhash_null_text_hashes_to_zero(spark):
+    """ADVICE r5: NULL text must behave like empty text (simhash 0) so
+    NULL-text docs stay in the dedup candidate pool and pair with
+    empty-string docs, in both hash families."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, BASE)], ["doc_id", "text"]
+    )
+    for fn in (dedup.simhash_signatures, dedup.simhash_signatures_portable):
+        sigs = {r["doc_id"]: r["simhash"] for r in fn(docs).collect()}
+        assert sigs[1] == 0 and sigs[2] == 0
+        assert sigs[3] != 0
