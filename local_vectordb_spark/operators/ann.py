@@ -420,3 +420,103 @@ def lsh_search(
     return out.select(
         F.col(id_col), F.round("l2_dist", SCORE_DECIMALS).alias("l2_dist")
     )
+
+
+# -- seeded-md5 random-hyperplane LSH (the oracle-exact probe tier) --------
+#
+# MLlib's BucketedRandomProjectionLSH draws its hyperplanes from a JVM
+# RNG, so no SQL oracle can reproduce its buckets — lsh_search above is
+# forever rows-only. This tier generalizes the axis-sign construction
+# (operators/ivf.py sign_bucket, the oracle-exact IVF layout) to REAL
+# random hyperplanes whose coefficients are pure md5 of (seed, j, i):
+# any engine — or a reviewer with a calculator — derives the identical
+# planes, buckets, candidate sets, and top-k. Same probe discipline as
+# the reference's NSW entry heuristic swap (SURVEY Q5): bucket +
+# Hamming-1 neighbours.
+
+LSH_MD5_SEED = "lvdb-lsh-v1"
+
+
+def md5_hyperplanes(
+    dim: int, n_bits: int, seed: str = LSH_MD5_SEED
+) -> list[list[float]]:
+    """`n_bits` deterministic hyperplanes in R^dim: coefficient (j, i)
+    is md5(f"{seed}:{j}:{i}")'s first 15 hex chars scaled to [-1, 1).
+    Pure stdlib — identical on the driver, in generated SQL, and in
+    any other engine."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for j in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            row.append(2.0 * (int(h[:15], 16) / float(1 << 60)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec_col, planes: Sequence[Sequence[float]]):
+    """Bucket id = MSB-first sign bits of dot(v, plane_j). The planes
+    enter the expression as literal arrays (zip_with ARGUMENTS, not
+    lambda captures — captured expressions re-evaluate per element
+    under the 4.1.x HOF path), and the fold is the same left-to-right
+    sum every engine's left-associative `t1 + t2 + ...` produces, so
+    the sign — and therefore the bucket — is bit-reproducible."""
+    from local_vectordb_spark.functions.vector import dot_product
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    n = len(planes)
+    b = F.lit(0)
+    for j, plane in enumerate(planes):
+        d = dot_product(c, F.array(*[F.lit(float(x)) for x in plane]))
+        b = b + F.when(d >= 0, F.lit(1 << (n - 1 - j))).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def hyperplane_probe(
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+) -> list[int]:
+    """The query's bucket plus its Hamming-1 flips, computed with the
+    same left-to-right double-precision fold as the Spark/SQL sides
+    (vectors near a hyperplane may land on either side; probing the
+    adjacent buckets recovers them)."""
+    n = len(planes)
+    qb = 0
+    for j, plane in enumerate(planes):
+        d = 0.0
+        for x, p in zip(query_vec, plane):
+            d += float(x) * p
+        if d >= 0:
+            qb += 1 << (n - 1 - j)
+    return [qb] + [qb ^ (1 << j) for j in range(n)]
+
+
+def lsh_search_md5(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = LSH_MD5_SEED,
+) -> DataFrame:
+    """Q5 single-query ANN with a full value oracle: bucket the corpus
+    by md5-hyperplane sign bits, keep the query's bucket and its
+    Hamming-1 neighbours (n_bits+1 of 2^n_bits buckets), then exact
+    cosine top-k over the candidates — the lsh_search semantics with
+    reproducible planes. At 100 TB the bucket id becomes a partition
+    column exactly like the sign-bucket IVF layout (ivf_sign_pruned
+    writes .../bucket=N/ and prunes directories); this logical form is
+    the same plan minus the physical layout. Output: (id, score).
+    """
+    from local_vectordb_spark.operators import knn
+
+    dim = len(query_vec)
+    planes = md5_hyperplanes(dim, n_bits, seed)
+    probed = hyperplane_probe(query_vec, planes)
+    cand = vectors.filter(
+        hyperplane_bucket(vec_col, planes).isin(probed)
+    )
+    return knn.knn_brute_force(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -1784,9 +1784,62 @@ def lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lsh_search")
 def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5 single query: approxNearestNeighbors (rows-only)."""
+    """Q5 single query: approxNearestNeighbors (rows-only — MLlib's
+    hyperplanes come from a JVM RNG no SQL engine reproduces; the
+    md5-hyperplane twin below is the oracle-exact form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)
+
+
+def _lsh_md5_oracle_sql(dim: int = 64, n_bits: int = 4) -> str:
+    """Oracle for lsh_search_md5: the hyperplane coefficients are
+    driver-computed md5 constants, so they embed as DOUBLE literals
+    (repr round-trips exactly) and the bucket is a plain unrolled
+    left-associative sign-bit expression — the same fold order as the
+    Spark side, so buckets are bit-identical."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes
+
+    planes = md5_hyperplanes(dim, n_bits)
+
+    def dot(v: str, plane) -> str:
+        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+    def bucket(v: str) -> str:
+        bits = [
+            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
+            for j, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    flips = ", ".join(f"xor(qb.b, {1 << j})" for j in range(n_bits))
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {bucket("qv")} AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
+      WHERE {bucket("e.ev")} IN (qb.b, {flips})
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT {K}
+    """
+
+
+@register("lsh_search_md5", _lsh_md5_oracle_sql())
+def lsh_search_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 single query, oracle-EXACT: random-hyperplane LSH whose
+    planes are seeded md5 constants (operators/ann.py:md5_hyperplanes)
+    — the ivf_sign_pruned construction generalized from axis signs to
+    real signed projections. Probes the query's bucket plus Hamming-1
+    neighbours (5 of 16 buckets), then exact cosine top-k over the
+    candidates; every step reproduces in DuckDB, closing the last
+    rows-only gap in the ANN probe family (reference anchor:
+    src/models/nsw_index.py:116-162)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_search_md5(emb, _query_vecs(sf_dir)[0][1], k=K)
 
 
 @register(

@@ -186,3 +186,50 @@ def test_graph_beam_search_deterministic_and_recalls(spark, sf_dir):
     beam_ids = {r.vec_id for r in a}
     brute_ids = {r.vec_id for r in knn.knn_brute_force(emb, qv, k=10).collect()}
     assert len(beam_ids & brute_ids) / 10 >= 0.5
+
+
+def test_lsh_md5_buckets_agree_driver_vs_spark(spark, sf_dir):
+    """The md5-hyperplane bucket must be bit-identical between the
+    Spark expression (hyperplane_bucket) and the driver-side fold
+    (hyperplane_probe's bucket computation) — the property the SQL
+    oracle's exactness rests on."""
+    from local_vectordb_spark.operators.ann import (
+        hyperplane_bucket,
+        hyperplane_probe,
+        md5_hyperplanes,
+    )
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    planes = md5_hyperplanes(64, 4)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", hyperplane_bucket("embedding", planes).alias("b")
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        # probe[0] is the vector's own bucket
+        assert hyperplane_probe(r["embedding"], planes)[0] == got[r["vec_id"]]
+
+
+def test_lsh_md5_search_finds_query_itself(spark, sf_dir):
+    """The probe always includes the query's own bucket, so when the
+    query vector is a corpus member it must come back first with
+    score 1.0; all of brute-force top-k that shares a probed bucket
+    must appear, in the same order."""
+    from local_vectordb_spark.operators import ann, knn
+    from local_vectordb_spark.queries import _query_vecs
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vecs(sf_dir)[0][1]
+    out = ann.lsh_search_md5(emb, qv, k=5).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["score"] == 1.0
+    # the LSH result is exact over its candidate set: every returned
+    # score also appears in the exact top-k at rank <= its LSH rank
+    exact = knn.knn_brute_force(emb, qv, k=50).collect()
+    exact_rank = {r["vec_id"]: i for i, r in enumerate(exact)}
+    ranks = [exact_rank[r["vec_id"]] for r in out if r["vec_id"] in exact_rank]
+    assert ranks == sorted(ranks)
