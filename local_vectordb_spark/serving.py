@@ -16,9 +16,11 @@ implemented as a thin stdlib adapter over :class:`VectorDB`:
   — the reference's COSINE/IVF/NSW enum accepted case-insensitively)
   and returns the reference's ``{"results": [{id, confidence,
   content}]}`` shape (src/models/search.py:6-31);
-- list endpoints ``collect()`` — fine for a demo corpus, marked here
-  so nobody mistakes it for the 100 TB path. Real deployments serve
-  search from an exported index, not the Spark driver.
+- list endpoints are PAGINATED (``?limit=N&offset=M``, id-ordered,
+  default limit 100) so a listing collects one page, never the whole
+  table — still a demo surface, marked here so nobody mistakes it for
+  the 100 TB path. Real deployments serve search from an exported
+  index, not the Spark driver.
 
 No FastAPI/uvicorn dependency: ``http.server`` from the stdlib, so the
 adapter runs in the bare test container.
@@ -95,6 +97,18 @@ class _Handler(BaseHTTPRequestHandler):
         item = parts[1] if len(parts) > 1 else None
         return kind, item
 
+    def _page_params(self) -> tuple[int, int]:
+        """limit/offset from the query string (bad values answer 400
+        through the _safely envelope)."""
+        from urllib.parse import parse_qs
+
+        qs = parse_qs(self.path.split("?", 1)[1]) if "?" in self.path else {}
+        limit = int(qs.get("limit", ["100"])[0])
+        offset = int(qs.get("offset", ["0"])[0])
+        if limit < 0 or offset < 0:
+            raise ValueError("limit and offset must be non-negative")
+        return limit, offset
+
     def _safely(self, fn) -> None:
         """Every verb runs under this envelope: malformed bodies and
         bad parameter types answer 400, anything else 500 — the handler
@@ -132,7 +146,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"detail": f"unknown collection {kind!r}"})
             return
         if item is None:
-            self._send(200, [_row_to_json(r) for r in self.db.table(kind).collect()])
+            # One id-ordered page per request (deterministic across
+            # pages), never a whole-table collect().
+            limit, offset = self._page_params()
+            page = (
+                self.db.table(kind).orderBy("id").offset(offset).limit(limit)
+            )
+            self._send(200, [_row_to_json(r) for r in page.collect()])
             return
         rows = self.db.get(kind, item).collect()
         if not rows:

@@ -144,3 +144,32 @@ def test_malformed_requests_get_http_errors_not_resets(server):
         {"name": "d", "library_id": lib["id"], "metadata": [1, 2]},
     )
     assert code == 400
+
+
+def test_list_pagination(server):
+    """VERDICT r5 #8: listings return id-ordered pages via
+    limit/offset, never the whole table; pages concatenate to the full
+    id-sorted listing and bad parameters answer 400."""
+    assert _req(server, "POST", "/reset")[0] == 200
+    ids = []
+    for i in range(5):
+        code, lib = _req(server, "POST", "/libraries", {"name": f"lib{i}"})
+        assert code == 201
+        ids.append(lib["id"])
+    expect = sorted(ids)
+
+    code, page1 = _req(server, "GET", "/libraries?limit=2&offset=0")
+    code2, page2 = _req(server, "GET", "/libraries?limit=2&offset=2")
+    code3, page3 = _req(server, "GET", "/libraries?limit=2&offset=4")
+    assert (code, code2, code3) == (200, 200, 200)
+    assert [len(page1), len(page2), len(page3)] == [2, 2, 1]
+    assert [r["id"] for r in page1 + page2 + page3] == expect
+
+    # default page (limit 100) covers the demo corpus in one request
+    code, allrows = _req(server, "GET", "/libraries")
+    assert code == 200 and [r["id"] for r in allrows] == expect
+
+    code, _ = _req(server, "GET", "/libraries?limit=-1")
+    assert code == 400
+    code, _ = _req(server, "GET", "/libraries?offset=frogs")
+    assert code == 400
