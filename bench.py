@@ -33,8 +33,8 @@ HEADLINE = [
     "knn_metadata_filter",
     "ivf_search",
     "ivf_sign_pruned",  # r5: oracle-exact partition-pruned search
-    "knn_graph",
-    "knn_graph_blocked",
+    "knn_graph",  # r6: default = block-matrix scale path (see queries.py)
+    "knn_graph_broadcast",  # driver-broadcast small-corpus utility
     "knn_sq8",
     "fts_bm25",
     "hybrid_rrf",

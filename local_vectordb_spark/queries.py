@@ -1743,13 +1743,24 @@ def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6: the NSW adjacency artifact as an edges DataFrame — batch
-    top-5 neighbors per node via broadcast BLAS top-k."""
-    return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+    """X6: the NSW adjacency artifact as an edges DataFrame.
+
+    The DEFAULT physical strategy is the block-matrix self-join
+    (`ann.knn_graph_blocked`) — no driver collect, shuffle bounded by
+    2·n_blocks·n rows, the only form that survives a corpus that
+    doesn't fit one machine. r6 headline decision: the driver-broadcast
+    variant is latency-floor-bound on collect+broadcast and drifted to
+    2.08× baseline under driver load in BENCH_r05, while the blocked
+    form measured identically under driver and builder runs (0.95 s);
+    the broadcast form stays registered below as the small-corpus
+    utility (`knn_graph_broadcast`)."""
+    return ann.knn_graph_blocked(
+        load_table(spark, sf_dir, "embeddings"), k=5, n_blocks=8
+    )
 
 
 @register(
-    "knn_graph_blocked",
+    "knn_graph_broadcast",
     """
     WITH scored AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1762,13 +1773,14 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 5
     """,
 )
-def knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 scale path: the SAME exact kNN graph via the block-matrix
-    self-join — no driver toPandas/broadcast of the corpus (the r1
-    verdict's scale-killer); shares knn_graph's oracle."""
-    return ann.knn_graph_blocked(
-        load_table(spark, sf_dir, "embeddings"), k=5, n_blocks=8
-    )
+def knn_graph_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 small-corpus utility: the SAME exact kNN graph via driver
+    toPandas + broadcast BLAS top-k — fastest when the corpus fits
+    driver memory and the cluster is idle, but its wall-clock is
+    dominated by collect/broadcast latency (load-sensitive) and it
+    cannot scale past one machine's memory. Shares knn_graph's
+    oracle; the blocked form above is the default."""
+    return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
 
 
 @register("lsh_bucket_pairs")

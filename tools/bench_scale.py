@@ -28,7 +28,7 @@ STRESS = [
     "dedup_minhash_lsh_md5_capped",
     "dedup_ngram_jaccard_capped",
     "dedup_lsh_bucket_audit",
-    "knn_graph_blocked",
+    "knn_graph",  # r6: registry default is now the block-matrix path
     "ivf_sign_pruned",
     "lsh_search_md5",
 ]
