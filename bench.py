@@ -28,6 +28,7 @@ from local_vectordb_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     # vector search
     "knn_brute_force",
+    "knn_range_search",  # r6: threshold (radius) search
     "knn_batch",
     "knn_hydrated",
     "knn_metadata_filter",
@@ -69,6 +70,8 @@ HEADLINE = [
     "text_fingerprint_winnow",
     "embed_hashed",
     "sample_hash_10pct",
+    "sample_temperature_by_lang",  # r6: temperature mixture rebalancing
+    "docs_training_manifest",  # r6: full curation funnel as one plan
     "pack_token_budget",
 ]
 

@@ -83,6 +83,33 @@ def score_all(
     )
 
 
+def range_search(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    min_score: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine similarity ≥ ``min_score`` to the query —
+    radius/threshold search, the set-valued dual of top-k (the
+    reference exposes only top-k; range search is the standard
+    companion surface in vector stores and the primitive under
+    near-duplicate candidate pulls like "everything ≥ 0.9 to this
+    centroid").
+
+    Physically it is the same single scan as :func:`knn_brute_force`
+    with the threshold as a plain Catalyst filter instead of a top-k
+    heap: embarrassingly parallel, no shuffle, and the result is
+    unbounded by design (callers wanting a cap compose ``.limit``).
+    Ordered (score desc, id asc) like every other search output.
+    """
+    return (
+        score_all(vectors, query_vec, id_col=id_col, vec_col=vec_col)
+        .filter(F.col("score") >= F.lit(float(min_score)))
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+
+
 def knn_batch(
     vectors: DataFrame,
     query_rows: Sequence[tuple[int, Sequence[float]]],

@@ -91,6 +91,31 @@ def stratified_sample(
     return df.filter(expr)
 
 
+def temperature_fractions(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum keep-rates implementing temperature-based mixture
+    rebalancing (multilingual-pretraining style: sampling probability
+    ∝ n^α flattens the size distribution; α=1 is proportional, α→0 is
+    uniform).  Keeping stratum ℓ with rate (n_min/n_ℓ)^(1-α) yields
+    kept sizes ∝ n_ℓ^α while the smallest stratum keeps everything —
+    i.e. rebalancing is done purely by *downsampling* the head, never
+    by duplicating the tail.
+
+    The counts map is per-stratum (languages, sources) — bounded by
+    stratum cardinality, not corpus size, so computing it via a
+    groupBy-collect is driver-safe at any scale.  Compose the result
+    with :func:`stratified_sample` for the deterministic, shuffle-free
+    row filter.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -70,6 +70,34 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q2 range — threshold (radius) search: everything ≥ τ, not top-k
+# --------------------------------------------------------------------------
+
+
+@register(
+    "knn_range_search",
+    """
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id != 0
+      AND ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) >= 0.25
+    ORDER BY score DESC, e.vec_id ASC
+    """,
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every vector with cosine ≥ 0.25 to the query
+    (τ sits at ~p99 of the fixture's score distribution, so the result
+    is the genuine close tail). The threshold is a plain Catalyst
+    filter on the scoring scan — no top-k heap, no shuffle; the
+    set-valued dual of knn_brute_force that top-k-only engines (the
+    reference included) cannot express."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return knn.range_search(emb, _query_vecs(sf_dir)[0][1], min_score=0.25)
+
+
+# --------------------------------------------------------------------------
 # Q2 batched — bulk similarity search (one corpus scan for many queries)
 # --------------------------------------------------------------------------
 
@@ -2428,3 +2456,77 @@ def _register_dedup_family_sizes() -> None:
 
 
 _register_dedup_family_sizes()
+
+
+def _register_dedup_keep_best() -> None:
+    """Representative selection: the dedup DECISION step after grouping —
+    per duplicate family, keep the highest-quality member (ties to the
+    lowest doc_id). Composes the already-oracled component assignment
+    with the already-oracled quality score, so the oracle is the same
+    two CTEs plus one window."""
+    comp_sql = ORACLE_SQL["dedup_components"]
+    # quality over the SAME augmented doc set the components were built
+    # from (the near-dup fixture plants doc_id+1000000 copies that are
+    # not in the raw table; scoring only raw docs would silently shrink
+    # families). text_quality's oracle reads FROM documents exactly once.
+    quality_sql = ORACLE_SQL["text_quality"].replace(
+        "FROM documents", "FROM all_docs"
+    )
+    sql = f"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    comp AS ({comp_sql}),
+    q AS ({quality_sql}),
+    j AS (
+      SELECT c.component, c.node AS doc_id, q.quality
+      FROM comp c JOIN q ON q.doc_id = c.node
+    ),
+    r AS (
+      SELECT component, doc_id, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS family_size
+      FROM j
+    )
+    SELECT component, doc_id, quality, family_size FROM r WHERE rn = 1
+    """
+
+    @register("dedup_keep_best_per_family", sql)
+    def dedup_keep_best_per_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-family survivor pick: join the component assignment to a
+        quality scan and take the top row per family by (quality desc,
+        doc_id asc). One broadcast-size join (components cover only
+        docs that appear in near-dup pairs) plus one window — the
+        policy step that turns 'these docs are duplicates' into 'keep
+        this one, drop those'."""
+        from pyspark.sql import Window
+
+        comp = SPARK_QUERIES["dedup_components"](spark, sf_dir)
+        docs = _docs_with_near_dupes(spark, sf_dir)
+        j = comp.join(
+            docs.select(
+                F.col("doc_id").alias("node"),
+                T.quality_score(F.col("text")).alias("quality"),
+            ),
+            "node",
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.desc("quality"), F.asc("node")
+        )
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "family_size",
+                F.count("*").over(Window.partitionBy("component")),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "component",
+                F.col("node").alias("doc_id"),
+                "quality",
+                "family_size",
+            )
+        )
+
+
+_register_dedup_keep_best()

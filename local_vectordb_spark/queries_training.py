@@ -24,8 +24,9 @@ from local_vectordb_spark.operators.sampling import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    temperature_fractions,
 )
-from local_vectordb_spark.queries import register
+from local_vectordb_spark.queries import ORACLE_SQL, register
 from local_vectordb_spark.session import load_table
 
 
@@ -97,6 +98,79 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture rebalancing (keep-rate ∝ n^(α-1), head-only
+# downsampling — the multilingual-pretraining mixing op)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_temperature_by_lang",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS n_min FROM c),
+    thr AS (
+      SELECT lang, n,
+             ROUND(sqrt(CAST(n_min AS DOUBLE) / n), 6) AS keep_rate,
+             printf('%04x',
+                    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 65536) AS INT)
+             ) AS t,
+             n = n_min AS keep_all
+      FROM c, m
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE keep_all
+         OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t
+    )
+    SELECT thr.lang, CAST(thr.n AS BIGINT) AS n_docs, thr.keep_rate,
+           CAST(count(k.lang) AS BIGINT) AS n_kept
+    FROM thr LEFT JOIN kept k ON thr.lang = k.lang
+    GROUP BY thr.lang, thr.n, thr.keep_rate
+    """,
+)
+def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing (α=0.5): per-language keep-rate (n_min/n)^0.5
+    flattens the language distribution the way multilingual
+    pre-training mixes sources — kept sizes ∝ n^α, the smallest
+    language keeps everything, and rebalancing only ever DOWNSAMPLES
+    the head (no duplication). Two scans total: a per-stratum count
+    (stratum-cardinality driver collect, bounded by #languages at any
+    corpus scale) and one shuffle-free md5-threshold filter; the final
+    report aggregates kept rows per language.
+
+    Oracle note: keep-rate is sqrt(n_min/n) on both engines; both
+    libms round sqrt correctly, and a rate of exactly 1.0 keeps the
+    stratum unfiltered on both sides (no 'ffff'-threshold edge loss).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    fractions = temperature_fractions(counts, alpha=0.5)
+    sampled = stratified_sample(docs, "doc_id", "lang", fractions)
+    kept = sampled.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    meta = spark.createDataFrame(
+        [
+            (lang, int(n), round(fractions[lang], 6))
+            for lang, n in counts.items()
+        ],
+        "lang string, n_docs long, keep_rate double",
+    )
+    return (
+        F.broadcast(meta)
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
     )
 
 
@@ -437,3 +511,77 @@ def events_band_clicks_near_errors(spark: SparkSession, sf_dir: str) -> DataFram
         errors, clicks, "ts", ["user_id"], 60, "n_clicks_60s",
         unique_key="event_id",
     ).select("event_id", "user_id", "n_clicks_60s")
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation manifest: quality-filter → exact-dedup → split →
+# per-(split, lang) corpus accounting, as ONE declarative plan
+# --------------------------------------------------------------------------
+
+
+def _register_training_manifest() -> None:
+    quality_sql = ORACLE_SQL["text_quality"]
+    sql = rf"""
+    WITH q AS ({quality_sql}),
+    filt AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+      WHERE q.quality >= 0.5
+    ),
+    fp AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+      FROM filt
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    s AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+               AS n_tokens,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """
+
+    @register("docs_training_manifest", sql)
+    def docs_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The whole curation funnel as one Catalyst plan: quality
+        scoring (JVM expression scan) → threshold filter → exact dedup
+        keeping the lowest doc_id per content fingerprint (one shuffle
+        on the well-distributed md5 key) → leakage-free hash split
+        (pure map) → per-(split, language) doc/token accounting (one
+        final agg). This is the manifest a training launch reads; every
+        stage reuses an independently-oracled operator, and expressing
+        the funnel as a single plan lets Catalyst collapse the quality
+        filter and split assignment into the dedup shuffle's map side —
+        three logical passes, two physical shuffles."""
+        from pyspark.sql import Window
+
+        docs = load_table(spark, sf_dir, "documents")
+        filt = docs.withColumn("quality", T.quality_score(F.col("text"))).filter(
+            F.col("quality") >= 0.5
+        )
+        fp = filt.withColumn("f", T.fingerprint(F.col("text")))
+        w = Window.partitionBy("f").orderBy("doc_id")
+        kept = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        split = hash_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        return split.groupBy("split", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        )
+
+
+_register_training_manifest()

@@ -199,3 +199,32 @@ def test_simhash_null_text_hashes_to_zero(spark):
         sigs = {r["doc_id"]: r["simhash"] for r in fn(docs).collect()}
         assert sigs[1] == 0 and sigs[2] == 0
         assert sigs[3] != 0
+
+
+def test_keep_best_per_family_is_a_member_and_unique(spark, sf_dir):
+    """The survivor pick emits exactly one row per duplicate family,
+    the kept doc belongs to that family, and its quality is the
+    family's max."""
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.functions import text as T
+    from local_vectordb_spark.queries import SPARK_QUERIES, _docs_with_near_dupes
+
+    comp = {
+        (r.node, r.component)
+        for r in SPARK_QUERIES["dedup_components"](spark, sf_dir).collect()
+    }
+    docs = _docs_with_near_dupes(spark, sf_dir)
+    quality = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    kept = SPARK_QUERIES["dedup_keep_best_per_family"](spark, sf_dir).collect()
+    assert len(kept) == len({c for _, c in comp})
+    for r in kept:
+        members = [n for n, c in comp if c == r.component]
+        assert r.doc_id in members
+        assert r.family_size == len(members)
+        assert r.quality == max(quality[m] for m in members)

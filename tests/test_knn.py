@@ -58,3 +58,26 @@ def test_metadata_filter(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     filtered = knn.metadata_filter(emb, label=2)
     assert filtered.filter(F.col("label") != 2).count() == 0
+
+
+def test_range_search_threshold_and_order(spark, sf_dir):
+    """Range search returns exactly the rows scoring ≥ τ on the full
+    scan, ordered (score desc, id asc), and τ=-1 returns the whole
+    corpus (minus nothing: scores lie in [-1, 1])."""
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.operators import knn
+    from local_vectordb_spark.queries import _query_vecs
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vecs(sf_dir)[0][1]
+    tau = 0.2
+    got = knn.range_search(emb, qv, min_score=tau).collect()
+    all_scores = knn.score_all(emb, qv).collect()
+    want = sorted(
+        [(r.vec_id, r.score) for r in all_scores if r.score >= tau],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r.vec_id, r.score) for r in got] == want
+    assert knn.range_search(emb, qv, min_score=-1.0).count() == emb.count()

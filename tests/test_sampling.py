@@ -169,3 +169,53 @@ def test_hash_sample_full_fraction_keeps_all(spark, sf_dir):
     assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
     with _pytest.raises(ValueError):
         hash_sample(docs, "doc_id", 1.5)
+
+
+def test_temperature_fractions_math():
+    """Keep-rates follow (n_min/n)^(1-α): smallest stratum keeps all,
+    α=1 is proportional passthrough (all 1.0), α=0 fully flattens
+    (kept sizes all equal n_min in expectation)."""
+    import pytest as _pytest
+
+    from local_vectordb_spark.operators.sampling import temperature_fractions
+
+    counts = {"en": 400, "fr": 100}
+    half = temperature_fractions(counts, alpha=0.5)
+    assert half["fr"] == 1.0
+    assert abs(half["en"] - 0.5) < 1e-12  # sqrt(100/400)
+    assert temperature_fractions(counts, alpha=1.0) == {"en": 1.0, "fr": 1.0}
+    flat = temperature_fractions(counts, alpha=0.0)
+    assert abs(flat["en"] - 0.25) < 1e-12  # expected kept = 100 = n_min
+    assert temperature_fractions({}, 0.5) == {}
+    with _pytest.raises(ValueError):
+        temperature_fractions(counts, alpha=1.5)
+
+
+def test_temperature_sample_flattens_head(spark, sf_dir):
+    """Applying temperature fractions via stratified_sample keeps the
+    smallest language whole and strictly downsamples the largest."""
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.operators.sampling import (
+        stratified_sample,
+        temperature_fractions,
+    )
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    fr = temperature_fractions(counts, alpha=0.5)
+    kept = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "doc_id", "lang", fr)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    smallest = min(counts, key=counts.get)
+    largest = max(counts, key=counts.get)
+    assert kept[smallest] == counts[smallest]
+    assert kept[largest] < counts[largest]
