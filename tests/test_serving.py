@@ -173,3 +173,18 @@ def test_list_pagination(server):
     assert code == 400
     code, _ = _req(server, "GET", "/libraries?offset=frogs")
     assert code == 400
+
+
+def test_seed_demo_flow(server, spark):
+    """The `make seed` analogue (tools/seed_demo.py): reset -> load 10
+    fixture documents over HTTP -> query returns ranked hydrated hits
+    with confidences in descending order."""
+    from tools.seed_demo import query, seed
+
+    lib_id = seed(server, spark, n_docs=10)
+    assert lib_id
+    results = query(server, "What is the capital of Germany?")
+    assert len(results) == 5
+    confs = [r["confidence"] for r in results]
+    assert confs == sorted(confs, reverse=True)
+    assert all(r["content"] for r in results)
