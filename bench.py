@@ -37,6 +37,7 @@ HEADLINE = [
     "knn_graph",  # r6: default = block-matrix scale path (see queries.py)
     "knn_graph_broadcast",  # driver-broadcast small-corpus utility
     "knn_sq8",
+    "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

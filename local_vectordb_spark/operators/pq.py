@@ -1,0 +1,182 @@
+"""Product quantization (PQ) with asymmetric-distance search — the
+memory-compression tier of the ANN family (SURVEY §2 Q4/Q5 scale
+extensions; the reference stores full float vectors only,
+/root/reference/src/models/collection.py:58-69).
+
+At 100 TB the dominant ANN cost is reading vectors: PQ stores m small
+codes per vector (here 8 codes of 4 bits = 4 bytes vs 256 bytes of
+float32 — a 64× scan-volume reduction) and scores candidates against a
+per-query lookup table (ADC: asymmetric distance computation), then
+exact-rescans only the short candidate list. The plan shape is:
+
+    codes scan (map-only, tiny)           ← the 100 TB-sized input
+      → per-row ADC score = m table lookups + m-1 adds
+      → TakeOrderedAndProject top-C       (no shuffle)
+      → exact cosine rescore of C rows    (C ≈ 50 full vectors)
+      → top-k
+
+Determinism/oracle strategy (the `md5_hyperplanes` construction from
+`operators/ann.py` generalized): the codebook is a pure-Python md5
+constant — identical on the driver, in Spark literals, and in
+generated DuckDB SQL — and every floating-point reduction (encoding
+distances, the ADC table, the ADC sum) is a left-associative
+sequential fold on BOTH engines, so codes, ADC scores, and therefore
+the candidate set are bit-reproducible with no rounding tricks. A
+trained (k-means) codebook would give tighter cells but a
+seed-dependent oracle; the md5 codebook keeps the entire path
+value-checkable, which is the property this repo optimizes for
+(recall quality is covered by the exact rescore tier).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators.knn import SCORE_DECIMALS, _unit
+
+PQ_MD5_SEED = "pq-v1"
+
+
+def pq_codebook(
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: str = PQ_MD5_SEED,
+) -> list[list[list[float]]]:
+    """[m][k_codes][dim/m] deterministic centroids: coefficient
+    (s, j, i) is md5(f"{seed}:{s}:{j}:{i}")'s first 15 hex chars scaled
+    to [-1, 1) — a dyadic rational, exactly representable in binary64,
+    so the constant is the SAME double in Python, Spark, and any SQL
+    engine that parses its repr."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    book: list[list[list[float]]] = []
+    for s in range(m):
+        codes = []
+        for j in range(k_codes):
+            row = []
+            for i in range(dsub):
+                h = hashlib.md5(f"{seed}:{s}:{j}:{i}".encode()).hexdigest()
+                row.append(2.0 * (int(h[:15], 16) / float(1 << 60)) - 1.0)
+            codes.append(row)
+        book.append(codes)
+    return book
+
+
+def pq_encode(vec_col: Column | str, codebook: Sequence) -> Column:
+    """ARRAY<INT> of m codes: per subspace, the index of the nearest
+    centroid by squared L2 (first index on ties).  The per-centroid
+    distance is a sequential zip_with/aggregate fold — the same
+    ((0+t1)+t2)+… order the generated SQL's left-associative `t1 + t2
+    + …` produces (0.0 + t1 == t1 exactly for the non-negative squared
+    terms), so the argmin, and hence the code, is bit-identical
+    cross-engine.  The codebook enters as ONE nested literal per
+    subspace, not per-element literals (the 4.1.x plan-analysis tax)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = c.cast("array<double>")
+    dsub = len(codebook[0][0])
+
+    def sq_l2_to(sub: Column):
+        # factory, not a default arg: a 2-parameter lambda would make
+        # pyspark pass the array INDEX as the second transform argument
+        return lambda cent: F.aggregate(
+            F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    codes = []
+    for s, cb in enumerate(codebook):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        dists = F.transform(
+            F.lit([list(map(float, row)) for row in cb]), sq_l2_to(sub)
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_table(
+    query_vec: Sequence[float], codebook: Sequence
+) -> list[list[float]]:
+    """[m][k_codes] inner products of the unit query's subvectors with
+    each centroid, computed driver-side with an explicit sequential
+    fold (the order the SQL twin unrolls)."""
+    qhat = _unit(query_vec)
+    dsub = len(codebook[0][0])
+    table: list[list[float]] = []
+    for s, cb in enumerate(codebook):
+        qs = qhat[s * dsub : (s + 1) * dsub]
+        row = []
+        for cent in cb:
+            acc = 0.0
+            for x, y in zip(qs, cent):
+                acc += x * y
+            row.append(acc)
+        table.append(row)
+    return table
+
+
+def pq_adc_scores(
+    codes_col: Column | str, adc_table: Sequence[Sequence[float]]
+) -> Column:
+    """Approximate inner-product score from codes: m table lookups and
+    a left-associative sum — the entire per-row cost of the ADC scan."""
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    total: Column | None = None
+    for s, row in enumerate(adc_table):
+        term = F.element_at(
+            F.lit([float(x) for x in row]), F.element_at(codes, s + 1) + 1
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def pq_adc_search(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    codebook: Sequence | None = None,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC search: encode → ADC top-`n_candidates` (one map-only
+    scan + TakeOrderedAndProject, no shuffle) → exact cosine rescore of
+    the candidates → top-k (score desc, id asc).  Output matches every
+    other search surface: (id, score) with the EXACT cosine score, so
+    quantization affects recall only, never the reported score.
+
+    Encoding happens inline here for self-containment; a deployment
+    materializes `pq_encode` once into a codes table and pays only the
+    4-bytes-per-vector ADC scan per query.
+    """
+    from local_vectordb_spark.functions.vector import dot_product, l2_norm
+
+    if codebook is None:
+        codebook = pq_codebook(dim=len(list(query_vec)))
+    adc = pq_adc_table(query_vec, codebook)
+    cand = (
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            pq_adc_scores(pq_encode(vec_col, codebook), adc).alias("_adc"),
+        )
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    qn = F.array(*[F.lit(x) for x in _unit(query_vec)])
+    norm = l2_norm(F.col(vec_col))
+    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(vec_col), qn) / norm
+    )
+    return (
+        cand.select(F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -283,3 +283,18 @@ def test_capped_jaccard_no_cartesian_single_pair_shuffle(spark, sf_dir):
     plan = plans.plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_candidate_tier_is_shuffle_free(spark, sf_dir):
+    """The PQ-ADC candidate scan must compile to TakeOrderedAndProject
+    with ZERO exchanges — the whole point of the tier is a map-only
+    pass over the (tiny) codes followed by an O(C) driver merge."""
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.queries import _query_vecs
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = pq.pq_adc_search(emb, _query_vecs(sf_dir)[0][1], k=10)
+    plan = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -1,0 +1,88 @@
+"""Product-quantization tier: codebook determinism, encode argmin
+correctness vs numpy, and ADC search invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from local_vectordb_spark.operators import knn, pq
+from local_vectordb_spark.queries import _query_vecs
+from local_vectordb_spark.session import load_table
+
+
+def test_codebook_deterministic_and_dyadic():
+    a = pq.pq_codebook(dim=64, m=8, k_codes=16)
+    b = pq.pq_codebook(dim=64, m=8, k_codes=16)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 8
+    flat = [x for s in a for c in s for x in c]
+    assert all(-1.0 <= x < 1.0 for x in flat)
+    # dyadic rationals: value * 2^60 must be an exact integer
+    assert all(float(x * (1 << 60)).is_integer() for x in flat)
+    with pytest.raises(ValueError):
+        pq.pq_codebook(dim=60, m=8)
+
+
+def test_encode_matches_numpy_argmin(spark, sf_dir):
+    book = pq.pq_codebook()
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in emb.select(
+            "vec_id", pq.pq_encode("embedding", book).alias("codes")
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    cb = np.array(book)  # (m, k, dsub)
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64).reshape(8, 8)
+        want = [
+            int(np.argmin(((v[s] - cb[s]) ** 2).sum(axis=1))) for s in range(8)
+        ]
+        assert got[r.vec_id] == want
+
+
+def test_adc_search_scores_are_exact_cosines(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vecs(sf_dir)[0][1]
+    res = pq.pq_adc_search(emb, qv, k=10).collect()
+    assert len(res) == 10
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
+    exact = {r.vec_id: r.score for r in knn.score_all(emb, qv).collect()}
+    for r in res:
+        assert r.score == exact[r.vec_id]
+
+
+def test_adc_candidates_match_numpy_replication(spark, sf_dir):
+    """The no-shuffle candidate tier must be exactly the top-C by ADC
+    (ties by id) that a numpy replication of table lookups selects."""
+    book = pq.pq_codebook()
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vecs(sf_dir)[0][1]
+    adc = pq.pq_adc_table(qv, book)
+    scored = emb.select(
+        "vec_id",
+        pq.pq_adc_scores(pq.pq_encode("embedding", book), adc).alias("adc"),
+    ).collect()
+    got = [
+        r.vec_id
+        for r in sorted(scored, key=lambda r: (-r.adc, r.vec_id))[:50]
+    ]
+    rows = emb.select("vec_id", "embedding").collect()
+    cb = np.array(book)
+    want_scores = {}
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64).reshape(8, 8)
+        s = 0.0
+        for sub in range(8):
+            code = int(np.argmin(((v[sub] - cb[sub]) ** 2).sum(axis=1)))
+            s += adc[sub][code]
+        want_scores[r.vec_id] = s
+    want = [
+        i
+        for i, _ in sorted(want_scores.items(), key=lambda t: (-t[1], t[0]))[:50]
+    ]
+    assert got == want
