@@ -38,6 +38,7 @@ HEADLINE = [
     "knn_graph_broadcast",  # driver-broadcast small-corpus utility
     "knn_sq8",
     "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
+    "ivf_pq_search",  # r6: partition-pruned + PQ-compressed composition
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

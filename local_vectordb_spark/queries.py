@@ -2538,7 +2538,12 @@ _register_dedup_keep_best()
 
 
 def _pq_oracle_sql(
-    dim: int = 64, m: int = 8, k_codes: int = 16, n_candidates: int = 50
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    n_candidates: int = 50,
+    extra_ctes: str = "",
+    ev_sql: str | None = None,
 ) -> str:
     """Oracle for knn_pq_adc. The codebook constants embed as repr'd
     DOUBLE literals; every reduction (query norm, ADC table entries,
@@ -2584,11 +2589,13 @@ def _pq_oracle_sql(
     )
     adc_sum = " + ".join(f"a.t{s}[c.p{s}]" for s in range(m))
 
+    if ev_sql is None:
+        ev_sql = "SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings"
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    qn AS (SELECT qv, sqrt({qnorm}) AS n FROM q),
+    qn AS (SELECT qv, sqrt({qnorm}) AS n FROM q),{extra_ctes}
     adc AS (SELECT {', '.join(adc_cols)} FROM qn),
-    ev AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS ({ev_sql}),
     dists AS (SELECT vec_id, embedding, {', '.join(dist_cols)} FROM ev),
     codes AS (SELECT vec_id, embedding, {pos_cols} FROM dists),
     scored AS (
@@ -2623,3 +2630,51 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq.pq_adc_search(emb, _query_vecs(sf_dir)[0][1], k=K)
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """IVF-PQ: the PQ oracle with its corpus CTE narrowed to the sign-
+    probed buckets (query bucket + Hamming-1) — the same candidate set
+    the partition-pruned read produces."""
+    sign_e = _SIGN_BUCKET_SQL.format(v="e.embedding")
+    return _pq_oracle_sql(
+        extra_ctes=f"""
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),""",
+        ev_sql=f"""
+      SELECT e.vec_id, e.embedding, e.embedding::DOUBLE[] AS v
+      FROM embeddings e, qb
+      WHERE ({sign_e})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    """,
+    )
+
+
+@register("ivf_pq_search", _ivf_pq_oracle_sql())
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full billion-scale recipe, composed from two independently
+    oracle-exact tiers: IVF partition pruning (4-bit sign buckets,
+    query bucket + Hamming-1 probes → 5 of 16 partition directories
+    pruned at PLANNING time) times PQ compression (ADC lookup-table
+    scan over the probed slice, top-50 candidates, exact cosine
+    rescore). Scan volume at 100 TB: (5/16 of partitions) × (4 bytes
+    per vector for the ADC tier) ≈ 1/200th of brute force, with
+    reported scores still exact for every returned id."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.sources import partitioned as P
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        P.write_partitioned(
+            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
+            path,
+            ["bucket"],
+        )
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe(qv, n_bits=4)
+    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    return pq.pq_adc_search(cand, qv, k=K)

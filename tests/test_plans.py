@@ -298,3 +298,19 @@ def test_pq_candidate_tier_is_shuffle_free(spark, sf_dir):
     plan = plans.plan_string(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_ivf_pq_composed_plan_prunes_and_stays_shuffle_free(spark, sf_dir):
+    """The IVF-PQ composition must keep BOTH tiers' physical
+    properties: the probe reaches the scan as PartitionFilters on the
+    bucket column (planning-time directory pruning) and the ADC
+    candidate tier still compiles to TakeOrderedAndProject with no
+    exchange."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["ivf_pq_search"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
