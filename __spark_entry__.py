@@ -32,86 +32,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 5 front-loads (a) the two queries broken
-# by the PySpark 4.1.2 TIMESTAMP_NTZ change and fixed this round
-# (functions/timeutil.epoch_micros), (b) queries added in r5 (names
-# appended here only once the code exists), (c) the 15 registry queries
-# that have never had a driver-window row (judge-verified locally only),
-# and (d) fills from the queries whose last driver row is r3. Everything
-# outside the window is re-verified locally as VERIFY_LOCAL_r5.txt.
+# in registration order. Round 6 (r5 verdict task #7) maximizes
+# hash-green density: every slot is an ORACLE-MATCHED query — (a) the 8
+# queries new in r6 getting their first driver row, (b) all 27 oracled
+# queries whose last driver row was r3, (c) 15 fills from the r4 tier
+# (the partsupp-adapted TPC-H five, the dedup family, the API facade).
+# Rows-only paths (seed-/impl-dependent by design) are all covered by
+# the full-registry VERIFY_LOCAL_r6.txt backstop plus oracle-matched
+# twins inside this window.
 _PRIORITY = [
-    # (a) fixed in r5 — NTZ-safe epoch helper
-    "events_band_clicks_near_errors",
-    "events_interarrival",
-    # (b) new in r5
-    "embed_hashed_md5",
-    "ivf_search_pruned",
-    "ivf_sign_pruned",
-    "stream_then_ivf_search",
-    "api_search_batch_table",
-    "graph_beam_search",
-    "orders_percentile_by_priority",
-    "part_cube_brand_size",
-    "events_retention_cohorts",
-    "docs_zipf_token_freq",
-    "events_session_funnel",
-    "supplier_balance_ntile",
-    "events_error_burst_windows",
-    "docs_quality_quantiles",
-    "docs_dedup_family_sizes",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh_md5_capped",
-    "dedup_lsh_bucket_audit",
-    # (c) never had a driver-window row
-    "text_langid",
-    "dedup_simhash",
-    "embed_letter_knn",
-    "embed_hashed",
-    "mm_media_meta",
-    "mm_frame_sample",
-    "ivf_batch_search",
-    "lsh_search",
-    "text_fingerprint_rolling",
-    "text_fingerprint_winnow",
-    "chunk_documents",
-    "embed_pool_by_label",
-    "quantiles_order_value",
-    "text_bpe_token_stats",
-    "sketch_distinct_users_daily",
-    # (d) last driver row is r3
-    "knn_sq8",
-    "knn_mmr_diversified",
-    "fts_bm25",
-    "hybrid_rrf",
-    "skew_salted_event_counts",
-    "text_repetition_stats",
-    "text_pii_scrub_audit",
-    "events_partition_pruned_scan",
-    "events_asof_last_view",
-    "stream_tumbling_hour",
-    "stream_sliding_window",
-    "stream_sessionize",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_train_val_test",
-    "pack_token_budget",
-    "text_scrub_denylist",
+    # (a) new in r6
+    "knn_range_search",
+    "knn_graph_broadcast",
+    "lsh_search_md5",
+    "knn_pq_adc",
+    "ivf_pq_search",
+    "sample_temperature_by_lang",
+    "docs_training_manifest",
+    "dedup_keep_best_per_family",
+    # (b) last driver row is r3
+    "anti_join_never_bulk_ordered_parts",
+    "date_funcs_monthly_revenue",
     "decontam_ngram_overlap",
-    "tpch_q6_forecast_revenue",
+    "grouping_sets_flag_status",
+    "numeric_stats_lineitem",
+    "pack_token_budget",
+    "pivot_status_by_priority",
+    "scalar_subquery_premium_parts",
+    "semi_join_deep_discount_orders",
+    "setops_wealthy_nations",
+    "string_funcs_parts",
+    "text_scrub_denylist",
     "tpch_q10_returned_items",
+    "tpch_q12_latency_priority",
+    "tpch_q13_order_count_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_customers",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_rich_customers",
-    "semi_join_deep_discount_orders",
-    "anti_join_never_bulk_ordered_parts",
-    "setops_wealthy_nations",
-    "grouping_sets_flag_status",
-    "scalar_subquery_premium_parts",
-    "pivot_status_by_priority",
+    "tpch_q4_priority_late_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
     "window_running_totals",
+    # (c) r4-tier fills
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_promotion_suppliers",
+    "stream_dedup_exact",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_md5",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "api_search_cosine",
+    "api_search_batch_cosine",
 ]
 
 
