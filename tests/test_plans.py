@@ -314,3 +314,25 @@ def test_ivf_pq_composed_plan_prunes_and_stays_shuffle_free(spark, sf_dir):
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_training_manifest_two_shuffles(spark, sf_dir):
+    """The curation funnel's docstring claims Catalyst collapses the
+    quality filter and split assignment into the dedup shuffle's map
+    side — i.e. exactly two shuffle exchanges end to end (fingerprint
+    window + final group agg), with the quality/text filters evaluated
+    before the first exchange."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    import re
+
+    df = SPARK_QUERIES["docs_training_manifest"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    n_shuffles = len(re.findall(r"Exchange \(\d+\)", plan))
+    assert n_shuffles == 2, f"expected 2 shuffles, plan has {n_shuffles}"
+    # the dedup window's rank<=1 must run as WindowGroupLimit twice —
+    # a partial top-1 per fingerprint on the map side BELOW the
+    # exchange, then the final pass — not as a full window sort
+    import re as _re
+
+    assert len(_re.findall(r"WindowGroupLimit \(\d+\)", plan)) == 2
