@@ -47,6 +47,7 @@ _PRIORITY = [
     "lsh_search_md5",
     "knn_pq_adc",
     "ivf_pq_search",
+    "ann_recall_report",
     "sample_temperature_by_lang",
     "docs_training_manifest",
     "dedup_keep_best_per_family",
@@ -93,7 +94,6 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "api_search_cosine",
-    "api_search_batch_cosine",
 ]
 
 

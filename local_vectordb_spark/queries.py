@@ -2678,3 +2678,61 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = ivf.sign_probe(qv, n_bits=4)
     cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
     return pq.pq_adc_search(cand, qv, k=K)
+
+
+# --------------------------------------------------------------------------
+# ANN quality accounting: recall@k of every deterministic approximate
+# tier against exact brute force, as one report
+# --------------------------------------------------------------------------
+
+
+def _recall_report_sql() -> str:
+    """Each tier's oracle SQL is embedded as a parenthesized WITH
+    subquery; recall@10 = |tier ∩ exact| / 10. Only the fully
+    deterministic tiers appear (KMeans/MLlib tiers are seed-dependent
+    and covered by invariant tests instead)."""
+    bf = ORACLE_SQL["knn_brute_force"]
+    tiers = {
+        "ivf_sign_pruned": ORACLE_SQL["ivf_sign_pruned"],
+        "lsh_md5": ORACLE_SQL["lsh_search_md5"],
+        "pq_adc": ORACLE_SQL["knn_pq_adc"],
+        "ivf_pq": ORACLE_SQL["ivf_pq_search"],
+    }
+    selects = [
+        f"""SELECT '{name}' AS method,
+           ROUND(count(*) / {K}.0, 6) AS recall_at_k
+    FROM ({sql}) t JOIN ({bf}) b USING (vec_id)"""
+        for name, sql in tiers.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+@register("ann_recall_report", _recall_report_sql())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every deterministic approximate search tier
+    (sign-pruned IVF, md5-hyperplane LSH, PQ-ADC, composed IVF-PQ)
+    against exact brute force — the quality-accounting scan an ANN
+    deployment runs before choosing a tier, here as one job whose
+    every input is itself value-oracled, so even the RECALL numbers
+    are cross-engine reproducible. At scale the same report runs on a
+    hash-sampled query set instead of one query."""
+    exact = SPARK_QUERIES["knn_brute_force"](spark, sf_dir).select("vec_id")
+    tiers = {
+        "ivf_sign_pruned": SPARK_QUERIES["ivf_sign_pruned"],
+        "lsh_md5": SPARK_QUERIES["lsh_search_md5"],
+        "pq_adc": SPARK_QUERIES["knn_pq_adc"],
+        "ivf_pq": SPARK_QUERIES["ivf_pq_search"],
+    }
+    out = None
+    for name, fn in tiers.items():
+        r = (
+            fn(spark, sf_dir)
+            .select("vec_id")
+            .join(exact, "vec_id")
+            .agg(
+                F.round(F.count("*") / float(K), 6).alias("recall_at_k")
+            )
+            .select(F.lit(name).alias("method"), "recall_at_k")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
