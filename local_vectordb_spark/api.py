@@ -51,7 +51,7 @@ from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
-INDEX_TYPES = ("cosine", "ivf", "nsw", "hybrid")
+INDEX_TYPES = ("cosine", "ivf", "nsw", "hybrid", "pq")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -395,6 +395,16 @@ class VectorDB:
             )
         elif index_type == "cosine":
             scored = knn.knn_brute_force(chunks, qvec, k=fetch, id_col="id")
+        elif index_type == "pq":
+            # memory-compressed tier (operators/pq.py): ADC candidate
+            # scan over md5-codebook codes, exact cosine rescore — the
+            # strategy a corpus too large to scan as floats selects
+            from local_vectordb_spark.operators import pq as pq_ops
+
+            scored = pq_ops.pq_adc_search(
+                chunks, qvec, k=fetch,
+                n_candidates=max(50, 5 * fetch), id_col="id",
+            )
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search(
@@ -484,6 +494,14 @@ class VectorDB:
             query_vecs = [(r.query_id, [float(x) for x in r.v]) for r in rows]
         chunks = self._chunks_for_search(metadata)
 
+        if index_type in ("hybrid", "pq"):
+            # refuse rather than silently fall through to the nsw
+            # branch: hybrid needs per-query BM25 term sets and pq a
+            # per-query ADC table — both are single-query surfaces
+            raise ValueError(
+                f"search_batch supports ('cosine', 'ivf', 'nsw'); "
+                f"{index_type!r} is single-query only — loop search()"
+            )
         if index_type == "cosine":
             scored = knn.knn_batch(chunks, query_vecs, k=k, id_col="id")
         elif index_type == "ivf":

@@ -78,7 +78,7 @@ def test_embeddings_filled_on_create(db):
     assert d.table("chunks").filter("embedding IS NULL").count() == 0
 
 
-@pytest.mark.parametrize("index_type", ["cosine", "ivf", "nsw"])
+@pytest.mark.parametrize("index_type", ["cosine", "ivf", "nsw", "pq"])
 def test_query_each_strategy_finds_exact_match(db, index_type):
     d, *_ = db
     hits = d.search(QUESTIONS[0], index_type=index_type, k=3).collect()
@@ -413,3 +413,14 @@ def test_search_batch_nsw_rejects_oversized_set(db):
             index_type="nsw",
             max_driver_queries=2,
         )
+
+
+def test_search_batch_rejects_single_query_strategies(db):
+    """hybrid/pq must raise, not silently fall through to the nsw
+    branch of the batch dispatch."""
+    d, *_ = db
+    for bad in ("hybrid", "pq"):
+        with pytest.raises(ValueError, match="single-query only"):
+            d.search_batch(
+                queries=[(0, "anything")], index_type=bad, k=2
+            )
