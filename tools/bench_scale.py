@@ -31,6 +31,8 @@ STRESS = [
     "knn_graph",  # r6: registry default is now the block-matrix path
     "ivf_sign_pruned",
     "lsh_search_md5",
+    "knn_pq_adc",  # r6: ADC scan under massive duplicate-code skew
+    "ivf_pq_search",  # r6: pruning x compression composition at 10x
 ]
 BUDGET_S = 120.0
 
