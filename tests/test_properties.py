@@ -216,3 +216,47 @@ def test_sign_bucket_probe_invariants(sp, vec):
     assert 0 <= row.b < 16
     assert row.b == probed[0]  # spark expr == driver-side computation
     assert len(set(probed)) == 5 and row.b in probed
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_pq_encode_matches_sequential_python_fold(sp, vecs):
+    """The oracle contract for PQ: Spark's encode must equal a pure
+    sequential-fold Python replication bit for bit (same argmin, first
+    index on ties) for arbitrary float vectors — this is the exact
+    property the generated SQL relies on."""
+    from local_vectordb_spark.operators import pq
+
+    book = pq.pq_codebook(dim=16, m=4, k_codes=8)
+    df = sp.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: list(r.codes)
+        for r in df.select(
+            "vec_id", pq.pq_encode("embedding", book).alias("codes")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        want = []
+        for s in range(4):
+            sub = [float(x) for x in v[s * 4 : (s + 1) * 4]]
+            dists = []
+            for cent in book[s]:
+                acc = 0.0
+                for x, y in zip(sub, cent):
+                    acc += (x - y) * (x - y)
+                dists.append(acc)
+            want.append(dists.index(min(dists)))
+        assert got[i] == want
