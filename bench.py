@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_sq8",
     "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
     "ivf_pq_search",  # r6: partition-pruned + PQ-compressed composition
+    "knn_pq_stored",  # r6: stored-codes deployment shape (codes-only scan)
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

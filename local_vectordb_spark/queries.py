@@ -2736,3 +2736,40 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])
+def knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ DEPLOYMENT shape: codes are materialized ONCE to a codes
+    table (4 bytes of payload per vector) and the per-query ADC scan
+    reads ONLY (vec_id, codes) — never the float embeddings; the full
+    vectors are joined back for just the top-C rescore rows. At 100 TB
+    this is the difference between scanning 100 TB of floats and ~1.5
+    TB of codes per query. Encoding is deterministic, so the stored
+    path returns byte-identical results to the encode-on-the-fly
+    `knn_pq_adc` and shares its oracle verbatim."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.operators import pq
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "pq_codes")
+    book = pq.pq_codebook()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        emb.select(
+            "vec_id", pq.pq_encode("embedding", book).alias("codes")
+        ).write.mode("overwrite").parquet(path)
+    qv = _query_vecs(sf_dir)[0][1]
+    adc = pq.pq_adc_table(qv, book)
+    cand = (
+        spark.read.parquet(path)
+        .select("vec_id", pq.pq_adc_scores("codes", adc).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc("vec_id"))
+        .limit(50)
+        .select("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    hydrated = emb.join(F.broadcast(cand), "vec_id")
+    return knn.knn_brute_force(hydrated, qv, k=K)

@@ -336,3 +336,18 @@ def test_training_manifest_two_shuffles(spark, sf_dir):
     import re as _re
 
     assert len(_re.findall(r"WindowGroupLimit \(\d+\)", plan)) == 2
+
+
+def test_pq_stored_codes_scan_never_reads_embeddings(spark, sf_dir):
+    """The stored-codes deployment shape: the ADC candidate tier's
+    parquet scan must read ONLY (vec_id, codes) — the float embeddings
+    may appear solely in the rescore join's scan."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_pq_stored"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    code_scans = [s for s in schemas if "codes" in s]
+    assert code_scans, f"no codes scan found in {schemas}"
+    for s in code_scans:
+        assert "embedding" not in s, f"ADC scan reads embeddings: {s}"
+    assert any("embedding" in s for s in schemas)  # the rescore join
