@@ -34,6 +34,8 @@ import hashlib
 import math
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -101,6 +103,43 @@ def pq_encode(vec_col: Column | str, codebook: Sequence) -> Column:
     return F.array(*codes)
 
 
+def pq_encode_batch(codebook: Sequence):
+    """Arrow-batched twin of :func:`pq_encode` — same codes, bit for
+    bit, at BLAS-ish speed (the Column form pays interpreted
+    higher-order-function evaluation per centroid: 3.35 s vs ~0.6 s
+    for the sf0.1 encode-and-search in the r6 bench).
+
+    Bit-compatibility argument: the squared-L2 accumulation loops over
+    dimensions with a vectorized float64 `acc = acc + d*d` — the SAME
+    ((0+t1)+t2)+… sequence per (row, centroid) as the JVM fold and the
+    generated SQL — and `np.argmin` returns the first minimum exactly
+    like `array_position(dists, array_min(dists))`.  The equivalence
+    is pinned by tests/test_pq.py::test_encode_batch_equals_column.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cb = [np.array(s, dtype=np.float64) for s in codebook]  # (k, dsub) each
+    dsub = cb[0].shape[1]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        n = mat.shape[0]
+        out = np.empty((n, len(cb)), dtype=np.int32)
+        for s, cents in enumerate(cb):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            acc = np.zeros((n, cents.shape[0]), dtype=np.float64)
+            for i in range(dsub):
+                d = sub[:, i : i + 1] - cents[None, :, i]
+                acc = acc + d * d
+            out[:, s] = np.argmin(acc, axis=1)
+        return pd.Series(list(out))
+
+    return enc
+
+
 def pq_adc_table(
     query_vec: Sequence[float], codebook: Sequence
 ) -> list[list[float]]:
@@ -161,11 +200,12 @@ def pq_adc_search(
     if codebook is None:
         codebook = pq_codebook(dim=len(list(query_vec)))
     adc = pq_adc_table(query_vec, codebook)
+    enc = pq_encode_batch(codebook)  # bit-identical to pq_encode, Arrow speed
     cand = (
         vectors.select(
             F.col(id_col),
             F.col(vec_col),
-            pq_adc_scores(pq_encode(vec_col, codebook), adc).alias("_adc"),
+            pq_adc_scores(enc(F.col(vec_col)), adc).alias("_adc"),
         )
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(n_candidates)

@@ -2758,8 +2758,9 @@ def knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = pq.pq_codebook()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
+        enc = pq.pq_encode_batch(book)  # bit-identical to the Column form
         emb.select(
-            "vec_id", pq.pq_encode("embedding", book).alias("codes")
+            "vec_id", enc(F.col("embedding")).alias("codes")
         ).write.mode("overwrite").parquet(path)
     qv = _query_vecs(sf_dir)[0][1]
     adc = pq.pq_adc_table(qv, book)

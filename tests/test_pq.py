@@ -86,3 +86,25 @@ def test_adc_candidates_match_numpy_replication(spark, sf_dir):
         for i, _ in sorted(want_scores.items(), key=lambda t: (-t[1], t[0]))[:50]
     ]
     assert got == want
+
+
+def test_encode_batch_equals_column(spark, sf_dir):
+    """The Arrow encoder must produce byte-identical codes to the
+    Column (JVM-fold) form — the bit-compatibility contract the SQL
+    oracle relies on."""
+    book = pq.pq_codebook()
+    emb = load_table(spark, sf_dir, "embeddings")
+    col_form = {
+        r.vec_id: list(r.codes)
+        for r in emb.select(
+            "vec_id", pq.pq_encode("embedding", book).alias("codes")
+        ).collect()
+    }
+    enc = pq.pq_encode_batch(book)
+    batch_form = {
+        r.vec_id: list(r.codes)
+        for r in emb.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")
+        ).collect()
+    }
+    assert col_form == batch_form
