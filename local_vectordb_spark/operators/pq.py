@@ -220,3 +220,89 @@ def pq_adc_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pq_adc_search_batch(
+    vectors: DataFrame,
+    query_rows: Sequence[tuple[int, Sequence[float]]],
+    codebook: Sequence | None = None,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch PQ-ADC: one codes scan serves EVERY query.  The corpus is
+    encoded once (query-independent), each query contributes a
+    driver-computed ADC table entering the plan as one nested literal,
+    and scoring a (row, query) pair is m lookups + m−1 adds.  Plan:
+    encode scan → explode over the query structs → per-query top-C
+    window (the only shuffle, |queries|·|corpus| score rows in, C rows
+    per query out) → rescore join against the full vectors for just
+    the candidate rows → per-query top-k.  Output (query_id, id,
+    score) matches knn_batch; scores are EXACT cosines.
+
+    Bounded by the literal ADC tables (m·k_codes doubles per query ≈
+    1 KB) — fine for driver-batch cardinalities; unbounded query sets
+    should route to cosine/ivf batch paths instead.
+    """
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import dot_product, l2_norm
+
+    if not query_rows:
+        raise ValueError("empty query batch")
+    first_vec = list(query_rows[0][1])
+    if codebook is None:
+        codebook = pq_codebook(dim=len(first_vec))
+    m = len(codebook)
+    enc = pq_encode_batch(codebook)
+    base = vectors.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("_codes")
+    )
+    qs = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                F.lit(
+                    [[float(x) for x in row] for row in pq_adc_table(v, codebook)]
+                ).alias("t"),
+            )
+            for qid, v in query_rows
+        ]
+    )
+    ex = base.select(id_col, "_codes", F.explode(qs).alias("_q"))
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_q.t"), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc(id_col))
+    cand = (
+        ex.select(F.col("_q.query_id").alias("query_id"), F.col(id_col), adc.alias("_adc"))
+        .withColumn("_rn", F.row_number().over(w_c))
+        .filter(F.col("_rn") <= n_candidates)
+        .select("query_id", id_col)
+    )
+    qmap = F.map_from_arrays(
+        F.lit([int(qid) for qid, _ in query_rows]),
+        F.lit([[float(x) for x in _unit(v)] for _, v in query_rows]),
+    )
+    joined = cand.join(vectors.select(id_col, vec_col), id_col)
+    qv_col = F.element_at(qmap, F.col("query_id"))
+    norm = l2_norm(F.col(vec_col))
+    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(vec_col), qv_col) / norm
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        joined.select(
+            "query_id",
+            F.col(id_col),
+            F.round(score, SCORE_DECIMALS).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
