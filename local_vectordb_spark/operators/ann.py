@@ -493,6 +493,154 @@ def hyperplane_probe(
     return [qb] + [qb ^ (1 << j) for j in range(n)]
 
 
+def table_seed(seed: str, t: int) -> str:
+    """Seed of hash table ``t`` in a multi-table family: table 0 keeps
+    the bare seed (so the single-table tier and table 0 of the
+    multi-table tier share planes, buckets, and oracle SQL verbatim);
+    further tables suffix ``:t{t}``."""
+    return seed if t == 0 else f"{seed}:t{t}"
+
+
+def lsh_search_md5_multi(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = LSH_MD5_SEED,
+) -> DataFrame:
+    """Q5 single query with OR-amplification, still oracle-exact: a
+    candidate passes if it falls in the query's probed bucket set
+    (bucket + Hamming-1 flips) under ANY of ``n_tables`` independent
+    md5-hyperplane tables, then exact cosine top-k. More tables raise
+    recall multiplicatively (a true neighbour is missed only if every
+    table separates it) at the cost of a larger candidate union — the
+    standard LSH recall knob the single-table tier lacks. On the
+    near-orthogonal sf0.01 fixture (top-10 cosines 0.28-0.37, so every
+    hash bit is close to a coin flip) four tables lift recall@10 from
+    0.5 to 1.0; clustered real corpora reach the same recall with far
+    smaller unions. Candidate membership per table is the same
+    deterministic expression as `lsh_search_md5`, so the union — and
+    the result — reproduces in SQL.
+    """
+    from local_vectordb_spark.operators import knn
+
+    dim = len(query_vec)
+    cond = None
+    for t in range(n_tables):
+        planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
+        probed = hyperplane_probe(query_vec, planes)
+        c = hyperplane_bucket(vec_col, planes).isin(probed)
+        cond = c if cond is None else cond | c
+    cand = vectors.filter(cond)
+    return knn.knn_brute_force(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_graph_lsh(
+    vectors: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = LSH_MD5_SEED,
+) -> DataFrame:
+    """X6 beyond the all-pairs regime: the kNN graph restricted to
+    md5-LSH candidate pairs — the per-bucket build the blocked
+    builder's docstring reserves for corpora where O(n²) flops are no
+    longer payable.
+
+    Construction: each row is replicated to its bucket's Hamming-1
+    BALL (bucket + n_bits flips) in each of ``n_tables`` tables; each
+    (table, bucket) group BLAS-scores its members all-pairs and keeps
+    a per-src partial top-k; a global dedup + per-src window merge
+    yields the final top-k. Two radius-1 balls intersect iff their
+    centers are within Hamming 2, so the candidate set is EXACTLY
+    "pairs whose buckets differ by ≤2 bits in at least one table" — a
+    pure expression of the md5 buckets, which is why this approximate
+    graph still has a full value oracle. Costs: shuffle volume is
+    n·n_tables·(n_bits+1) rows (a constant replication factor), and
+    flops are sum of per-bucket squares ≈ n²·L·ball²/4^n_bits — at
+    scale, raising n_bits shrinks per-bucket work quadratically while
+    the replication factor grows only linearly, which is the knob the
+    blocked builder (flat O(n²)) does not have. Recall on the
+    LSH-hostile random fixture: ≥0.9 of exact edges at sf0.01 with the
+    default (2 tables × 4 bits); planted near-dup families (cosine≈1)
+    are always recovered — their buckets agree in every table.
+    """
+    from pyspark.sql import Window
+
+    out_schema = StructType(
+        [
+            StructField("src", LongType()),
+            StructField("dst", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return vectors.sparkSession.createDataFrame([], out_schema)
+    dim = int(dim_row[0])
+
+    replicated = None
+    for t in range(n_tables):
+        planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
+        b = hyperplane_bucket(vec_col, planes)
+        ball = F.array(
+            b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+        )
+        part = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.lit(t).alias("_tbl"),
+            F.explode(ball).alias("_bkt"),
+        )
+        replicated = part if replicated is None else replicated.unionByName(part)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        bids = pdf["_id"].to_numpy(dtype=np.int64)
+        if len(bids) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": np.int64, "dst": np.int64, "score": np.float64}
+            )
+        mat = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(nrm == 0.0, 1.0, nrm)
+        # sort columns by id so the stable argsort breaks ties id-asc
+        perm = np.argsort(bids)
+        cids = bids[perm]
+        scores = np.round(unit @ unit[perm].T, SCORE_DECIMALS)
+        scores[bids[:, None] == cids[None, :]] = -np.inf  # self-edges
+        kk = min(k, scores.shape[1] - 1)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        vals = np.take_along_axis(scores, order, axis=1).ravel()
+        out = pd.DataFrame(
+            {
+                "src": np.repeat(bids, kk),
+                "dst": cids[order].ravel(),
+                "score": vals,
+            }
+        )
+        return out[vals > -np.inf]
+
+    partial = replicated.groupBy("_tbl", "_bkt").applyInPandas(
+        bucket_topk, out_schema
+    )
+    # the same pair surfaces from every shared bucket with the SAME
+    # score — dedup before the merge window so row_number counts each
+    # candidate once
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        partial.dropDuplicates(["src", "dst"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def lsh_search_md5(
     vectors: DataFrame,
     query_vec: Sequence[float],

@@ -178,16 +178,30 @@ def sign_bucket(vec_col, n_bits: int = 4):
     return b.cast("int")
 
 
-def sign_probe(query_vec: Sequence[float], n_bits: int = 4) -> list[int]:
-    """Buckets within Hamming distance 1 of the query's sign bucket —
-    the query's own bucket plus each one-bit flip (vectors near a
-    hyperplane may land on either side; probing the adjacent buckets
-    recovers them). n_bits+1 of the 2^n_bits buckets → the scan reads
-    ~(n_bits+1)/2^n_bits of a sign-partitioned table."""
+def sign_probe(
+    query_vec: Sequence[float], n_bits: int = 4, max_hamming: int = 1
+) -> list[int]:
+    """Buckets within Hamming distance ``max_hamming`` of the query's
+    sign bucket (vectors near a hyperplane may land on either side;
+    probing the adjacent buckets recovers them). The default Hamming-1
+    probe reads n_bits+1 of the 2^n_bits buckets; Hamming-2 (the
+    multi-probe recall tier) reads 1 + n_bits + C(n_bits,2). Probe
+    order: the query's own bucket first, then flips by ascending
+    Hamming distance, each tier in ascending flip-mask order — a
+    deterministic list any engine reproduces."""
+    from itertools import combinations
+
     qb = sum(
         (1 << (n_bits - 1 - i)) for i in range(n_bits) if query_vec[i] >= 0
     )
-    return [qb] + [qb ^ (1 << j) for j in range(n_bits)]
+    out = []
+    for h in range(max_hamming + 1):
+        for bits in combinations(range(n_bits), h):
+            mask = 0
+            for j in bits:
+                mask |= 1 << j
+            out.append(qb ^ mask)
+    return out
 
 
 def ivf_search_batch_table(

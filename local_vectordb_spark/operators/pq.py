@@ -51,10 +51,13 @@ def pq_codebook(
     seed: str = PQ_MD5_SEED,
 ) -> list[list[list[float]]]:
     """[m][k_codes][dim/m] deterministic centroids: coefficient
-    (s, j, i) is md5(f"{seed}:{s}:{j}:{i}")'s first 15 hex chars scaled
-    to [-1, 1) — a dyadic rational, exactly representable in binary64,
-    so the constant is the SAME double in Python, Spark, and any SQL
-    engine that parses its repr."""
+    (s, j, i) is md5(f"{seed}:{s}:{j}:{i}")'s first 15 hex chars, taken
+    as a 60-bit integer, divided by 2^60 and scaled to [-1, 1). The
+    60-bit quotient rounds to the nearest binary64 under IEEE division
+    (not exact — a double holds 53 significand bits), but that rounding
+    is itself deterministic and the resulting double is a dyadic value
+    whose repr round-trips identically across engines — which is the
+    property the cross-engine oracle actually needs."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
@@ -68,6 +71,53 @@ def pq_codebook(
                 row.append(2.0 * (int(h[:15], 16) / float(1 << 60)) - 1.0)
             codes.append(row)
         book.append(codes)
+    return book
+
+
+def pq_codebook_trained(
+    sample: Sequence[Sequence[float]],
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 20,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """TRAINED per-subspace codebook: Lloyd's k-means on each subspace
+    of a driver-side sample, with seeded init and a FIXED iteration
+    count — deterministic given (sample, seed), so the stored-codes
+    deployment re-derives the identical book on every run.
+
+    Why it exists next to :func:`pq_codebook`: the md5-constant book is
+    data-blind, so its cells are far from the corpus and the ADC
+    ranking is noisy (recall@10 0.4 at rescore depth 50 on the sf0.01
+    fixture); centroids fitted to the data make the ADC ranking sharp
+    (recall@10 1.0 at the same depth 50). The trade is the oracle: a
+    trained book depends on the data, so trained-tier queries are
+    rows-only with a Spark-side recall invariant, while the md5 book
+    keeps full cross-engine value oracles. A deployment trains on a
+    hash-sampled slice (the sample argument — thousands of rows
+    suffice for 16 cells per subspace) and broadcasts the book; the
+    encode path is byte-for-byte the same `pq_encode_batch`.
+    """
+    mat = np.array([list(map(float, v)) for v in sample], dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] < k_codes:
+        raise ValueError(f"need >= {k_codes} sample vectors, got {mat.shape}")
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    book: list[list[list[float]]] = []
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=k_codes, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for j in range(k_codes):
+                pts = sub[assign == j]
+                if len(pts):  # empty cells keep their previous centroid
+                    cents[j] = pts.mean(axis=0)
+        book.append([[float(x) for x in row] for row in cents])
     return book
 
 

