@@ -9,8 +9,9 @@ DataFrame operations over parquet-backed tables:
   validation (C8) is a semi join, duplicate rejection (C9) an anti
   join, cascade delete (C7) an anti join on the FK, missing embeddings
   (E1) fill via the pluggable batch embedder;
-- `search` is the Q7 dispatch: index_type in {cosine, ivf, nsw} routes
-  to brute-force / cluster-pruned / LSH strategies
+- `search` is the Q7 dispatch: index_type in {cosine, ivf, sign, nsw}
+  routes to brute-force / cluster-pruned / sign-bucket-pruned / LSH
+  strategies
   (/root/reference/src/models/collection.py:179-215; unknown type is a
   ValueError where the reference returns HTTP 400), with the Q8
   metadata filter applied ahead of scoring and Q6 hydration joining
@@ -51,7 +52,7 @@ from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
-INDEX_TYPES = ("cosine", "ivf", "nsw", "hybrid", "pq")
+INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq")
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -410,6 +411,19 @@ class VectorDB:
             scored = ivf.ivf_search(
                 chunks, assignments, centroids, qvec, k=fetch, id_col="id"
             )
+        elif index_type == "sign":
+            # deterministic IVF tier (ivf_sign_pruned's construction on
+            # the live table): bucket = axis-sign bits, a pure
+            # expression of the vector — no trained state, nothing to
+            # invalidate on write, and the result is reproducible in
+            # any engine, which makes e2e flows over this strategy
+            # hash-checkable where the KMeans tier is rows-only
+            cand = chunks.filter(
+                ivf.sign_bucket("embedding", n_bits=4).isin(
+                    ivf.sign_probe(qvec, n_bits=4)
+                )
+            )
+            scored = knn.knn_brute_force(cand, qvec, k=fetch, id_col="id")
         else:  # nsw -> LSH strategy swap (SURVEY §4: traversal is
             # sequential/driver-bound; LSH gives the same capability).
             # approxNearestNeighbors ranks by L2; rescore the k
@@ -478,6 +492,15 @@ class VectorDB:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
+        if index_type in ("hybrid", "pq", "sign"):
+            # refuse UP FRONT, before any embedding job runs: hybrid
+            # needs per-query BM25 term sets, pq a per-query ADC table,
+            # sign a per-query probe list — single-query surfaces; a
+            # late check would burn a Spark embed job just to raise
+            raise ValueError(
+                f"search_batch supports ('cosine', 'ivf', 'nsw'); "
+                f"{index_type!r} is single-query only — loop search()"
+            )
         if query_vecs is None and not queries:
             raise ValueError("provide queries or query_vecs")
         n_queries = len(queries) if query_vecs is None else len(query_vecs)
@@ -494,14 +517,6 @@ class VectorDB:
             query_vecs = [(r.query_id, [float(x) for x in r.v]) for r in rows]
         chunks = self._chunks_for_search(metadata)
 
-        if index_type in ("hybrid", "pq"):
-            # refuse rather than silently fall through to the nsw
-            # branch: hybrid needs per-query BM25 term sets and pq a
-            # per-query ADC table — both are single-query surfaces
-            raise ValueError(
-                f"search_batch supports ('cosine', 'ivf', 'nsw'); "
-                f"{index_type!r} is single-query only — loop search()"
-            )
         if index_type == "cosine":
             scored = knn.knn_batch(chunks, query_vecs, k=k, id_col="id")
         elif index_type == "ivf":

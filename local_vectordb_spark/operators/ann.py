@@ -474,6 +474,40 @@ def hyperplane_bucket(vec_col, planes: Sequence[Sequence[float]]):
     return b.cast("int")
 
 
+def hyperplane_bucket_batch(planes: Sequence[Sequence[float]]):
+    """Arrow-batched twin of :func:`hyperplane_bucket` — same bucket
+    ids, bit for bit, without the interpreted higher-order-function
+    tax (the Column form evaluates zip_with/aggregate per plane per
+    row interpreted under 4.1.x — the pq_encode story again; at the
+    sf1.0 stress corpus the bucket computation alone dominated the
+    LSH graph build). Bit-compatibility: per plane the dot product
+    accumulates with a vectorized float64 `acc = acc + x_i·p_i`
+    SEQUENTIALLY over dimensions — the identical left-to-right fold
+    the JVM expression and the SQL oracle's `t1 + t2 + …` produce
+    (never np.dot, whose pairwise/SIMD summation reorders the fold).
+    Pinned by tests/test_ann.py::test_hyperplane_bucket_batch_equals_column.
+    """
+    from pyspark.sql.types import IntegerType
+
+    P = np.array(planes, dtype=np.float64)  # (n_bits, dim)
+    n_bits = P.shape[0]
+
+    @F.pandas_udf(IntegerType())
+    def bucket(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype="int32")
+        mat = np.array(col.tolist(), dtype=np.float64)
+        out = np.zeros(len(mat), dtype=np.int32)
+        for j in range(n_bits):
+            acc = np.zeros(len(mat), dtype=np.float64)
+            for i in range(mat.shape[1]):
+                acc = acc + mat[:, i] * P[j, i]
+            out += np.where(acc >= 0, np.int32(1 << (n_bits - 1 - j)), np.int32(0))
+        return pd.Series(out)
+
+    return bucket
+
+
 def hyperplane_probe(
     query_vec: Sequence[float],
     planes: Sequence[Sequence[float]],
@@ -538,10 +572,25 @@ def lsh_search_md5_multi(
     return knn.knn_brute_force(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def graph_lsh_bits(n: int, max_rows_per_bucket: int = 512) -> int:
+    """Bucket-count knob for :func:`knn_graph_lsh`: the smallest
+    n_bits in [4, 16] whose expected (table, bucket) group size
+    n·(n_bits+1)/2^n_bits stays under ``max_rows_per_bucket``. Flops
+    scale as n²·L·(b+1)²/2^b, so raising b with n is what keeps the
+    build sub-quadratic-in-practice — with b fixed, the ball
+    replication makes the bucketed build MORE expensive than the flat
+    blocked one (measured 66 s vs 24 s at the sf1.0 stress corpus
+    before this knob existed). Pure function of n → deterministic."""
+    for b in range(4, 17):
+        if n * (b + 1) / (1 << b) <= max_rows_per_bucket:
+            return b
+    return 16
+
+
 def knn_graph_lsh(
     vectors: DataFrame,
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -567,8 +616,13 @@ def knn_graph_lsh(
     the replication factor grows only linearly, which is the knob the
     blocked builder (flat O(n²)) does not have. Recall on the
     LSH-hostile random fixture: ≥0.9 of exact edges at sf0.01 with the
-    default (2 tables × 4 bits); planted near-dup families (cosine≈1)
-    are always recovered — their buckets agree in every table.
+    small-corpus setting (2 tables × 4 bits); planted near-dup families
+    (cosine≈1) are always recovered — their buckets agree in every
+    table at ANY n_bits, which is why raising n_bits with corpus size
+    (n_bits=None → graph_lsh_bits) keeps the near-dup-family use case
+    (the 100 TB one) at full recall while bounding per-bucket work;
+    uniform-random edge recall does decay with bits, the honest price
+    of sub-all-pairs candidate generation on structureless data.
     """
     from pyspark.sql import Window
 
@@ -584,11 +638,13 @@ def knn_graph_lsh(
     if dim_row is None:
         return vectors.sparkSession.createDataFrame([], out_schema)
     dim = int(dim_row[0])
+    if n_bits is None:
+        n_bits = graph_lsh_bits(vectors.count())
 
     replicated = None
     for t in range(n_tables):
         planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
-        b = hyperplane_bucket(vec_col, planes)
+        b = hyperplane_bucket_batch(planes)(F.col(vec_col))
         ball = F.array(
             b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
         )
@@ -629,16 +685,18 @@ def knn_graph_lsh(
     partial = replicated.groupBy("_tbl", "_bkt").applyInPandas(
         bucket_topk, out_schema
     )
-    # the same pair surfaces from every shared bucket with the SAME
-    # score — dedup before the merge window so row_number counts each
-    # candidate once
-    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-    return (
-        partial.dropDuplicates(["src", "dst"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+
+    def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the same pair surfaces from every shared bucket with the SAME
+        # score — dedup + (score desc, dst asc) top-k in ONE grouped
+        # pass instead of a dropDuplicates shuffle followed by a
+        # window shuffle
+        pdf = pdf.drop_duplicates(["src", "dst"]).sort_values(
+            ["score", "dst"], ascending=[False, True], kind="stable"
+        )
+        return pdf.groupby("src", sort=False).head(k)
+
+    return partial.groupBy("src").applyInPandas(merge_topk, out_schema)
 
 
 def lsh_search_md5(

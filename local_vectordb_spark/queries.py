@@ -2060,9 +2060,13 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²·L·ball²/4^n_bits), with n_bits the scale knob. The candidate
     set is a pure function of the md5 buckets, so even this
     approximate graph has a full value oracle (buckets within Hamming
-    2 in either table)."""
+    2 in either table). n_bits auto-scales with corpus size
+    (graph_lsh_bits — fixed bits make the ball replication COSTLIER
+    than the flat blocked build at 10×); the static oracle SQL is
+    generated at n_bits=4, which is what the auto knob picks for every
+    corpus under ~2k vectors, sf0.01's included."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann.knn_graph_lsh(emb, k=5, n_bits=4, n_tables=2)
+    return ann.knn_graph_lsh(emb, k=5, n_tables=2)
 
 
 @register(

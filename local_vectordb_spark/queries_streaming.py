@@ -168,28 +168,100 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_then_ivf_search")
+_MD5_EMB8 = """
+        SELECT {keys} v FROM (
+          SELECT {keys}
+                 (SELECT list(('0x' || substr(md5({content} || '#' || j), 1, 15))::BIGINT
+                              / 576460752303423488.0 - 1.0)
+                  FROM unnest(range(0, 8)) AS u(j)) AS raw
+          FROM {src}
+        ), LATERAL (
+          SELECT CASE WHEN sqrt(list_aggregate(list_transform(raw, x -> x*x), 'sum')) = 0
+                      THEN raw
+                      ELSE list_transform(raw, x -> x / sqrt(list_aggregate(list_transform(raw, y -> y*y), 'sum')))
+                 END AS v
+        )
+"""
+
+
+def _stream_ivf_oracle_sql() -> str:
+    """Oracle for stream_then_ivf_search: reproduce the FINAL state of
+    the streamed VectorDB (500 seeded chunks + 50 streamed chunks, all
+    embedded with the md5-portable embedder and stored as FLOAT — the
+    array<float> storage cast is replicated with an explicit
+    DOUBLE→FLOAT list cast), then the sign-bucket pruned search the
+    closing db.search(index_type='sign') runs: probe = the DOUBLE
+    query embedding's bucket + Hamming-1 flips, exact cosine top-10
+    over the candidates."""
+    from local_vectordb_spark.queries import _SIGN_BUCKET_SQL
+
+    emb_stored = _MD5_EMB8.format(
+        keys="id,", content="content", src="base"
+    )
+    emb_query = _MD5_EMB8.format(
+        keys="",
+        content="('streamed update: ' || text)",
+        src="documents WHERE doc_id = 7",
+    )
+    sign_f = _SIGN_BUCKET_SQL.format(v="e.vf")
+    return f"""
+    WITH base AS (
+      SELECT 'c' || CAST(doc_id AS VARCHAR) AS id, text AS content
+      FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT 's' || CAST(doc_id AS VARCHAR), 'streamed update: ' || text
+      FROM documents WHERE doc_id < 50
+    ),
+    emb AS (
+      SELECT id, list_transform(v, x -> CAST(x AS FLOAT)) AS vf
+      FROM ({emb_stored})
+    ),
+    q AS (SELECT v AS qv FROM ({emb_query})),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.id, e.vf FROM emb e, qb
+      WHERE ({sign_f})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    )
+    SELECT c.id, ROUND(list_cosine_similarity(c.vf::DOUBLE[], q.qv), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.id ASC
+    LIMIT 10
+    """
+
+
+@register("stream_then_ivf_search", _stream_ivf_oracle_sql())
 def stream_then_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end streaming index maintenance: seed a VectorDB from the
-    documents table, force the first IVF build, then stream 50 NEW
-    chunk JSON records through the foreachBatch upsert
+    """End-to-end streaming index maintenance, now FULL-ORACLE (r6
+    verdict #7): seed a VectorDB from the documents table with the
+    md5-PORTABLE embedder, force the first IVF (KMeans) build — the
+    write-invalidation machinery the e2e exists to exercise — then
+    stream 50 NEW chunk JSON records through the foreachBatch upsert
     (streaming/ingest.run_chunk_upsert_stream_into_db). Each committed
     batch bumps the table version, invalidating the build-once IVF
-    cache; the closing ivf search rebuilds over the streamed state and
-    ranks the streamed chunks. Rows-only (KMeans assignment is
-    seed/impl-dependent); the version/rebuild invariants are asserted
-    in tests/test_streaming.py."""
+    cache. The CLOSING search runs the deterministic sign-bucket
+    strategy (index_type='sign' — ivf_sign_pruned's construction on
+    the live table) with a deterministic embedder, so the post-stream
+    result is hash-checkable in DuckDB end to end: reference anchor
+    src/models/collection.py:97-99 (index maintenance on write) now
+    has a value-oracled Spark twin. KMeans-path invariants stay
+    asserted in tests/test_streaming.py."""
     import json
     import shutil
 
     from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.functions.embedding import md5_embedding
 
     tag = sf_dir.strip("/").replace("/", "_")
     base = os.path.join(tempfile.gettempdir(), f"lvdb_sivf_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     src_dir = os.path.join(base, "incoming")
     os.makedirs(src_dir)
-    db = VectorDB(spark, os.path.join(base, "db"))
+    db = VectorDB(
+        spark,
+        os.path.join(base, "db"),
+        embedder=lambda c: md5_embedding(c, dim=8),
+    )
 
     # seed corpus capped at 500 docs: the e2e exercises versioned
     # writes + index invalidation, whose cost is per-WRITE, not

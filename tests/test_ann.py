@@ -295,3 +295,48 @@ def test_knn_graph_lsh_recall_and_exactness(spark, sf_dir):
 
     deg = Counter(r.src for r in lsh_edges)
     assert max(deg.values()) <= 5
+
+
+def test_hyperplane_bucket_batch_equals_column(spark, sf_dir):
+    """The Arrow-batched bucket UDF must produce bit-identical bucket
+    ids to the Column (JVM-fold) form for every corpus vector AND for
+    the driver-side fold — the three-way agreement the knn_graph_lsh
+    oracle rests on."""
+    from local_vectordb_spark.operators.ann import (
+        hyperplane_bucket,
+        hyperplane_bucket_batch,
+        md5_hyperplanes,
+        table_seed,
+    )
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for t in range(2):
+        planes = md5_hyperplanes(64, 4, table_seed("lvdb-lsh-v1", t))
+        col_form = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id", hyperplane_bucket("embedding", planes).alias("b")
+            ).collect()
+        }
+        batch_form = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id",
+                hyperplane_bucket_batch(planes)(F.col("embedding")).alias("b"),
+            ).collect()
+        }
+        assert col_form == batch_form
+
+
+def test_graph_lsh_bits_scales_with_corpus():
+    """The auto n_bits knob: small corpora keep the oracle's 4 bits,
+    big ones get enough buckets to bound per-group work, and the
+    bound max_rows_per_bucket is respected (or the 16-bit cap hit)."""
+    from local_vectordb_spark.operators.ann import graph_lsh_bits
+
+    assert graph_lsh_bits(500) == 4
+    assert graph_lsh_bits(1638) == 4  # just under the 512-row bound
+    b = graph_lsh_bits(20_000)
+    assert b > 4 and 20_000 * (b + 1) / (1 << b) <= 512
+    assert graph_lsh_bits(10**9) == 16  # cap

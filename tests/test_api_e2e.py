@@ -78,7 +78,7 @@ def test_embeddings_filled_on_create(db):
     assert d.table("chunks").filter("embedding IS NULL").count() == 0
 
 
-@pytest.mark.parametrize("index_type", ["cosine", "ivf", "nsw", "pq"])
+@pytest.mark.parametrize("index_type", ["cosine", "ivf", "sign", "nsw", "pq"])
 def test_query_each_strategy_finds_exact_match(db, index_type):
     d, *_ = db
     hits = d.search(QUESTIONS[0], index_type=index_type, k=3).collect()
@@ -424,3 +424,13 @@ def test_search_batch_rejects_single_query_strategies(db):
             d.search_batch(
                 queries=[(0, "anything")], index_type=bad, k=2
             )
+
+
+def test_search_batch_rejects_single_query_types_before_embedding(db):
+    """hybrid/pq/sign are single-query surfaces; the rejection must
+    fire up front — before any Spark embedding job runs (a late check
+    burned an embed job just to raise)."""
+    d, *_ = db
+    for t in ("hybrid", "pq", "sign"):
+        with pytest.raises(ValueError, match="single-query only"):
+            d.search_batch(queries=[(0, "q")], index_type=t)

@@ -29,10 +29,18 @@ STRESS = [
     "dedup_ngram_jaccard_capped",
     "dedup_lsh_bucket_audit",
     "knn_graph",  # r6: registry default is now the block-matrix path
+    "knn_graph_lsh",  # r7: bucket-local build must beat the blocked one here
     "ivf_sign_pruned",
     "lsh_search_md5",
     "knn_pq_adc",  # r6: ADC scan under massive duplicate-code skew
     "ivf_pq_search",  # r6: pruning x compression composition at 10x
+    # r7 (verdict #6): the token-exploding text family — 10x-deep
+    # posting lists and repeated shingles are where a degenerate corpus
+    # can blow up a shuffle, which sf0.1 never exercises
+    "fts_bm25",
+    "hybrid_rrf",
+    "text_repetition_stats",
+    "docs_training_manifest",
 ]
 BUDGET_S = 120.0
 
