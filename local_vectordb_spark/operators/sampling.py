@@ -108,12 +108,23 @@ def temperature_fractions(
     with :func:`stratified_sample` for the deterministic, shuffle-free
     row filter.
     """
+    import math
+
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0,1], got {alpha}")
     if not counts:
         return {}
     n_min = min(counts.values())
-    return {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+    exp = 1.0 - alpha
+    if exp == 0.5:
+        # the oracle twin computes sqrt(); pow(x, 0.5) is not
+        # guaranteed bit-identical to sqrt(x) by libm, and a 1-ulp
+        # divergence at a floor(rate·2^16) boundary would flip a
+        # stratum threshold — call sqrt explicitly so cross-engine
+        # parity rests on IEEE-754 correctly-rounded sqrt, not on a
+        # pow==sqrt coincidence
+        return {s: math.sqrt(n_min / n) for s, n in counts.items()}
+    return {s: (n_min / n) ** exp for s, n in counts.items()}
 
 
 def hash_split(

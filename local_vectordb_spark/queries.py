@@ -1677,8 +1677,9 @@ def _ivf_physical_for(spark: SparkSession, sf_dir: str):
     key = ("phys", sf_dir)
     if key not in _IVF_CACHE:
         centroids, assignments = _ivf_index_for(spark, sf_dir)
-        tag = sf_dir.strip("/").replace("/", "_")
-        path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "ivf_assign")
+        from local_vectordb_spark.session import fixture_cache_dir
+
+        path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "ivf_assign")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             P.write_partitioned(assignments, path, ["cluster_id"])
         _IVF_CACHE[key] = (centroids, path)
@@ -1741,8 +1742,9 @@ def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from local_vectordb_spark.sources import partitioned as P
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         P.write_partitioned(
@@ -1795,8 +1797,9 @@ def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from local_vectordb_spark.sources import partitioned as P
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         P.write_partitioned(
@@ -2724,20 +2727,11 @@ _register_dedup_keep_best()
 # --------------------------------------------------------------------------
 
 
-def _pq_oracle_sql(
-    dim: int = 64,
-    m: int = 8,
-    k_codes: int = 16,
-    n_candidates: int = 50,
-    extra_ctes: str = "",
-    ev_sql: str | None = None,
-) -> str:
-    """Oracle for knn_pq_adc. The codebook constants embed as repr'd
-    DOUBLE literals; every reduction (query norm, ADC table entries,
-    per-code distances, the ADC sum) is the same left-associative
-    sequential fold the Spark side computes, so codes / ADC scores /
-    the candidate set are bit-identical and the final rescore reuses
-    the standard rounded-cosine comparison."""
+def _pq_sql_parts(dim: int, m: int, k_codes: int):
+    """Shared SQL fragments for the PQ oracles: (qnorm, adc_cols,
+    dist_cols, pos_cols, adc_sum). Codebook constants embed as repr'd
+    DOUBLE literals; every reduction is the left-associative
+    sequential fold the Spark side computes."""
     from local_vectordb_spark.operators.pq import pq_codebook
 
     book = pq_codebook(dim=dim, m=m, k_codes=k_codes)
@@ -2775,6 +2769,23 @@ def _pq_oracle_sql(
         f"list_position(d{s}, list_min(d{s})) AS p{s}" for s in range(m)
     )
     adc_sum = " + ".join(f"a.t{s}[c.p{s}]" for s in range(m))
+    return qnorm, adc_cols, dist_cols, pos_cols, adc_sum
+
+
+def _pq_oracle_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    n_candidates: int = 50,
+    extra_ctes: str = "",
+    ev_sql: str | None = None,
+) -> str:
+    """Oracle for knn_pq_adc: codes / ADC scores / the candidate set
+    are bit-identical cross-engine (see _pq_sql_parts) and the final
+    rescore reuses the standard rounded-cosine comparison."""
+    qnorm, adc_cols, dist_cols, pos_cols, adc_sum = _pq_sql_parts(
+        dim, m, k_codes
+    )
 
     if ev_sql is None:
         ev_sql = "SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings"
@@ -2819,6 +2830,75 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_search(emb, _query_vecs(sf_dir)[0][1], k=K)
 
 
+def _pq_batch_oracle_sql(
+    dim: int = 64,
+    m: int = 8,
+    k_codes: int = 16,
+    n_candidates: int = 50,
+    n_queries: int = 8,
+) -> str:
+    """Oracle for knn_pq_batch: the single-query PQ oracle with the q
+    CTE widened to a query SET — the ADC table columns become
+    per-query rows (the fragments reference qv/n, so they evaluate
+    per q row), the candidate and rescore windows partition by
+    query_id. Codes are computed once, query-independent, exactly as
+    the Spark plan scans them once."""
+    qnorm, adc_cols, dist_cols, pos_cols, adc_sum = _pq_sql_parts(
+        dim, m, k_codes
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    qn AS (SELECT query_id, qv, sqrt({qnorm}) AS n FROM q),
+    adc AS (SELECT query_id, {', '.join(adc_cols)} FROM qn),
+    ev AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings),
+    dists AS (SELECT vec_id, {', '.join(dist_cols)} FROM ev),
+    codes AS (SELECT vec_id, {pos_cols} FROM dists),
+    scored AS (
+      SELECT a.query_id, c.vec_id, {adc_sum} AS adc
+      FROM codes c CROSS JOIN adc a
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {n_candidates}
+    ),
+    rescored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM cand
+      JOIN ev e ON e.vec_id = cand.vec_id
+      JOIN q ON q.query_id = cand.query_id
+    )
+    SELECT query_id, vec_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+      FROM rescored
+    ) WHERE rn <= {K}
+    """
+
+
+@register("knn_pq_batch", _pq_batch_oracle_sql())
+def knn_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ-ADC (operators/pq.py:pq_adc_search_batch): ONE codes
+    scan serves 8 queries — each query's driver-computed ADC table
+    enters the plan as a literal, scoring a (row, query) pair costs m
+    lookups + m−1 adds, and only the per-query top-50 candidates are
+    rescored against full vectors. The bulk-similarity analogue of
+    knn_batch for the compressed tier; fully value-oracled like the
+    single-query form (same codes, per-query ADC folds)."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_adc_search_batch(
+        emb, _query_vecs(sf_dir, max_vec_id=8), k=K, n_candidates=50
+    )
+
+
 def _ivf_pq_oracle_sql() -> str:
     """IVF-PQ: the PQ oracle with its corpus CTE narrowed to the sign-
     probed buckets (query bucket + Hamming-1) — the same candidate set
@@ -2852,8 +2932,9 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_vectordb_spark.operators import pq
     from local_vectordb_spark.sources import partitioned as P
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         P.write_partitioned(
@@ -2970,8 +3051,9 @@ def ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_vectordb_spark.operators import pq
     from local_vectordb_spark.sources import partitioned as P
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
         P.write_partitioned(
@@ -3089,8 +3171,9 @@ def knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from local_vectordb_spark.operators import pq
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "pq_codes")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "pq_codes")
     book = pq.pq_codebook()
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")

@@ -375,8 +375,9 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from local_vectordb_spark.sources import partitioned as P
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "events_by_type")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    out = os.path.join(fixture_cache_dir(sf_dir, "events"), "events_by_type")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         P.write_partitioned(
             load_table(spark, sf_dir, "events"), out, ["event_type"]

@@ -22,8 +22,9 @@ from local_vectordb_spark.session import load_table
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Events table staged as a multi-file parquet dir (micro-second
     timestamps) keyed by sf_dir, built once per session."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"lvdb_stream_{tag}", "events")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    out = os.path.join(fixture_cache_dir(sf_dir, "events", "lvdb_stream"), "events")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         load_table(spark, sf_dir, "events").repartition(8).write.mode(
@@ -152,8 +153,11 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon and is evicted as the watermark advances — the bounded-state
     ingestion dedup you'd run in front of a 100 TB corpus build."""
     src = _staged_events(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    dup_dir = os.path.join(tempfile.gettempdir(), f"lvdb_stream_{tag}", "events_dup")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    dup_dir = os.path.join(
+        fixture_cache_dir(sf_dir, "events", "lvdb_stream"), "events_dup"
+    )
     if not os.path.exists(os.path.join(dup_dir, "_SUCCESS")):
         ev = spark.read.parquet(src)
         ev.unionByName(ev.filter(F.col("event_id") % 7 == 0)).repartition(

@@ -57,6 +57,26 @@ def get_spark(app_name: str = "local_vectordb_spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def fixture_cache_dir(sf_dir: str, table: str, prefix: str = "lvdb_part") -> str:
+    """Session-spanning tempdir for caches DERIVED from a fixture table
+    (partitioned layouts, stored PQ codes, staged stream inputs).
+
+    The directory name folds in the source parquet's (mtime, size)
+    fingerprint, so regenerating a fixture at the same path
+    invalidates every derived cache automatically — without this,
+    stale codes/partitions silently serve wrong candidates after a
+    fixture refresh (the `_SUCCESS` check only proves a PREVIOUS write
+    completed, not that it matches the current source)."""
+    import tempfile
+
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{tag}_{table}_{int(st.st_mtime)}_{st.st_size}",
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from a scale-factor directory.
 
