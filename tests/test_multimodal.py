@@ -110,3 +110,90 @@ def test_real_codec_parse_failure_auto_falls_back(monkeypatch):
 
     with pytest.raises(ValueError, match="corrupt"):
         mm._decode_one(b"junk", "image", codec="real")
+
+
+def test_real_branch_executes_on_executors(spark, tmp_path):
+    """r6 verdict #8: drive the REAL-decode branch through the actual
+    mapInPandas path (Python worker processes — where the import probe
+    runs), not just driver-side. No codec wheel ships in this
+    container, so a minimal pure-Python PIL/soundfile stand-in is
+    shipped to the workers with addPyFile; it only parses a
+    magic-prefixed format and raises on everything else, so auto-mode
+    behavior for ordinary payloads (fallback to the fake) is unchanged
+    for the rest of the session. Both branches are asserted in the
+    same run: the real branch returns the dimensions ENCODED IN the
+    payload, the fake branch the length-derived ones."""
+    import struct
+    import zipfile
+
+    pkg = tmp_path / "stub_codecs.zip"
+    with zipfile.ZipFile(pkg, "w") as z:
+        z.writestr(
+            "PIL/__init__.py",
+            '''
+import struct
+
+class _Img:
+    def __init__(self, w, h, n):
+        self.width, self.height, self.n_frames = w, h, n
+    def __enter__(self):
+        return self
+    def __exit__(self, *a):
+        return False
+
+class _ImageMod:
+    @staticmethod
+    def open(buf):
+        data = buf.read()
+        if not data.startswith(b"STUBIMG1"):
+            raise ValueError("not a STUBIMG1 payload")
+        w, h, n = struct.unpack(">III", data[8:20])
+        return _Img(w, h, n)
+
+Image = _ImageMod()
+''',
+        )
+        z.writestr(
+            "soundfile.py",
+            '''
+import struct
+
+def read(buf):
+    data = buf.read()
+    if not data.startswith(b"STUBAUD1"):
+        raise ValueError("not a STUBAUD1 payload")
+    (count,) = struct.unpack(">I", data[8:12])
+    return [0.0] * count, 44100
+''',
+        )
+    spark.sparkContext.addPyFile(str(pkg))
+
+    img = b"STUBIMG1" + struct.pack(">III", 1920, 1080, 42)
+    aud = b"STUBAUD1" + struct.pack(">I", 4410)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(img), "image", len(img)),
+            (1, bytearray(aud), "audio", len(aud)),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    real = {r["media_id"]: r for r in mm.decode_media(media, codec="real").collect()}
+    assert (real[0]["width"], real[0]["height"], real[0]["n_frames"]) == (
+        1920,
+        1080,
+        42,
+    )
+    assert real[1]["n_frames"] == 4410  # audio: sample count
+    # the fake branch on the SAME payloads: length-derived dims
+    fake = {r["media_id"]: r for r in mm.decode_media(media, codec="fake").collect()}
+    assert (fake[0]["width"], fake[0]["height"], fake[0]["n_frames"]) == mm._fake_decode(img)
+    assert fake[0]["width"] != 1920
+    # auto on a NON-magic payload still falls back even with the stub
+    # importable (it raises on unknown formats, as real PIL would)
+    plain = spark.createDataFrame(
+        [(2, bytearray(b"just text"), "image", 9)], mm.MEDIA_SCHEMA
+    )
+    auto = mm.decode_media(plain, codec="auto").collect()[0]
+    assert (auto["width"], auto["height"], auto["n_frames"]) == mm._fake_decode(
+        b"just text"
+    )
