@@ -32,68 +32,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 6 (r5 verdict task #7) maximizes
-# hash-green density: every slot is an ORACLE-MATCHED query — (a) the 8
-# queries new in r6 getting their first driver row, (b) all 27 oracled
-# queries whose last driver row was r3, (c) 15 fills from the r4 tier
-# (the partsupp-adapted TPC-H five, the dedup family, the API facade).
-# Rows-only paths (seed-/impl-dependent by design) are all covered by
-# the full-registry VERIFY_LOCAL_r6.txt backstop plus oracle-matched
-# twins inside this window.
+# in registration order. Round 7 rotation (r6 verdict #5): (a) the 7
+# oracled queries with NO driver row yet (the r7 recall/graph/batch-PQ
+# tiers, the newly oracle-closed streaming e2e's stored-codes sibling),
+# (b) ALL 32 queries whose last driver row is r4 — three rounds stale,
+# the oldest tier in the registry — and (c) 11 r5-tier picks the r6
+# verdict named (the streaming e2e with its NEW oracle, the fulltext/
+# rerank/compression family, multimodal, the funnel pair). The
+# remaining r5 tier (33 queries) is r8's window; everything here is
+# re-verified locally each round via tools/verify_local.py regardless.
 _PRIORITY = [
-    # (a) new in r6
-    "knn_range_search",
-    "knn_graph_broadcast",
-    "lsh_search_md5",
-    "knn_pq_adc",
-    "ivf_pq_search",
-    "ann_recall_report",
-    "sample_temperature_by_lang",
-    "docs_training_manifest",
-    "dedup_keep_best_per_family",
-    # (b) last driver row is r3
-    "anti_join_never_bulk_ordered_parts",
-    "date_funcs_monthly_revenue",
-    "decontam_ngram_overlap",
-    "grouping_sets_flag_status",
-    "numeric_stats_lineitem",
-    "pack_token_budget",
-    "pivot_status_by_priority",
-    "scalar_subquery_premium_parts",
-    "semi_join_deep_discount_orders",
-    "setops_wealthy_nations",
-    "string_funcs_parts",
-    "text_scrub_denylist",
-    "tpch_q10_returned_items",
-    "tpch_q12_latency_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_rich_customers",
-    "tpch_q4_priority_late_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "window_running_totals",
-    # (c) r4-tier fills
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q20_promotion_suppliers",
-    "stream_dedup_exact",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_md5",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "api_search_cosine",
+    # (a) first driver row
+    "ivf_sign_multiprobe",
+    "lsh_search_md5_multi",
+    "knn_pq_adc_deep",
+    "ivf_pq_multiprobe",
+    "knn_pq_batch",
+    "knn_graph_lsh",
+    "knn_pq_stored",
+    # (b) last driver row r4
+    "api_search_batch_cosine",
+    "crud_cascade_delete",
+    "crud_delete",
+    "crud_exists_semi",
+    "crud_fk_orphans",
+    "crud_full_scan",
+    "crud_insert_append",
+    "crud_point_lookup",
+    "crud_reject_duplicates",
+    "crud_truncate",
+    "crud_upsert",
+    "events_json_extract",
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_hour",
+    "graph_add_remove",
+    "graph_bfs_2hop",
+    "ivf_add_remove_roundtrip",
+    "ivf_batch_search_full_probe",
+    "ivf_search_full_probe",
+    "knn_batch",
+    "knn_brute_force",
+    "knn_graph",
+    "knn_hydrated",
+    "knn_metadata_filter",
+    "rollup_revenue",
+    "text_quality",
+    "text_token_stats",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_top_orders_per_customer",
+    # (c) r5-tier picks named in the r6 verdict
+    "stream_then_ivf_search",
+    "fts_bm25",
+    "hybrid_rrf",
+    "knn_sq8",
+    "knn_mmr_diversified",
+    "graph_beam_search",
+    "mm_media_meta",
+    "mm_frame_sample",
+    "ivf_sign_pruned",
+    "events_session_funnel",
+    "events_asof_last_view",
 ]
 
 

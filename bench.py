@@ -40,6 +40,13 @@ HEADLINE = [
     "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
     "ivf_pq_search",  # r6: partition-pruned + PQ-compressed composition
     "knn_pq_stored",  # r6: stored-codes deployment shape (codes-only scan)
+    # r7 recall tiers (verdict #1): each family's >=0.9-recall form
+    "ivf_sign_multiprobe",
+    "lsh_search_md5_multi",
+    "knn_pq_adc_deep",
+    "knn_pq_trained",
+    "knn_pq_batch",  # r7: one codes scan serving 8 queries
+    "knn_graph_lsh",  # r7: bucket-local graph build (beats blocked at 10x)
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",
