@@ -559,16 +559,47 @@ def lsh_search_md5_multi(
     deterministic expression as `lsh_search_md5`, so the union — and
     the result — reproduces in SQL.
     """
+    from pyspark.sql.types import BooleanType
+
     from local_vectordb_spark.operators import knn
 
     dim = len(query_vec)
-    cond = None
-    for t in range(n_tables):
-        planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
-        probed = hyperplane_probe(query_vec, planes)
-        c = hyperplane_bucket(vec_col, planes).isin(probed)
-        cond = c if cond is None else cond | c
-    cand = vectors.filter(cond)
+    tables = [
+        md5_hyperplanes(dim, n_bits, table_seed(seed, t))
+        for t in range(n_tables)
+    ]
+    probe_sets = [
+        np.array(hyperplane_probe(query_vec, planes), dtype=np.int64)
+        for planes in tables
+    ]
+    all_planes = [np.array(p, dtype=np.float64) for p in tables]
+
+    # ONE fused Arrow pass computes every table's bucket and the OR of
+    # the membership tests — n_tables separate Column expressions pay
+    # the interpreted HOF fold per table per row (measured 2.1 s at
+    # sf0.1 for 4 tables vs 0.4 s single-table). Fold order per plane
+    # is the same sequential acc = acc + x_i·p_i as
+    # hyperplane_bucket_batch, so candidacy is bit-identical to the
+    # Column form and the SQL oracle.
+    @F.pandas_udf(BooleanType())
+    def is_candidate(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=bool)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        hit = np.zeros(len(mat), dtype=bool)
+        for P, probes in zip(all_planes, probe_sets):
+            bkt = np.zeros(len(mat), dtype=np.int64)
+            for j in range(P.shape[0]):
+                acc = np.zeros(len(mat), dtype=np.float64)
+                for i in range(mat.shape[1]):
+                    acc = acc + mat[:, i] * P[j, i]
+                bkt += np.where(
+                    acc >= 0, np.int64(1 << (n_bits - 1 - j)), np.int64(0)
+                )
+            hit |= np.isin(bkt, probes)
+        return pd.Series(hit)
+
+    cand = vectors.filter(is_candidate(F.col(vec_col)))
     return knn.knn_brute_force(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -644,13 +675,22 @@ def knn_graph_lsh(
     replicated = None
     for t in range(n_tables):
         planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
-        b = hyperplane_bucket_batch(planes)(F.col(vec_col))
+        # project the UDF ONCE into a plain int column before fanning
+        # out into the ball array — referencing the UDF expression
+        # n_bits+1 times inside F.array re-evaluates it per reference
+        # (measured: the replicate stage alone cost 2.9 s at sf0.1)
+        home = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            hyperplane_bucket_batch(planes)(F.col(vec_col)).alias("_b"),
+        )
+        b = F.col("_b")
         ball = F.array(
             b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
         )
-        part = vectors.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_vec"),
+        part = home.select(
+            "_id",
+            "_vec",
             F.lit(t).alias("_tbl"),
             F.explode(ball).alias("_bkt"),
         )
@@ -685,18 +725,20 @@ def knn_graph_lsh(
     partial = replicated.groupBy("_tbl", "_bkt").applyInPandas(
         bucket_topk, out_schema
     )
-
-    def merge_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # the same pair surfaces from every shared bucket with the SAME
-        # score — dedup + (score desc, dst asc) top-k in ONE grouped
-        # pass instead of a dropDuplicates shuffle followed by a
-        # window shuffle
-        pdf = pdf.drop_duplicates(["src", "dst"]).sort_values(
-            ["score", "dst"], ascending=[False, True], kind="stable"
-        )
-        return pdf.groupby("src", sort=False).head(k)
-
-    return partial.groupBy("src").applyInPandas(merge_topk, out_schema)
+    # the same pair surfaces from every shared bucket with the SAME
+    # score — dedup before the merge window so row_number counts each
+    # candidate once. JVM dedup+window, deliberately NOT a grouped
+    # pandas merge: the partial-edge stream is narrow (3 scalar
+    # columns) and per-src groups are tiny, so applyInPandas
+    # per-group overhead dominates (measured 6.6 s vs 1.3 s warm for
+    # the whole build at sf0.1).
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        partial.dropDuplicates(["src", "dst"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def lsh_search_md5(
