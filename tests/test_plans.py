@@ -152,10 +152,10 @@ def test_ivf_sign_pruned_reads_only_probed_buckets(spark, sf_dir):
     # pruning is real: the partitioned table has more buckets than the
     # probe touches, and the pruned scan only ever surfaces probed ones
     import os
-    import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"lvdb_part_{tag}", "emb_by_sign")
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
     table = spark.read.parquet(path)
     all_buckets = {r.bucket for r in table.select("bucket").distinct().collect()}
     assert len(all_buckets) > len(probed)
@@ -351,3 +351,49 @@ def test_pq_stored_codes_scan_never_reads_embeddings(spark, sf_dir):
     for s in code_scans:
         assert "embedding" not in s, f"ADC scan reads embeddings: {s}"
     assert any("embedding" in s for s in schemas)  # the rescore join
+
+
+def test_sign_multiprobe_prunes_eleven_directories(spark, sf_dir):
+    """The Hamming<=2 recall tier still prunes at PLANNING time: 11 of
+    16 partition directories, expressed as PartitionFilters on the
+    bucket column — recall was bought with a wider probe, not by
+    giving up pruning."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import ivf
+
+    df = q.SPARK_QUERIES["ivf_sign_multiprobe"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:300]
+    qv = q._query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe(qv, n_bits=4, max_hamming=2)
+    assert len(set(probed)) == 11
+
+
+def test_pq_deep_rescore_stays_shuffle_free(spark, sf_dir):
+    """Deepening the rescore list (50 -> 300) must not change the plan
+    class: still TakeOrderedAndProject over a map-only ADC scan, zero
+    exchanges — depth is a driver-merge constant, not a shuffle."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_pq_adc_deep"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_graph_lsh_bounded_shuffles(spark, sf_dir):
+    """The LSH graph build's shuffle count must stay at 3 regardless of
+    corpus size: the ball-replication groupBy, the dedup, and the
+    per-src merge window. The O(n^2) work happens inside bucket-local
+    BLAS, never as a join the planner could degrade to a cartesian."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_graph_lsh"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # candidate gen is grouping, not joining
+    import re
+
+    n_shuffles = len(re.findall(r"Exchange \(\d+\)", plan))
+    assert n_shuffles <= 4, f"plan has {n_shuffles} shuffles"
