@@ -45,8 +45,9 @@ def knn_graph(
     Broadcast the unit-normalized corpus matrix; each Arrow batch does
     one BLAS matmul and an O(n) argpartition top-k per row. Applicable
     whenever the corpus fits executor memory (the map-side-join
-    regime); beyond that, build per-bucket graphs from LSH candidates
-    with the same per-batch scorer.
+    regime); beyond that, `knn_graph_blocked` distributes the same
+    exact O(n²) flops, and `knn_graph_lsh` drops the quadratic term
+    entirely via bucket-local candidate generation.
     """
     spark = vectors.sparkSession
     pdf = vectors.select(id_col, vec_col).toPandas()

@@ -2128,10 +2128,10 @@ _BEAM_GRAPH_SQL = """
 """
 
 
-@register(
-    "graph_beam_search",
-    f"""
-    WITH {_BEAM_GRAPH_SQL},
+# the beam traversal unrolled (3 hops, beam 8) — shared by every beam
+# variant; expects CTEs `g(src, dst)` (the graph) and `rel(vec_id,
+# score)` (the relevance scan) to be defined upstream
+_BEAM_CHAIN_SQL = f"""
     v0 AS (SELECT vec_id, score FROM rel
            WHERE vec_id = (SELECT min(vec_id) FROM rel)),
     n1 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN v0 ON g.src = v0.vec_id),
@@ -2146,6 +2146,14 @@ _BEAM_GRAPH_SQL = """
     v3 AS (SELECT * FROM v2
            UNION SELECT r.vec_id, r.score FROM rel r JOIN n3 USING (vec_id))
     SELECT vec_id, score FROM v3 ORDER BY score DESC, vec_id ASC LIMIT {K}
+"""
+
+
+@register(
+    "graph_beam_search",
+    f"""
+    WITH {_BEAM_GRAPH_SQL},
+    {_BEAM_CHAIN_SQL}
     """,
 )
 def graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2159,6 +2167,80 @@ def graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent stop — it is value-checked end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
     edges = ann.knn_graph(emb, k=5)
+    scored = knn.score_all(emb, _query_vecs(sf_dir)[0][1])
+    return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
+
+
+def _beam_lsh_oracle_sql(
+    dim: int = 64, n_bits: int = 4, n_tables: int = 2
+) -> str:
+    """Oracle for graph_beam_search_lsh: the beam chain over the
+    LSH-candidate graph instead of the all-pairs graph — `g` comes
+    from the same bucket-within-Hamming-2 predicate as the
+    knn_graph_lsh oracle, `rel` and the unrolled traversal are
+    verbatim the exact-graph beam oracle's."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
+
+    def dot(v: str, plane) -> str:
+        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+    def bucket(v: str, planes) -> str:
+        bits = [
+            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
+            for j, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    tables = [
+        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
+        for t in range(n_tables)
+    ]
+    b_cols = ", ".join(
+        f"{bucket('ev', planes)} AS b{t}" for t, planes in enumerate(tables)
+    )
+    near = " OR ".join(
+        f"bit_count(xor(a.b{t}, b.b{t})) <= 2" for t in range(n_tables)
+    )
+    return f"""
+    WITH bk AS (
+      SELECT vec_id, embedding, {b_cols}
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings)
+    ),
+    pair_scores AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ({near})
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM pair_scores
+      ) WHERE rn <= 5
+    ),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ),
+    {_BEAM_CHAIN_SQL}
+    """
+
+
+@register("graph_beam_search_lsh", _beam_lsh_oracle_sql())
+def graph_beam_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW capability with NO quadratic stage anywhere: the kNN
+    graph comes from the LSH-bucketed builder (flops bounded per
+    bucket, n_bits scaling with corpus size) and the traversal is the
+    same 3-hop beam-8 search — so graph BUILD + SEARCH are both
+    sub-all-pairs, which is the shape the reference's NSW aspires to
+    (README.md:150-167: 'very large dynamic') and the exact-graph twin
+    above cannot reach (its build is O(n²) by construction). Still
+    value-checked end to end: the LSH graph's candidate predicate is a
+    pure md5-bucket expression, so the whole build+traverse pipeline
+    unrolls into one oracle query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = ann.knn_graph_lsh(emb, k=5, n_tables=2)
     scored = knn.score_all(emb, _query_vecs(sf_dir)[0][1])
     return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
 
