@@ -3133,6 +3133,33 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_pq_trained")
+def ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-style IVF-PQ recipe with BOTH stages trained on
+    the data: KMeans cluster pruning (seed=42, n_probe=8 of 16) over
+    the build-once index × trained per-subspace PQ codebook (ADC
+    depth 50) × exact cosine rescore. Rows-only by design — both the
+    cluster assignment and the codebook are data-dependent — with a
+    recall invariant in tests/test_pq.py; the deterministic twins
+    (`ivf_pq_search`, `ivf_pq_multiprobe`) carry the value oracles
+    for the identical plan machinery. This is the tier an actual
+    100 TB deployment runs: data-adaptive cells on both axes buy
+    recall at a fraction of the md5 tiers' probe/rescore budgets."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.probe_clusters(centroids, qv, n_probe=8)
+    cand_ids = assignments.filter(
+        F.col("cluster_id").isin(probed)
+    ).select("vec_id")
+    cand = emb.join(cand_ids, "vec_id", "left_semi")
+    return pq.pq_adc_search(
+        cand, qv, codebook=_trained_book_for(sf_dir), k=K, n_candidates=50
+    )
+
+
 def _ivf_pq_multiprobe_oracle_sql() -> str:
     """IVF-PQ at recall settings: the depth-300 PQ oracle narrowed to
     the Hamming≤2 sign-probed buckets."""

@@ -166,3 +166,18 @@ def test_deep_rescore_monotone_recall(spark, sf_dir):
         recalls.append(len(got & exact) / 10.0)
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+def test_ivf_pq_trained_recall(spark):
+    """The fully-trained composition (KMeans pruning x trained
+    codebook x exact rescore) must hold recall@10 >= 0.9 at sf0.01
+    (measured 1.0): data-adaptive cells on both axes buy what the md5
+    tiers need depth-300/Hamming-2 budgets for."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.vec_id for r in SPARK_QUERIES["knn_brute_force"](spark, sf).collect()
+    }
+    got = {r.vec_id for r in SPARK_QUERIES["ivf_pq_trained"](spark, sf).collect()}
+    assert len(got & exact) / 10.0 >= 0.9
