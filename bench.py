@@ -47,6 +47,8 @@ HEADLINE = [
     "knn_pq_trained",
     "knn_pq_batch",  # r7: one codes scan serving 8 queries
     "knn_graph_lsh",  # r7: bucket-local graph build (beats blocked at 10x)
+    "ivf_pq_trained",  # r7: fully-trained FAISS-shaped composition
+    "graph_beam_search_lsh",  # r7: NSW with no quadratic stage anywhere
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

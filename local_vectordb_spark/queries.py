@@ -3282,19 +3282,27 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_recall_trained")
 def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the trained-codebook PQ tier vs exact brute force
-    — the rows-only companion row to ann_recall_report (the trained
-    book is data-dependent, so no static SQL reproduces it; the recall
-    MATH is the same oracle-matched join/count as the main report, and
-    tests/test_pq.py asserts the value ≥ 0.9)."""
+    """Recall@10 of the data-trained tiers (trained-codebook PQ, and
+    the fully-trained KMeans×PQ composition) vs exact brute force —
+    the rows-only companion to ann_recall_report (trained state is
+    data-dependent, so no static SQL reproduces it; the recall MATH is
+    the same oracle-matched join/count as the main report, and
+    tests/test_pq.py asserts both values ≥ 0.9 at sf0.01)."""
     exact = SPARK_QUERIES["knn_brute_force"](spark, sf_dir).select("vec_id")
-    return (
-        SPARK_QUERIES["knn_pq_trained"](spark, sf_dir)
-        .select("vec_id")
-        .join(exact, "vec_id")
-        .agg(F.round(F.count("*") / float(K), 6).alias("recall_at_k"))
-        .select(F.lit("pq_trained").alias("method"), "recall_at_k")
-    )
+    out = None
+    for name, qname in (
+        ("pq_trained", "knn_pq_trained"),
+        ("ivf_pq_trained", "ivf_pq_trained"),
+    ):
+        r = (
+            SPARK_QUERIES[qname](spark, sf_dir)
+            .select("vec_id")
+            .join(exact, "vec_id")
+            .agg(F.round(F.count("*") / float(K), 6).alias("recall_at_k"))
+            .select(F.lit(name).alias("method"), "recall_at_k")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
 
 
 @register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])

@@ -133,9 +133,12 @@ def test_trained_recall_beats_md5_at_same_depth(spark):
     from local_vectordb_spark.queries import SPARK_QUERIES
 
     sf = "/root/testdata/sf0.01"  # the scale the recall claims cite
-    r = SPARK_QUERIES["ann_recall_trained"](spark, sf).collect()
-    assert r[0]["method"] == "pq_trained"
-    assert r[0]["recall_at_k"] >= 0.9
+    r = {
+        row["method"]: row["recall_at_k"]
+        for row in SPARK_QUERIES["ann_recall_trained"](spark, sf).collect()
+    }
+    assert r["pq_trained"] >= 0.9
+    assert r["ivf_pq_trained"] >= 0.9
     md5_tier = (
         SPARK_QUERIES["knn_pq_adc"](spark, sf)
         .join(
@@ -144,7 +147,7 @@ def test_trained_recall_beats_md5_at_same_depth(spark):
         )
         .count()
     )
-    assert md5_tier / 10.0 < r[0]["recall_at_k"]
+    assert md5_tier / 10.0 < r["pq_trained"]
 
 
 def test_deep_rescore_monotone_recall(spark, sf_dir):
