@@ -172,6 +172,78 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_fingerprint",
+    r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ON INGEST with a SEMANTIC key: the staged stream carries a
+    doctored near-copy of every 5th document (uppercased, whitespace
+    doubled — byte-different, so event-id dedup can't catch it);
+    dropDuplicatesWithinWatermark on the md5 fingerprint of the
+    NORMALIZED text collapses the feed back to one doc per content
+    family, and the per-language doc/token accounting hash-matches the
+    plain batch aggregate over the undoctored corpus (token counts are
+    normalization-invariant, so WHICH family member survives cannot
+    change the totals — the property that makes a streaming dedup
+    value-checkable at all). This is the ingestion front-door of a
+    100 TB corpus build: the exact-key form (stream_dedup_exact)
+    catches replays, this form catches re-crawled/reformatted copies,
+    and the MinHash batch passes catch the genuinely fuzzy tail."""
+    from pyspark.sql import types as SQLT
+
+    from local_vectordb_spark.functions import text as T
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    doc_dir = os.path.join(
+        fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_doctored"
+    )
+    if not os.path.exists(os.path.join(doc_dir, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "lang",
+            "text",
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(mins=(F.col("doc_id") % 60))
+            ).alias("ts"),
+        )
+        doctored = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
+            "ts",  # same event time as the original: inside the horizon
+        )
+        docs.unionByName(doctored).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(doc_dir)
+    schema = SQLT.StructType(
+        [
+            SQLT.StructField("doc_id", SQLT.LongType()),
+            SQLT.StructField("lang", SQLT.StringType()),
+            SQLT.StructField("text", SQLT.StringType()),
+            SQLT.StructField("ts", SQLT.TimestampType()),
+        ]
+    )
+    stream = st.read_events_stream(spark, doc_dir, schema=schema)
+    keyed = stream.withColumn("f", T.fingerprint(F.col("text")))
+    deduped = st.stream_dedup(keyed, keys=("f",))
+    out = st.run_available_now(
+        deduped, "q_stream_dedup_fp", output_mode="append"
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
 _MD5_EMB8 = """
         SELECT {keys} v FROM (
           SELECT {keys}

@@ -270,3 +270,26 @@ def test_stream_upserts_invalidate_and_rebuild_ivf(spark, sf_dir, tmp_path):
     assert db._ivf_version == db._version  # search rebuilt the index
     assert hits[0].id == "s3"              # streamed chunk is the top hit
     assert db.table("chunks").count() == 25
+
+
+def test_stream_dedup_fingerprint_collapses_doctored_copies(spark, sf_dir):
+    """The semantic-key ingest dedup: byte-different near-copies
+    (uppercased, whitespace-doubled) must collapse to one doc per
+    content family, leaving exactly the undoctored corpus's per-lang
+    doc counts."""
+    from local_vectordb_spark.queries_streaming import stream_dedup_fingerprint
+    from local_vectordb_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in stream_dedup_fingerprint(spark, sf_dir).collect()
+    }
+    want = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
