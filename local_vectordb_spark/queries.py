@@ -3114,13 +3114,15 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ with a TRAINED per-subspace codebook (r6 verdict #1): Lloyd's
     k-means per subspace on a deterministic driver-side sample, seeded
     init, fixed iterations. Data-fitted cells make the ADC ranking
-    sharp — recall@10 goes 0.4 → 1.0 at the SAME rescore depth 50 the
-    md5 tier needs 300 for. Rows-only by design (the book depends on
-    the data, so no static SQL can reproduce it); correctness is
-    covered by (a) the depth-300 md5 twin's full oracle exercising the
-    identical encode/ADC/rescore machinery and (b) the recall ≥ 0.9
-    invariant in tests/test_pq.py computed in Spark against
-    knn_brute_force. Reported scores are exact cosines either way."""
+    sharp: at rescore depth 150 the trained tier holds mean recall@10
+    0.99 over 8 queries where the md5 book at DOUBLE the depth (300)
+    holds 0.84 — the codebook, not the rescore budget, is what buys
+    recall. Rows-only by design (the book depends on the data, so no
+    static SQL can reproduce it); correctness is covered by (a) the
+    md5 twins' full oracles exercising the identical
+    encode/ADC/rescore machinery and (b) the recall ≥ 0.9 invariant
+    in tests/test_pq.py computed in Spark against knn_brute_force.
+    Reported scores are exact cosines either way."""
     from local_vectordb_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3129,7 +3131,7 @@ def knn_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vecs(sf_dir)[0][1],
         codebook=_trained_book_for(sf_dir),
         k=K,
-        n_candidates=50,
+        n_candidates=150,
     )
 
 
@@ -3156,7 +3158,7 @@ def ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
     cand = emb.join(cand_ids, "vec_id", "left_semi")
     return pq.pq_adc_search(
-        cand, qv, codebook=_trained_book_for(sf_dir), k=K, n_candidates=50
+        cand, qv, codebook=_trained_book_for(sf_dir), k=K, n_candidates=150
     )
 
 
@@ -3280,29 +3282,188 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _recall_multi_oracle_sql(n_queries: int = 8) -> str:
+    """Oracle for ann_recall_multi: per-(tier, query) recall as one
+    UNION ALL over query ids, then a per-tier average. Covers the
+    tiers whose per-query SQL stays small (the sign family and
+    single-table md5-LSH); the PQ/multi-table tiers would multiply
+    their ~50 KB unrolled oracles by 8 — their single-query reports
+    above carry the value check instead."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes
+
+    def bf(qid: int) -> str:
+        return f"""
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {qid}) q
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {K}
+        """
+
+    def sign_tier(qid: int, flips: str) -> str:
+        return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}),
+        qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e, qb
+          WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+                IN (qb.b, {flips})
+        )
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+        FROM cand c CROSS JOIN q
+        ORDER BY score DESC, c.vec_id ASC
+        LIMIT {K}
+        """
+
+    planes = md5_hyperplanes(64, 4)
+
+    def dot(v: str, plane) -> str:
+        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+    def bucket(v: str) -> str:
+        bits = [
+            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (4 - 1 - j)} ELSE 0 END"
+            for j, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    def lsh_tier(qid: int) -> str:
+        flips = ", ".join(f"xor(qb.b, {1 << j})" for j in range(4))
+        return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
+        qb AS (SELECT {bucket("qv")} AS b FROM q),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
+          WHERE {bucket("e.ev")} IN (qb.b, {flips})
+        )
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM cand c CROSS JOIN q
+        ORDER BY score DESC, c.vec_id ASC
+        LIMIT {K}
+        """
+
+    ham1 = ", ".join(str(m) for m in (1, 2, 4, 8))
+    ham1_flips = ", ".join(f"xor(qb.b, {m})" for m in (1, 2, 4, 8))
+    del ham1
+    tiers = {
+        "ivf_sign_pruned": lambda qid: sign_tier(qid, ham1_flips),
+        "ivf_sign_multiprobe": lambda qid: sign_tier(qid, _SIGN_HAM2_FLIPS),
+        "lsh_md5": lsh_tier,
+    }
+    rows = []
+    for name, mk in tiers.items():
+        for qid in range(n_queries):
+            rows.append(
+                f"""SELECT '{name}' AS method, count(*) / {K}.0 AS r
+        FROM ({mk(qid)}) t JOIN ({bf(qid)}) b USING (vec_id)"""
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+    SELECT method, ROUND(avg(r), 6) AS mean_recall_at_k
+    FROM ({union})
+    GROUP BY method
+    """
+
+
+@register("ann_recall_multi", _recall_multi_oracle_sql())
+def ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 AVERAGED OVER 8 QUERIES for the cheap-probe tiers —
+    the hash-sampled-query-set form the single-query report's
+    docstring promises, still fully value-oracled (per-(tier, query)
+    recall unions, per-tier average). One query can flatter or damn a
+    probe tier; eight give the number a variance floor. Heavier
+    oracles (PQ, 4-table LSH) keep single-query value checks — their
+    unrolled SQL ×8 queries would be megabytes."""
+    from local_vectordb_spark.operators import knn as knn_ops
+    from local_vectordb_spark.operators.ann import lsh_search_md5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvs = _query_vecs(sf_dir, max_vec_id=8)
+    tiers = {
+        "ivf_sign_pruned": lambda qv: knn_ops.knn_brute_force(
+            emb.filter(
+                ivf.sign_bucket("embedding", 4).isin(ivf.sign_probe(qv, 4))
+            ),
+            qv,
+            k=K,
+        ),
+        "ivf_sign_multiprobe": lambda qv: knn_ops.knn_brute_force(
+            emb.filter(
+                ivf.sign_bucket("embedding", 4).isin(
+                    ivf.sign_probe(qv, 4, max_hamming=2)
+                )
+            ),
+            qv,
+            k=K,
+        ),
+        "lsh_md5": lambda qv: lsh_search_md5(emb, qv, k=K),
+    }
+    out = None
+    for name, fn in tiers.items():
+        for _, qv in qvs:
+            exact = knn_ops.knn_brute_force(emb, qv, k=K).select("vec_id")
+            r = (
+                fn(qv)
+                .select("vec_id")
+                .join(exact, "vec_id")
+                .agg((F.count("*") / float(K)).alias("r"))
+                .select(F.lit(name).alias("method"), "r")
+            )
+            out = r if out is None else out.unionByName(r)
+    return out.groupBy("method").agg(
+        F.round(F.avg("r"), 6).alias("mean_recall_at_k")
+    )
+
+
 @register("ann_recall_trained")
 def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the data-trained tiers (trained-codebook PQ, and
-    the fully-trained KMeans×PQ composition) vs exact brute force —
-    the rows-only companion to ann_recall_report (trained state is
-    data-dependent, so no static SQL reproduces it; the recall MATH is
-    the same oracle-matched join/count as the main report, and
-    tests/test_pq.py asserts both values ≥ 0.9 at sf0.01)."""
-    exact = SPARK_QUERIES["knn_brute_force"](spark, sf_dir).select("vec_id")
+    """Mean recall@10 OVER 8 QUERIES of the data-trained tiers
+    (trained-codebook PQ at rescore depth 150, and the fully-trained
+    KMeans×PQ composition) vs exact brute force — the rows-only
+    companion to ann_recall_report/ann_recall_multi (trained state is
+    data-dependent, so no static SQL reproduces it; the recall MATH
+    is the same join/count/avg the oracle-matched reports use, and
+    tests/test_pq.py asserts the means ≥ 0.9 at sf0.01). Multi-query
+    deliberately: single-query recall flattered the trained tier
+    (1.0 on query 0 vs 0.74 mean at the old depth 50)."""
+    from local_vectordb_spark.operators import knn as knn_ops
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _trained_book_for(sf_dir)
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+
+    def pq_trained(qv):
+        return pq.pq_adc_search(emb, qv, codebook=book, k=K, n_candidates=150)
+
+    def ivf_pq(qv):
+        probed = ivf.probe_clusters(centroids, qv, n_probe=8)
+        cand_ids = assignments.filter(
+            F.col("cluster_id").isin(probed)
+        ).select("vec_id")
+        cand = emb.join(cand_ids, "vec_id", "left_semi")
+        return pq.pq_adc_search(cand, qv, codebook=book, k=K, n_candidates=150)
+
     out = None
-    for name, qname in (
-        ("pq_trained", "knn_pq_trained"),
-        ("ivf_pq_trained", "ivf_pq_trained"),
-    ):
-        r = (
-            SPARK_QUERIES[qname](spark, sf_dir)
-            .select("vec_id")
-            .join(exact, "vec_id")
-            .agg(F.round(F.count("*") / float(K), 6).alias("recall_at_k"))
-            .select(F.lit(name).alias("method"), "recall_at_k")
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
+    for name, fn in (("pq_trained", pq_trained), ("ivf_pq_trained", ivf_pq)):
+        for _, qv in _query_vecs(sf_dir, max_vec_id=8):
+            exact = knn_ops.knn_brute_force(emb, qv, k=K).select("vec_id")
+            r = (
+                fn(qv)
+                .select("vec_id")
+                .join(exact, "vec_id")
+                .agg((F.count("*") / float(K)).alias("r"))
+                .select(F.lit(name).alias("method"), "r")
+            )
+            out = r if out is None else out.unionByName(r)
+    return out.groupBy("method").agg(
+        F.round(F.avg("r"), 6).alias("mean_recall_at_k")
+    )
 
 
 @register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])
