@@ -492,13 +492,13 @@ class VectorDB:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
-        if index_type in ("hybrid", "pq", "sign"):
+        if index_type in ("hybrid", "pq"):
             # refuse UP FRONT, before any embedding job runs: hybrid
-            # needs per-query BM25 term sets, pq a per-query ADC table,
-            # sign a per-query probe list — single-query surfaces; a
-            # late check would burn a Spark embed job just to raise
+            # needs per-query BM25 term sets and pq a per-query ADC
+            # table — single-query surfaces; a late check would burn a
+            # Spark embed job just to raise
             raise ValueError(
-                f"search_batch supports ('cosine', 'ivf', 'nsw'); "
+                f"search_batch supports ('cosine', 'ivf', 'sign', 'nsw'); "
                 f"{index_type!r} is single-query only — loop search()"
             )
         if query_vecs is None and not queries:
@@ -519,6 +519,15 @@ class VectorDB:
 
         if index_type == "cosine":
             scored = knn.knn_batch(chunks, query_vecs, k=k, id_col="id")
+        elif index_type == "sign":
+            # the probe set is an expression of the query vector, so
+            # the batch form is the same fully-distributed join as the
+            # table path — no per-query driver work to preserve
+            qdf = self.spark.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in query_vecs],
+                "query_id long, qv array<double>",
+            )
+            scored = ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch(
@@ -553,11 +562,11 @@ class VectorDB:
         """Large-set batch search: the query set becomes a DataFrame,
         embedding runs distributed, and scoring joins a broadcast query
         table — no per-query driver state at any point."""
-        if index_type not in ("cosine", "ivf"):
+        if index_type not in ("cosine", "ivf", "sign"):
             raise ValueError(
                 f"index {index_type!r} does not scale past max_driver_queries "
                 "(its candidate generation is per-query driver work); use "
-                "'cosine' or 'ivf' for large query sets"
+                "'cosine', 'ivf' or 'sign' for large query sets"
             )
         if query_vecs is not None:
             qdf = self.spark.createDataFrame(
@@ -571,6 +580,8 @@ class VectorDB:
         chunks = self._chunks_for_search(metadata)
         if index_type == "cosine":
             scored = knn.knn_batch_table(chunks, qdf, k=k, id_col="id")
+        elif index_type == "sign":
+            scored = ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
         else:
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch_table(

@@ -204,6 +204,58 @@ def sign_probe(
     return out
 
 
+def sign_search_batch_table(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Bulk sign-bucket search with the query set as a DATAFRAME —
+    the deterministic tier's batch form, nothing through the driver:
+    each query's probe set (its sign bucket + Hamming-1 flips) is a
+    pure EXPRESSION of its vector, exploded into (query_id, bucket)
+    pairs that broadcast-join the bucketed corpus. A candidate's
+    bucket matches exactly one probe row per query, so no dedup is
+    needed; scoring is the JVM cosine and the per-query top-k one
+    window. Against a corpus physically partitioned by sign bucket
+    (the emb_by_sign layout) the same join drives per-query partition
+    pruning. Output (query_id, id, score) like every batch surface.
+    """
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    qb = sign_bucket(F.col(query_vec_col), n_bits)
+    ball = F.array(
+        qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
+    )
+    probes = queries.select(
+        query_id_col, query_vec_col, F.explode(ball).alias("_bkt")
+    )
+    corpus = vectors.select(
+        id_col, vec_col, sign_bucket(F.col(vec_col), n_bits).alias("_bkt")
+    )
+    scored = corpus.join(F.broadcast(probes), "_bkt").select(
+        query_id_col,
+        id_col,
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col(query_vec_col)),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_search_batch_table(
     vectors: DataFrame,
     assignments: DataFrame,

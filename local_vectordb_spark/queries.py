@@ -1814,6 +1814,54 @@ def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_sign_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    qb AS (SELECT query_id, qv, ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    probes AS (
+      SELECT query_id, qv,
+             unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bkt
+      FROM qb
+    ),
+    e AS (
+      SELECT vec_id, embedding,
+             ({_SIGN_BUCKET_SQL.format(v="embedding")}) AS bkt
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], p.qv::DOUBLE[]), 6) AS score
+      FROM e JOIN probes p USING (bkt)
+    )
+    SELECT query_id, vec_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {K}
+    """,
+)
+def knn_sign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic pruned tier's BATCH form: 8 queries' probe
+    sets (sign bucket + Hamming-1 flips — pure expressions of the
+    query vectors) explode into (query_id, bucket) pairs that
+    broadcast-join the bucketed corpus; one corpus scan serves every
+    query, a candidate's bucket matches exactly one probe row per
+    query (no dedup), and the per-query top-k is one window. Nothing
+    routes through the driver, and over the emb_by_sign physical
+    layout the same join drives per-query partition pruning — the
+    bulk-curation counterpart of ivf_search_batch_table with a full
+    value oracle instead of seed-dependent clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf.sign_search_batch_table(emb, qdf, k=K)
+
+
+@register(
     "knn_graph",
     """
     WITH scored AS (

@@ -427,10 +427,28 @@ def test_search_batch_rejects_single_query_strategies(db):
 
 
 def test_search_batch_rejects_single_query_types_before_embedding(db):
-    """hybrid/pq/sign are single-query surfaces; the rejection must
-    fire up front — before any Spark embedding job runs (a late check
-    burned an embed job just to raise)."""
+    """hybrid/pq are single-query surfaces; the rejection must fire up
+    front — before any Spark embedding job runs (a late check burned
+    an embed job just to raise)."""
     d, *_ = db
-    for t in ("hybrid", "pq", "sign"):
+    for t in ("hybrid", "pq"):
         with pytest.raises(ValueError, match="single-query only"):
             d.search_batch(queries=[(0, "q")], index_type=t)
+
+
+def test_search_batch_sign_matches_cosine_hits(db):
+    """The batch sign strategy: every returned hit must also be the
+    exact cosine answer when it survives the probe, and each query's
+    own chunk (score 1.0) always lands in its own bucket."""
+    d, *_ = db
+    qids = [0, 1]
+    res = d.search_batch(
+        queries=[(i, QUESTIONS[i]) for i in qids], index_type="sign", k=3
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for i in qids:
+        top = max(by_q[i], key=lambda r: r.score)
+        assert top.content == QUESTIONS[i]
+        assert top.score == pytest.approx(1.0, abs=1e-5)
