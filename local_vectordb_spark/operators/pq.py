@@ -280,6 +280,7 @@ def pq_adc_search_batch(
     n_candidates: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch PQ-ADC: one codes scan serves EVERY query.  The corpus is
     encoded once (query-independent), each query contributes a
@@ -294,6 +295,13 @@ def pq_adc_search_batch(
     Bounded by the literal ADC tables (m·k_codes doubles per query ≈
     1 KB) — fine for driver-batch cardinalities; unbounded query sets
     should route to cosine/ivf batch paths instead.
+
+    Pass ``codes`` — a (id_col, codes ARRAY<INT>) DataFrame
+    materialized once with `pq_encode_batch` — to run the DEPLOYMENT
+    shape: the ADC scan reads only the codes table (4 bytes/vector),
+    and `vectors` is touched solely for the top-C rescore rows.
+    Encoding is deterministic, so the stored path is byte-identical
+    to encode-on-the-fly and shares its oracle.
     """
     from pyspark.sql import Window
 
@@ -305,10 +313,13 @@ def pq_adc_search_batch(
     if codebook is None:
         codebook = pq_codebook(dim=len(first_vec))
     m = len(codebook)
-    enc = pq_encode_batch(codebook)
-    base = vectors.select(
-        F.col(id_col), enc(F.col(vec_col)).alias("_codes")
-    )
+    if codes is not None:
+        base = codes.select(F.col(id_col), F.col("codes").alias("_codes"))
+    else:
+        enc = pq_encode_batch(codebook)
+        base = vectors.select(
+            F.col(id_col), enc(F.col(vec_col)).alias("_codes")
+        )
     qs = F.array(
         *[
             F.struct(
