@@ -204,11 +204,29 @@ def sign_probe(
     return out
 
 
+def sign_ball(bucket_col, n_bits: int = 4, max_hamming: int = 1):
+    """Array of every bucket within Hamming ``max_hamming`` of a
+    bucket COLUMN — the expression twin of `sign_probe`, usable on a
+    query table (explode → per-query probe rows)."""
+    from itertools import combinations
+
+    c = bucket_col
+    out = []
+    for h in range(max_hamming + 1):
+        for bits in combinations(range(n_bits), h):
+            mask = 0
+            for j in bits:
+                mask |= 1 << j
+            out.append(c.bitwiseXOR(F.lit(mask)))
+    return F.array(*out)
+
+
 def sign_search_batch_table(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_bits: int = 4,
+    max_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -231,9 +249,7 @@ def sign_search_batch_table(
     from local_vectordb_spark.operators.knn import SCORE_DECIMALS
 
     qb = sign_bucket(F.col(query_vec_col), n_bits)
-    ball = F.array(
-        qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
-    )
+    ball = sign_ball(qb, n_bits, max_hamming)
     probes = queries.select(
         query_id_col, query_vec_col, F.explode(ball).alias("_bkt")
     )

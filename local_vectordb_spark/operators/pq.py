@@ -281,6 +281,7 @@ def pq_adc_search_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Batch PQ-ADC: one codes scan serves EVERY query.  The corpus is
     encoded once (query-independent), each query contributes a
@@ -302,6 +303,11 @@ def pq_adc_search_batch(
     and `vectors` is touched solely for the top-C rescore rows.
     Encoding is deterministic, so the stored path is byte-identical
     to encode-on-the-fly and shares its oracle.
+
+    Pass ``candidates`` — a (query_id, id_col) pair DataFrame — to
+    restrict each query's ADC tier to its own candidate set (IVF-PQ
+    composition in batch form: the probe pairs join the exploded scan
+    before the top-C window).
     """
     from pyspark.sql import Window
 
@@ -332,6 +338,15 @@ def pq_adc_search_batch(
         ]
     )
     ex = base.select(id_col, "_codes", F.explode(qs).alias("_q"))
+    if candidates is not None:
+        cand_pairs = candidates.select(
+            F.col("query_id").alias("_cq"), F.col(id_col).alias("_cid")
+        )
+        ex = ex.join(
+            F.broadcast(cand_pairs),
+            (F.col("_q.query_id") == F.col("_cq"))
+            & (F.col(id_col) == F.col("_cid")),
+        ).drop("_cq", "_cid")
     adc: Column | None = None
     for s in range(m):
         term = F.element_at(

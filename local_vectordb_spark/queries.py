@@ -3426,43 +3426,83 @@ def ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall unions, per-tier average). One query can flatter or damn a
     probe tier; eight give the number a variance floor. Heavier
     oracles (PQ, 4-table LSH) keep single-query value checks — their
-    unrolled SQL ×8 queries would be megabytes."""
+    unrolled SQL ×8 queries would be megabytes.
+
+    Physically ONE composed plan, not 3 tiers × 8 queries × 2 scans of
+    driver-looped jobs (the naive loop took 17.8 s at sf0.01; this
+    shape runs in ~3 s): every tier is a batch bucket-join over the
+    query TABLE (each probe set is an expression of the query vector,
+    exploding into per-query probe rows JVM-side), the exact top-10
+    baseline is one knn_batch_table, and recall is a join + per-tier
+    average."""
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import cosine_similarity
     from local_vectordb_spark.operators import knn as knn_ops
-    from local_vectordb_spark.operators.ann import lsh_search_md5
+    from local_vectordb_spark.operators.ann import (
+        hyperplane_bucket,
+        md5_hyperplanes,
+    )
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvs = _query_vecs(sf_dir, max_vec_id=8)
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = knn_ops.knn_batch_table(emb, qdf, k=K).select(
+        "query_id", "vec_id"
+    )
+
+    def lsh_md5_batch() -> DataFrame:
+        planes = md5_hyperplanes(64, 4)
+        qb = hyperplane_bucket(F.col("qv"), planes)
+        ball = F.array(
+            qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(4)]
+        )
+        probes = qdf.select(
+            "query_id", "qv", F.explode(ball).alias("_bkt")
+        )
+        corpus = emb.select(
+            "vec_id",
+            "embedding",
+            hyperplane_bucket(F.col("embedding"), planes).alias("_bkt"),
+        )
+        scored = corpus.join(F.broadcast(probes), "_bkt").select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("qv")),
+                SCORE_DECIMALS,
+            ).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= K)
+            .drop("_rn")
+        )
+
     tiers = {
-        "ivf_sign_pruned": lambda qv: knn_ops.knn_brute_force(
-            emb.filter(
-                ivf.sign_bucket("embedding", 4).isin(ivf.sign_probe(qv, 4))
-            ),
-            qv,
-            k=K,
+        "ivf_sign_pruned": ivf.sign_search_batch_table(
+            emb, qdf, k=K, max_hamming=1
         ),
-        "ivf_sign_multiprobe": lambda qv: knn_ops.knn_brute_force(
-            emb.filter(
-                ivf.sign_bucket("embedding", 4).isin(
-                    ivf.sign_probe(qv, 4, max_hamming=2)
-                )
-            ),
-            qv,
-            k=K,
+        "ivf_sign_multiprobe": ivf.sign_search_batch_table(
+            emb, qdf, k=K, max_hamming=2
         ),
-        "lsh_md5": lambda qv: lsh_search_md5(emb, qv, k=K),
+        "lsh_md5": lsh_md5_batch(),
     }
     out = None
-    for name, fn in tiers.items():
-        for _, qv in qvs:
-            exact = knn_ops.knn_brute_force(emb, qv, k=K).select("vec_id")
-            r = (
-                fn(qv)
-                .select("vec_id")
-                .join(exact, "vec_id")
-                .agg((F.count("*") / float(K)).alias("r"))
-                .select(F.lit(name).alias("method"), "r")
-            )
-            out = r if out is None else out.unionByName(r)
+    for name, tier in tiers.items():
+        r = (
+            tier.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg((F.count("*") / float(K)).alias("r"))
+            .select(F.lit(name).alias("method"), "r")
+        )
+        out = r if out is None else out.unionByName(r)
     return out.groupBy("method").agg(
         F.round(F.avg("r"), 6).alias("mean_recall_at_k")
     )
@@ -3478,81 +3518,58 @@ def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same join/count/avg the oracle-matched reports use, and
     tests/test_pq.py asserts the means ≥ 0.9 at sf0.01). Multi-query
     deliberately: single-query recall flattered the trained tier
-    (1.0 on query 0 vs 0.74 mean at the old depth 50)."""
+    (1.0 on query 0 vs 0.74 mean at the old depth 50). Each tier is
+    ONE batch job (pq_adc_search_batch, with the IVF composition's
+    per-query candidate pairs joined into the ADC tier), not a
+    per-query driver loop."""
     from local_vectordb_spark.operators import knn as knn_ops
     from local_vectordb_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     book = _trained_book_for(sf_dir)
+    qvs = _query_vecs(sf_dir, max_vec_id=8)
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = knn_ops.knn_batch_table(emb, qdf, k=K).select(
+        "query_id", "vec_id"
+    )
+
     centroids, assignments = _ivf_index_for(spark, sf_dir)
+    probe_pairs = [
+        (int(qid), int(c))
+        for qid, qv in qvs
+        for c in ivf.probe_clusters(centroids, qv, n_probe=8)
+    ]
+    probes = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster_id int"
+    )
+    cand_pairs = assignments.join(F.broadcast(probes), "cluster_id").select(
+        "query_id", "vec_id"
+    )
 
-    def pq_trained(qv):
-        return pq.pq_adc_search(emb, qv, codebook=book, k=K, n_candidates=150)
-
-    def ivf_pq(qv):
-        probed = ivf.probe_clusters(centroids, qv, n_probe=8)
-        cand_ids = assignments.filter(
-            F.col("cluster_id").isin(probed)
-        ).select("vec_id")
-        cand = emb.join(cand_ids, "vec_id", "left_semi")
-        return pq.pq_adc_search(cand, qv, codebook=book, k=K, n_candidates=150)
-
+    tiers = {
+        "pq_trained": pq.pq_adc_search_batch(
+            emb, qvs, codebook=book, k=K, n_candidates=150
+        ),
+        "ivf_pq_trained": pq.pq_adc_search_batch(
+            emb, qvs, codebook=book, k=K, n_candidates=150,
+            candidates=cand_pairs,
+        ),
+    }
     out = None
-    for name, fn in (("pq_trained", pq_trained), ("ivf_pq_trained", ivf_pq)):
-        for _, qv in _query_vecs(sf_dir, max_vec_id=8):
-            exact = knn_ops.knn_brute_force(emb, qv, k=K).select("vec_id")
-            r = (
-                fn(qv)
-                .select("vec_id")
-                .join(exact, "vec_id")
-                .agg((F.count("*") / float(K)).alias("r"))
-                .select(F.lit(name).alias("method"), "r")
-            )
-            out = r if out is None else out.unionByName(r)
+    for name, tier in tiers.items():
+        r = (
+            tier.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg((F.count("*") / float(K)).alias("r"))
+            .select(F.lit(name).alias("method"), "r")
+        )
+        out = r if out is None else out.unionByName(r)
     return out.groupBy("method").agg(
         F.round(F.avg("r"), 6).alias("mean_recall_at_k")
     )
-
-
-def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, codes) table materialized once per (corpus, fixture
-    version) with the md5 codebook — the stored-codes deployment
-    artifact shared by every `*_stored` query."""
-    import os
-
-    from local_vectordb_spark.operators import pq
-    from local_vectordb_spark.session import fixture_cache_dir
-
-    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "pq_codes")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        enc = pq.pq_encode_batch(pq.pq_codebook())  # bit-identical to Column form
-        emb.select(
-            "vec_id", enc(F.col("embedding")).alias("codes")
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
-
-
-@register("knn_pq_batch_stored", ORACLE_SQL["knn_pq_batch"])
-def knn_pq_batch_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch PQ over the STORED codes table — the full deployment
-    shape: one 4-bytes-per-vector codes scan serves all 8 queries'
-    ADC tiers, and the float embeddings are read only for the
-    per-query top-50 rescore rows. Completes the
-    {single, batch} × {encode-inline, stored-codes} matrix; encoding
-    is deterministic, so it shares knn_pq_batch's oracle verbatim."""
-    from local_vectordb_spark.operators import pq
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq.pq_adc_search_batch(
-        emb,
-        _query_vecs(sf_dir, max_vec_id=8),
-        k=K,
-        n_candidates=50,
-        codes=_pq_codes_for(spark, sf_dir),
-    )
-
-
 @register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])
 def knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ DEPLOYMENT shape: codes are materialized ONCE to a codes
