@@ -1670,7 +1670,6 @@ def _ivf_physical_for(spark: SparkSession, sf_dir: str):
     whole directories (PartitionFilters), not just row groups. This is
     the physical form §2's Q4 notes reserve for true partition pruning."""
     import os
-    import tempfile
 
     from local_vectordb_spark.sources import partitioned as P
 
@@ -1738,7 +1737,6 @@ def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set and top-k. This closes the gap where every pruned
     search was rows-only."""
     import os
-    import tempfile
 
     from local_vectordb_spark.sources import partitioned as P
 
@@ -1793,7 +1791,6 @@ def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe count grows as C(n_bits,2) while bucket count grows as
     2^n_bits — the probed FRACTION shrinks with scale."""
     import os
-    import tempfile
 
     from local_vectordb_spark.sources import partitioned as P
 
@@ -3089,7 +3086,6 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector for the ADC tier) ≈ 1/200th of brute force, with
     reported scores still exact for every returned id."""
     import os
-    import tempfile
 
     from local_vectordb_spark.operators import pq
     from local_vectordb_spark.sources import partitioned as P
@@ -3237,7 +3233,6 @@ def ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ivf_pq_search: Hamming-1 × depth 50) remains the
     scan-volume-optimal tier; this is the quality-optimal one."""
     import os
-    import tempfile
 
     from local_vectordb_spark.operators import pq
     from local_vectordb_spark.sources import partitioned as P

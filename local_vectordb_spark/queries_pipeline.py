@@ -371,7 +371,6 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same aggregate from the unpartitioned table,
     proving layout changes nothing about results."""
     import os
-    import tempfile
 
     from local_vectordb_spark.sources import partitioned as P
 
