@@ -3565,6 +3565,45 @@ def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("method").agg(
         F.round(F.avg("r"), 6).alias("mean_recall_at_k")
     )
+def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes) table materialized once per (corpus, fixture
+    version) with the md5 codebook — the stored-codes deployment
+    artifact shared by every `*_stored` query."""
+    import os
+
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.session import fixture_cache_dir
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "pq_codes")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        enc = pq.pq_encode_batch(pq.pq_codebook())  # bit-identical to Column form
+        emb.select(
+            "vec_id", enc(F.col("embedding")).alias("codes")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("knn_pq_batch_stored", ORACLE_SQL["knn_pq_batch"])
+def knn_pq_batch_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch PQ over the STORED codes table — the full deployment
+    shape: one 4-bytes-per-vector codes scan serves all 8 queries'
+    ADC tiers, and the float embeddings are read only for the
+    per-query top-50 rescore rows. Completes the
+    {single, batch} × {encode-inline, stored-codes} matrix; encoding
+    is deterministic, so it shares knn_pq_batch's oracle verbatim."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.pq_adc_search_batch(
+        emb,
+        _query_vecs(sf_dir, max_vec_id=8),
+        k=K,
+        n_candidates=50,
+        codes=_pq_codes_for(spark, sf_dir),
+    )
+
+
 @register("knn_pq_stored", ORACLE_SQL["knn_pq_adc"])
 def knn_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ DEPLOYMENT shape: codes are materialized ONCE to a codes
