@@ -63,6 +63,45 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deterministic training-order shuffle (seeded hash rank, layout-free)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "docs_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def docs_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: position = rank of
+    md5(seed || doc_id) — the epoch-shuffle every training launch
+    needs, as a pure expression. Unlike `df.orderBy(rand())` the
+    permutation is (a) identical across runs, engines, and physical
+    layouts (resumable training, reproducible ablations), (b)
+    re-seedable per epoch by changing the seed string, and (c) a
+    single range-partitioned sort at scale — no driver state. The id
+    tiebreak guards the (improbable) md5 collision so the rank is
+    total. Capped at 200 docs here only to keep the fixture output
+    small; the plan is corpus-size-independent."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("bigint").alias("shuffle_pos")
+    )
+
+
+# --------------------------------------------------------------------------
 # Stratified rebalancing sample (per-stratum hash thresholds, no shuffle)
 # --------------------------------------------------------------------------
 
