@@ -260,3 +260,44 @@ def test_pq_encode_matches_sequential_python_fold(sp, vecs):
                 dists.append(acc)
             want.append(dists.index(min(dists)))
         assert got[i] == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32), min_size=4, max_size=8
+    ),
+    ham=st.integers(0, 3),
+)
+@SLOW
+def test_sign_ball_expression_equals_driver_probe(sp, vec, ham):
+    """The batch-sign oracle's foundation: the Column-side Hamming ball
+    (sign_ball over the bucket expression) must enumerate exactly the
+    driver-side sign_probe set, in the same order, for every radius."""
+    from local_vectordb_spark.operators.ivf import (
+        sign_ball,
+        sign_bucket,
+        sign_probe,
+    )
+
+    df = sp.createDataFrame([(vec,)], "embedding array<float>")
+    [row] = df.select(
+        sign_ball(sign_bucket("embedding", 4), 4, ham).alias("ball")
+    ).collect()
+    assert list(row.ball) == sign_probe(vec, 4, max_hamming=ham)
+
+
+@given(n=st.integers(1, 10**9))
+@settings(max_examples=60, deadline=None)
+def test_graph_lsh_bits_bound_holds(n):
+    """For every corpus size the chosen n_bits keeps the expected
+    (table, bucket) group under the row bound, or hits the 16-bit cap;
+    and the knob is monotone (bigger corpora never get fewer bits)."""
+    from local_vectordb_spark.operators.ann import graph_lsh_bits
+
+    b = graph_lsh_bits(n)
+    assert 4 <= b <= 16
+    assert b == 16 or n * (b + 1) / (1 << b) <= 512
+    # no smaller bit count would satisfy the bound
+    if b > 4:
+        assert n * (b - 1 + 1) / (1 << (b - 1)) > 512
+    assert graph_lsh_bits(2 * n) >= b
