@@ -3390,13 +3390,50 @@ def _recall_multi_oracle_sql(n_queries: int = 8) -> str:
         LIMIT {K}
         """
 
-    ham1 = ", ".join(str(m) for m in (1, 2, 4, 8))
+    def lsh_multi_tier(qid: int, n_tables: int = 4) -> str:
+        from local_vectordb_spark.operators.ann import table_seed
+
+        tabs = [
+            md5_hyperplanes(64, 4, table_seed("lvdb-lsh-v1", t))
+            for t in range(n_tables)
+        ]
+
+        def bucket_t(v: str, planes) -> str:
+            bits = [
+                f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (4 - 1 - j)} ELSE 0 END"
+                for j, p in enumerate(planes)
+            ]
+            return "(" + " + ".join(bits) + ")"
+
+        qb_cols = ", ".join(
+            f"{bucket_t('qv', planes)} AS b{t}" for t, planes in enumerate(tabs)
+        )
+        preds = []
+        for t, planes in enumerate(tabs):
+            flips = ", ".join(f"xor(qb.b{t}, {1 << j})" for j in range(4))
+            preds.append(f"({bucket_t('e.ev', planes)} IN (qb.b{t}, {flips}))")
+        where = " OR ".join(preds)
+        return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
+        qb AS (SELECT {qb_cols} FROM q),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
+          WHERE {where}
+        )
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+        FROM cand c CROSS JOIN q
+        ORDER BY score DESC, c.vec_id ASC
+        LIMIT {K}
+        """
+
     ham1_flips = ", ".join(f"xor(qb.b, {m})" for m in (1, 2, 4, 8))
-    del ham1
     tiers = {
         "ivf_sign_pruned": lambda qid: sign_tier(qid, ham1_flips),
         "ivf_sign_multiprobe": lambda qid: sign_tier(qid, _SIGN_HAM2_FLIPS),
         "lsh_md5": lsh_tier,
+        "lsh_md5_multi": lsh_multi_tier,
     }
     rows = []
     for name, mk in tiers.items():
@@ -3448,27 +3485,40 @@ def ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id"
     )
 
-    def lsh_md5_batch() -> DataFrame:
-        planes = md5_hyperplanes(64, 4)
-        qb = hyperplane_bucket(F.col("qv"), planes)
-        ball = F.array(
-            qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(4)]
-        )
-        probes = qdf.select(
-            "query_id", "qv", F.explode(ball).alias("_bkt")
-        )
-        corpus = emb.select(
-            "vec_id",
-            "embedding",
-            hyperplane_bucket(F.col("embedding"), planes).alias("_bkt"),
-        )
-        scored = corpus.join(F.broadcast(probes), "_bkt").select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("qv")),
-                SCORE_DECIMALS,
-            ).alias("score"),
+    def lsh_md5_batch(n_tables: int = 1) -> DataFrame:
+        from local_vectordb_spark.operators.ann import table_seed
+
+        pairs = None
+        for t in range(n_tables):
+            planes = md5_hyperplanes(64, 4, table_seed("lvdb-lsh-v1", t))
+            qb = hyperplane_bucket(F.col("qv"), planes)
+            ball = F.array(
+                qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(4)]
+            )
+            probes = qdf.select(
+                "query_id", F.explode(ball).alias("_bkt")
+            )
+            corpus_b = emb.select(
+                "vec_id",
+                hyperplane_bucket(F.col("embedding"), planes).alias("_bkt"),
+            )
+            p = corpus_b.join(F.broadcast(probes), "_bkt").select(
+                "query_id", "vec_id"
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        # a pair can match in several tables — count it once
+        cand = pairs.dropDuplicates(["query_id", "vec_id"])
+        scored = (
+            cand.join(emb.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    cosine_similarity(F.col("embedding"), F.col("qv")),
+                    SCORE_DECIMALS,
+                ).alias("score"),
+            )
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("vec_id")
@@ -3486,7 +3536,8 @@ def ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_sign_multiprobe": ivf.sign_search_batch_table(
             emb, qdf, k=K, max_hamming=2
         ),
-        "lsh_md5": lsh_md5_batch(),
+        "lsh_md5": lsh_md5_batch(1),
+        "lsh_md5_multi": lsh_md5_batch(4),
     }
     out = None
     for name, tier in tiers.items():
