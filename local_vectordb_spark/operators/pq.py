@@ -339,11 +339,14 @@ def pq_adc_search_batch(
     )
     ex = base.select(id_col, "_codes", F.explode(qs).alias("_q"))
     if candidates is not None:
+        # NO broadcast hint: the candidate set scales with the corpus
+        # (an IVF slice is |corpus|·n_probe/k_clusters rows per query)
+        # — let AQE pick the strategy from the measured size
         cand_pairs = candidates.select(
             F.col("query_id").alias("_cq"), F.col(id_col).alias("_cid")
         )
         ex = ex.join(
-            F.broadcast(cand_pairs),
+            cand_pairs,
             (F.col("_q.query_id") == F.col("_cq"))
             & (F.col(id_col) == F.col("_cid")),
         ).drop("_cq", "_cid")

@@ -2296,7 +2296,13 @@ def graph_lsh_edge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-oracled, so the recall number itself hash-matches — the
     graph-build analogue of ann_recall_report."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = ann.knn_graph_blocked(emb, k=5).select("src", "dst")
+    # materialize the exact graph once — the count() action and the
+    # join would otherwise each re-run the blocked O(n²) build
+    exact = (
+        ann.knn_graph_blocked(emb, k=5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
     lsh = ann.knn_graph_lsh(emb, k=5, n_tables=2).select("src", "dst")
     n_exact = exact.count()
     return lsh.join(exact, ["src", "dst"]).agg(
