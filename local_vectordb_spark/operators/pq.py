@@ -326,18 +326,30 @@ def pq_adc_search_batch(
         base = vectors.select(
             F.col(id_col), enc(F.col(vec_col)).alias("_codes")
         )
-    qs = F.array(
-        *[
-            F.struct(
-                F.lit(int(qid)).alias("query_id"),
-                F.lit(
-                    [[float(x) for x in row] for row in pq_adc_table(v, codebook)]
-                ).alias("t"),
-            )
-            for qid, v in query_rows
-        ]
+    # the query set ships as a BROADCAST DATAFRAME, not literal
+    # expressions: 8 queries × m·k_codes doubles as nested F.lit
+    # literals cost ~1.5 s of driver-side Column construction + plan
+    # analysis per call (the 4.1.x literal-tree tax BASELINE.md
+    # documents); the same values through createDataFrame + a
+    # broadcast cross join build in milliseconds and execute
+    # identically (same tables, same left-to-right ADC fold)
+    spark = vectors.sparkSession
+    qtbl = F.broadcast(
+        spark.createDataFrame(
+            [
+                (
+                    int(qid),
+                    [[float(x) for x in row] for row in pq_adc_table(v, codebook)],
+                    [float(x) for x in _unit(v)],
+                )
+                for qid, v in query_rows
+            ],
+            "query_id long, _t array<array<double>>, _qhat array<double>",
+        )
     )
-    ex = base.select(id_col, "_codes", F.explode(qs).alias("_q"))
+    ex = base.select(id_col, "_codes").crossJoin(
+        qtbl.select("query_id", "_t")
+    )
     if candidates is not None:
         # NO broadcast hint: the candidate set scales with the corpus
         # (an IVF slice is |corpus|·n_probe/k_clusters rows per query)
@@ -347,29 +359,28 @@ def pq_adc_search_batch(
         )
         ex = ex.join(
             cand_pairs,
-            (F.col("_q.query_id") == F.col("_cq"))
+            (F.col("query_id") == F.col("_cq"))
             & (F.col(id_col) == F.col("_cid")),
         ).drop("_cq", "_cid")
     adc: Column | None = None
     for s in range(m):
         term = F.element_at(
-            F.element_at(F.col("_q.t"), s + 1),
+            F.element_at(F.col("_t"), s + 1),
             F.element_at(F.col("_codes"), s + 1) + 1,
         )
         adc = term if adc is None else adc + term
     w_c = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc(id_col))
     cand = (
-        ex.select(F.col("_q.query_id").alias("query_id"), F.col(id_col), adc.alias("_adc"))
+        ex.select("query_id", F.col(id_col), adc.alias("_adc"))
         .withColumn("_rn", F.row_number().over(w_c))
         .filter(F.col("_rn") <= n_candidates)
         .select("query_id", id_col)
     )
-    qmap = F.map_from_arrays(
-        F.lit([int(qid) for qid, _ in query_rows]),
-        F.lit([[float(x) for x in _unit(v)] for _, v in query_rows]),
+    joined = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(qtbl.select("query_id", "_qhat"), "query_id")
     )
-    joined = cand.join(vectors.select(id_col, vec_col), id_col)
-    qv_col = F.element_at(qmap, F.col("query_id"))
+    qv_col = F.col("_qhat")
     norm = l2_norm(F.col(vec_col))
     score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col(vec_col), qv_col) / norm
