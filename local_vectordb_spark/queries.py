@@ -2111,8 +2111,9 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 in either table). n_bits auto-scales with corpus size
     (graph_lsh_bits — fixed bits make the ball replication COSTLIER
     than the flat blocked build at 10×); the static oracle SQL is
-    generated at n_bits=4, which is what the auto knob picks for every
-    corpus under ~2k vectors, sf0.01's included."""
+    generated at n_bits=4, and the auto knob's bound is set so every
+    oracle-checked fixture (≤2000 vectors — sf0.001/0.01/0.1) stays
+    at exactly 4 bits (GRAPH_LSH_MAX_ROWS pins this)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.knn_graph_lsh(emb, k=5, n_tables=2)
 
@@ -3122,7 +3123,7 @@ def knn_pq_adc_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADC scan still reads 4 bytes/vector and the rescore still fetches
     300 full vectors; only on the 500-row fixture does 300 look like
     60% of the data. The trained-codebook twin below reaches higher
-    recall at depth 50 — this tier is the one that keeps the
+    recall at HALF this depth — this tier is the one that keeps the
     cross-engine oracle."""
     from local_vectordb_spark.operators import pq
 
@@ -3190,13 +3191,14 @@ def ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full FAISS-style IVF-PQ recipe with BOTH stages trained on
     the data: KMeans cluster pruning (seed=42, n_probe=8 of 16) over
     the build-once index × trained per-subspace PQ codebook (ADC
-    depth 50) × exact cosine rescore. Rows-only by design — both the
+    depth 150) × exact cosine rescore. Rows-only by design — both the
     cluster assignment and the codebook are data-dependent — with a
     recall invariant in tests/test_pq.py; the deterministic twins
     (`ivf_pq_search`, `ivf_pq_multiprobe`) carry the value oracles
-    for the identical plan machinery. This is the tier an actual
-    100 TB deployment runs: data-adaptive cells on both axes buy
-    recall at a fraction of the md5 tiers' probe/rescore budgets."""
+    for the identical plan machinery. ADC rescore depth 150, like the
+    flat trained tier. This is the tier an actual 100 TB deployment
+    runs: data-adaptive cells on both axes buy recall at a fraction
+    of the md5 tiers' probe/rescore budgets."""
     from local_vectordb_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3546,13 +3548,25 @@ def ann_recall_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh_md5_multi": lsh_md5_batch(4),
     }
     out = None
+    qids = qdf.select("query_id")
     for name, tier in tiers.items():
-        r = (
+        hits = (
             tier.select("query_id", "vec_id")
             .join(exact, ["query_id", "vec_id"])
             .groupBy("query_id")
-            .agg((F.count("*") / float(K)).alias("r"))
-            .select(F.lit(name).alias("method"), "r")
+            .agg(F.count("*").alias("_n"))
+        )
+        # LEFT join from the full query set: a query whose tier top-k
+        # shares nothing with the exact top-k must contribute r=0 to
+        # the mean (an inner join would silently drop it, inflating
+        # recall — and diverging from the oracle, whose per-query
+        # aggregate always emits a row)
+        r = (
+            qids.join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                (F.coalesce(F.col("_n"), F.lit(0)) / float(K)).alias("r"),
+            )
         )
         out = r if out is None else out.unionByName(r)
     return out.groupBy("method").agg(
@@ -3610,13 +3624,25 @@ def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     out = None
+    qids = qdf.select("query_id")
     for name, tier in tiers.items():
-        r = (
+        hits = (
             tier.select("query_id", "vec_id")
             .join(exact, ["query_id", "vec_id"])
             .groupBy("query_id")
-            .agg((F.count("*") / float(K)).alias("r"))
-            .select(F.lit(name).alias("method"), "r")
+            .agg(F.count("*").alias("_n"))
+        )
+        # LEFT join from the full query set: a query whose tier top-k
+        # shares nothing with the exact top-k must contribute r=0 to
+        # the mean (an inner join would silently drop it, inflating
+        # recall — and diverging from the oracle, whose per-query
+        # aggregate always emits a row)
+        r = (
+            qids.join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                (F.coalesce(F.col("_n"), F.lit(0)) / float(K)).alias("r"),
+            )
         )
         out = r if out is None else out.unionByName(r)
     return out.groupBy("method").agg(

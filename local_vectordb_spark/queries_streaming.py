@@ -175,24 +175,33 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_fingerprint",
     r"""
+    WITH n AS (
+      SELECT lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x != '')) AS tok
+      FROM documents
+    ),
+    g AS (SELECT lang, fp, min(tok) AS tok FROM n GROUP BY lang, fp)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
-                                    x -> x != ''))) AS BIGINT) AS total_tokens
-    FROM documents
-    GROUP BY lang
+           CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM g GROUP BY lang
     """,
 )
 def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup ON INGEST with a SEMANTIC key: the staged stream carries a
-    doctored near-copy of every 5th document (uppercased, whitespace
-    doubled — byte-different, so event-id dedup can't catch it);
-    dropDuplicatesWithinWatermark on the md5 fingerprint of the
-    NORMALIZED text collapses the feed back to one doc per content
-    family, and the per-language doc/token accounting hash-matches the
-    plain batch aggregate over the undoctored corpus (token counts are
+    doctored near-copy of every 5th document (whitespace doubled and
+    padded — byte-different, so event-id dedup can't catch it; the
+    doctoring is deliberately whitespace-only, since whitespace
+    collapse is charset-independent where case-folding is not);
+    dropDuplicatesWithinWatermark on (lang, md5 of the NORMALIZED
+    text) collapses the feed back to one doc per per-language content
+    family. The per-language doc/token accounting hash-matches the
+    batch DISTINCT-fingerprint aggregate over the corpus — robust to
+    natural normalized duplicates too, and token counts are
     normalization-invariant, so WHICH family member survives cannot
-    change the totals — the property that makes a streaming dedup
+    change the totals (the property that makes a streaming dedup
     value-checkable at all). This is the ingestion front-door of a
     100 TB corpus build: the exact-key form (stream_dedup_exact)
     catches replays, this form catches re-crawled/reformatted copies,
@@ -202,8 +211,11 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_vectordb_spark.functions import text as T
     from local_vectordb_spark.session import fixture_cache_dir
 
+    # subdir name carries the doctoring recipe version: the cache key
+    # fingerprints the SOURCE fixture, not this function's code, so a
+    # recipe change must rename the artifact to invalidate it
     doc_dir = os.path.join(
-        fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_doctored"
+        fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_doctored_ws1"
     )
     if not os.path.exists(os.path.join(doc_dir, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents").select(
@@ -218,7 +230,11 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         doctored = docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"),
             "lang",
-            F.regexp_replace(F.upper(F.col("text")), " ", "  ").alias("text"),
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col("text"), " ", "  "),
+                F.lit(" "),
+            ).alias("text"),
             "ts",  # same event time as the original: inside the horizon
         )
         docs.unionByName(doctored).repartition(8).write.mode(
@@ -234,7 +250,7 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = st.read_events_stream(spark, doc_dir, schema=schema)
     keyed = stream.withColumn("f", T.fingerprint(F.col("text")))
-    deduped = st.stream_dedup(keyed, keys=("f",))
+    deduped = st.stream_dedup(keyed, keys=("lang", "f"))
     out = st.run_available_now(
         deduped, "q_stream_dedup_fp", output_mode="append"
     )
@@ -409,5 +425,5 @@ def stream_then_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rebuilt index must surface the streamed content: query with a
     # streamed chunk's exact text — top hit is that chunk
     return db.search(
-        query=f"streamed update: {new_texts[7]}", index_type="ivf", k=10
+        query=f"streamed update: {new_texts[7]}", index_type="sign", k=10
     ).select("id", F.round("score", 6).alias("score"))

@@ -335,8 +335,11 @@ def test_graph_lsh_bits_scales_with_corpus():
     bound max_rows_per_bucket is respected (or the 16-bit cap hit)."""
     from local_vectordb_spark.operators.ann import graph_lsh_bits
 
+    from local_vectordb_spark.operators.ann import GRAPH_LSH_MAX_ROWS
+
     assert graph_lsh_bits(500) == 4
-    assert graph_lsh_bits(1638) == 4  # just under the 512-row bound
+    assert graph_lsh_bits(2000) == 4  # the sf0.1 fixture MUST stay on
+    # the oracle's 4 bits (a 512-row bound flipped exactly this size)
     b = graph_lsh_bits(20_000)
-    assert b > 4 and 20_000 * (b + 1) / (1 << b) <= 512
+    assert b > 4 and 20_000 * (b + 1) / (1 << b) <= GRAPH_LSH_MAX_ROWS
     assert graph_lsh_bits(10**9) == 16  # cap

@@ -292,12 +292,15 @@ def test_graph_lsh_bits_bound_holds(n):
     """For every corpus size the chosen n_bits keeps the expected
     (table, bucket) group under the row bound, or hits the 16-bit cap;
     and the knob is monotone (bigger corpora never get fewer bits)."""
-    from local_vectordb_spark.operators.ann import graph_lsh_bits
+    from local_vectordb_spark.operators.ann import (
+        GRAPH_LSH_MAX_ROWS,
+        graph_lsh_bits,
+    )
 
     b = graph_lsh_bits(n)
     assert 4 <= b <= 16
-    assert b == 16 or n * (b + 1) / (1 << b) <= 512
+    assert b == 16 or n * (b + 1) / (1 << b) <= GRAPH_LSH_MAX_ROWS
     # no smaller bit count would satisfy the bound
     if b > 4:
-        assert n * (b - 1 + 1) / (1 << (b - 1)) > 512
+        assert n * (b - 1 + 1) / (1 << (b - 1)) > GRAPH_LSH_MAX_ROWS
     assert graph_lsh_bits(2 * n) >= b
