@@ -1703,6 +1703,28 @@ def ivf_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_layout_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table hive-partitioned by its 4-bit axis-sign
+    bucket, written once per (process, fixture version) — the physical
+    layout behind every sign-pruned tier (single, multiprobe, and both
+    IVF×PQ compositions). Partition pruning on `bucket` happens at
+    planning time for any probe filter over the returned frame."""
+    import os
+
+    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.sources import partitioned as P
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        P.write_partitioned(
+            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
+            path,
+            ["bucket"],
+        )
+    return P.read_partitioned(spark, path)
+
+
 _SIGN_BUCKET_SQL = """CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END
              + CASE WHEN {v}[2] >= 0 THEN 4 ELSE 0 END
              + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END
@@ -1736,23 +1758,9 @@ def ivf_sign_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned at planning time, and the oracle reproduces the exact
     candidate set and top-k. This closes the gap where every pruned
     search was rows-only."""
-    import os
-
-    from local_vectordb_spark.sources import partitioned as P
-
-    from local_vectordb_spark.session import fixture_cache_dir
-
-    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        P.write_partitioned(
-            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
-            path,
-            ["bucket"],
-        )
     qv = _query_vecs(sf_dir)[0][1]
     probed = ivf.sign_probe(qv, n_bits=4)
-    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    cand = _sign_layout_for(spark, sf_dir).filter(F.col("bucket").isin(probed))
     return knn.knn_brute_force(cand, qv, k=K)
 
 
@@ -1790,23 +1798,9 @@ def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at much lower probe fractions, and at higher n_bits the
     probe count grows as C(n_bits,2) while bucket count grows as
     2^n_bits — the probed FRACTION shrinks with scale."""
-    import os
-
-    from local_vectordb_spark.sources import partitioned as P
-
-    from local_vectordb_spark.session import fixture_cache_dir
-
-    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        P.write_partitioned(
-            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
-            path,
-            ["bucket"],
-        )
     qv = _query_vecs(sf_dir)[0][1]
     probed = ivf.sign_probe(qv, n_bits=4, max_hamming=2)
-    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    cand = _sign_layout_for(spark, sf_dir).filter(F.col("bucket").isin(probed))
     return knn.knn_brute_force(cand, qv, k=K)
 
 
@@ -1933,34 +1927,76 @@ def lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_search(emb, _query_vecs(sf_dir)[0][1], k=K)
 
 
+def _md5_dot_sql(v: str, plane) -> str:
+    """Unrolled left-associative dot product of a SQL array expression
+    with one md5 hyperplane's literal coefficients — the fold order
+    every md5-LSH oracle's bit-exactness rests on."""
+    return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
+
+
+def _md5_bucket_sql(v: str, planes, n_bits: int = 4) -> str:
+    """MSB-first sign-bit bucket of `v` under `planes`, as SQL."""
+    bits = [
+        f"CASE WHEN ({_md5_dot_sql(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
+        for j, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _graph_lsh_ctes(dim: int = 64, n_bits: int = 4, n_tables: int = 2) -> str:
+    """The bk/pair_scores/g CTE block shared by the knn_graph_lsh and
+    graph_beam_search_lsh oracles: per-table buckets as md5-constant
+    expressions, candidate pairs = buckets within Hamming 2 in ANY
+    table (radius-1 balls intersect iff centers differ ≤2 bits), and
+    the per-src top-5 window over exact cosine scores."""
+    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
+
+    tables = [
+        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
+        for t in range(n_tables)
+    ]
+    b_cols = ", ".join(
+        f"{_md5_bucket_sql('ev', planes, n_bits)} AS b{t}"
+        for t, planes in enumerate(tables)
+    )
+    near = " OR ".join(
+        f"bit_count(xor(a.b{t}, b.b{t})) <= 2" for t in range(n_tables)
+    )
+    return f"""
+    bk AS (
+      SELECT vec_id, embedding, {b_cols}
+      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings)
+    ),
+    pair_scores AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+      FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ({near})
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+        FROM pair_scores
+      ) WHERE rn <= 5
+    )"""
+
+
 def _lsh_md5_oracle_sql(dim: int = 64, n_bits: int = 4) -> str:
     """Oracle for lsh_search_md5: the hyperplane coefficients are
     driver-computed md5 constants, so they embed as DOUBLE literals
     (repr round-trips exactly) and the bucket is a plain unrolled
-    left-associative sign-bit expression — the same fold order as the
-    Spark side, so buckets are bit-identical."""
+    left-associative sign-bit expression (_md5_bucket_sql) — the same
+    fold order as the Spark side, so buckets are bit-identical."""
     from local_vectordb_spark.operators.ann import md5_hyperplanes
 
     planes = md5_hyperplanes(dim, n_bits)
-
-    def dot(v: str, plane) -> str:
-        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
-
-    def bucket(v: str) -> str:
-        bits = [
-            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
-            for j, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(bits) + ")"
-
     flips = ", ".join(f"xor(qb.b, {1 << j})" for j in range(n_bits))
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    qb AS (SELECT {bucket("qv")} AS b FROM q),
+    qb AS (SELECT {_md5_bucket_sql("qv", planes, n_bits)} AS b FROM q),
     cand AS (
       SELECT e.vec_id, e.embedding
       FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
-      WHERE {bucket("e.ev")} IN (qb.b, {flips})
+      WHERE {_md5_bucket_sql("e.ev", planes, n_bits)} IN (qb.b, {flips})
     )
     SELECT c.vec_id,
            ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
@@ -1994,27 +2030,20 @@ def _lsh_md5_multi_oracle_sql(
     left-associative fold order as the Spark side throughout."""
     from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
 
-    def dot(v: str, plane) -> str:
-        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
-
-    def bucket(v: str, planes) -> str:
-        bits = [
-            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
-            for j, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(bits) + ")"
-
     tables = [
         md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
         for t in range(n_tables)
     ]
     qb_cols = ", ".join(
-        f"{bucket('qv', planes)} AS b{t}" for t, planes in enumerate(tables)
+        f"{_md5_bucket_sql('qv', planes, n_bits)} AS b{t}"
+        for t, planes in enumerate(tables)
     )
     preds = []
     for t, planes in enumerate(tables):
         flips = ", ".join(f"xor(qb.b{t}, {1 << j})" for j in range(n_bits))
-        preds.append(f"({bucket('e.ev', planes)} IN (qb.b{t}, {flips}))")
+        preds.append(
+            f"({_md5_bucket_sql('e.ev', planes, n_bits)} IN (qb.b{t}, {flips}))"
+        )
     where = "\n         OR ".join(preds)
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
@@ -2052,48 +2081,16 @@ def lsh_search_md5_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _graph_lsh_oracle_sql(
     dim: int = 64, n_bits: int = 4, n_tables: int = 2, k: int = 5
 ) -> str:
-    """Oracle for knn_graph_lsh. Radius-1 Hamming balls intersect iff
-    their centers differ by ≤2 bits, so the Spark build's candidate
-    pairs are exactly `bit_count(xor(bucket_t(a), bucket_t(b))) <= 2
-    for some table t` — a pure expression of the md5 buckets that
-    DuckDB evaluates over the all-pairs join (fine at oracle scale;
-    the point of the Spark side is NOT to do that)."""
-    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
-
-    def dot(v: str, plane) -> str:
-        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
-
-    def bucket(v: str, planes) -> str:
-        bits = [
-            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
-            for j, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(bits) + ")"
-
-    tables = [
-        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
-        for t in range(n_tables)
-    ]
-    b_cols = ", ".join(
-        f"{bucket('ev', planes)} AS b{t}" for t, planes in enumerate(tables)
-    )
-    near = " OR ".join(
-        f"bit_count(xor(a.b{t}, b.b{t})) <= 2" for t in range(n_tables)
-    )
+    """Oracle for knn_graph_lsh: the shared bucket-pair CTE block
+    (_graph_lsh_ctes) evaluated over the all-pairs join (fine at
+    oracle scale; the point of the Spark side is NOT to do that)."""
     return f"""
-    WITH bk AS (
-      SELECT vec_id, embedding, {b_cols}
-      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings)
-    ),
-    scored AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-      FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ({near})
+    WITH {_graph_lsh_ctes(dim, n_bits, n_tables)},
+    edges AS (
+      SELECT g.src, g.dst, p.score
+      FROM g JOIN pair_scores p ON g.src = p.src AND g.dst = p.dst
     )
-    SELECT src, dst, score FROM (
-      SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
-      FROM scored
-    ) WHERE rn <= {k}
+    SELECT src, dst, score FROM edges
     """
 
 
@@ -2222,47 +2219,11 @@ def _beam_lsh_oracle_sql(
 ) -> str:
     """Oracle for graph_beam_search_lsh: the beam chain over the
     LSH-candidate graph instead of the all-pairs graph — `g` comes
-    from the same bucket-within-Hamming-2 predicate as the
-    knn_graph_lsh oracle, `rel` and the unrolled traversal are
-    verbatim the exact-graph beam oracle's."""
-    from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
-
-    def dot(v: str, plane) -> str:
-        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
-
-    def bucket(v: str, planes) -> str:
-        bits = [
-            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (n_bits - 1 - j)} ELSE 0 END"
-            for j, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(bits) + ")"
-
-    tables = [
-        md5_hyperplanes(dim, n_bits, table_seed("lvdb-lsh-v1", t))
-        for t in range(n_tables)
-    ]
-    b_cols = ", ".join(
-        f"{bucket('ev', planes)} AS b{t}" for t, planes in enumerate(tables)
-    )
-    near = " OR ".join(
-        f"bit_count(xor(a.b{t}, b.b{t})) <= 2" for t in range(n_tables)
-    )
+    from the shared bucket-pair CTE block (_graph_lsh_ctes), `rel`
+    and the unrolled traversal are verbatim the exact-graph beam
+    oracle's."""
     return f"""
-    WITH bk AS (
-      SELECT vec_id, embedding, {b_cols}
-      FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings)
-    ),
-    pair_scores AS (
-      SELECT a.vec_id AS src, b.vec_id AS dst,
-             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
-      FROM bk a JOIN bk b ON a.vec_id != b.vec_id AND ({near})
-    ),
-    g AS (
-      SELECT src, dst FROM (
-        SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
-        FROM pair_scores
-      ) WHERE rn <= 5
-    ),
+    WITH {_graph_lsh_ctes(dim, n_bits, n_tables)},
     rel AS (
       SELECT e.vec_id,
              ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
@@ -3092,24 +3053,11 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescore). Scan volume at 100 TB: (5/16 of partitions) × (4 bytes
     per vector for the ADC tier) ≈ 1/200th of brute force, with
     reported scores still exact for every returned id."""
-    import os
-
     from local_vectordb_spark.operators import pq
-    from local_vectordb_spark.sources import partitioned as P
 
-    from local_vectordb_spark.session import fixture_cache_dir
-
-    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        P.write_partitioned(
-            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
-            path,
-            ["bucket"],
-        )
     qv = _query_vecs(sf_dir)[0][1]
     probed = ivf.sign_probe(qv, n_bits=4)
-    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    cand = _sign_layout_for(spark, sf_dir).filter(F.col("bucket").isin(probed))
     return pq.pq_adc_search(cand, qv, k=K)
 
 
@@ -3240,24 +3188,11 @@ def ivf_pq_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both sides stay oracle-exact. The aggressive-pruning twin
     (ivf_pq_search: Hamming-1 × depth 50) remains the
     scan-volume-optimal tier; this is the quality-optimal one."""
-    import os
-
     from local_vectordb_spark.operators import pq
-    from local_vectordb_spark.sources import partitioned as P
 
-    from local_vectordb_spark.session import fixture_cache_dir
-
-    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        P.write_partitioned(
-            emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
-            path,
-            ["bucket"],
-        )
     qv = _query_vecs(sf_dir)[0][1]
     probed = ivf.sign_probe(qv, n_bits=4, max_hamming=2)
-    cand = P.read_partitioned(spark, path).filter(F.col("bucket").isin(probed))
+    cand = _sign_layout_for(spark, sf_dir).filter(F.col("bucket").isin(probed))
     return pq.pq_adc_search(cand, qv, k=K, n_candidates=300)
 
 
@@ -3371,25 +3306,15 @@ def _recall_multi_oracle_sql(n_queries: int = 8) -> str:
 
     planes = md5_hyperplanes(64, 4)
 
-    def dot(v: str, plane) -> str:
-        return " + ".join(f"{v}[{i + 1}]*({c!r})" for i, c in enumerate(plane))
-
-    def bucket(v: str) -> str:
-        bits = [
-            f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (4 - 1 - j)} ELSE 0 END"
-            for j, p in enumerate(planes)
-        ]
-        return "(" + " + ".join(bits) + ")"
-
     def lsh_tier(qid: int) -> str:
         flips = ", ".join(f"xor(qb.b, {1 << j})" for j in range(4))
         return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
-        qb AS (SELECT {bucket("qv")} AS b FROM q),
+        qb AS (SELECT {_md5_bucket_sql("qv", planes)} AS b FROM q),
         cand AS (
           SELECT e.vec_id, e.embedding
           FROM (SELECT vec_id, embedding, embedding::DOUBLE[] AS ev FROM embeddings) e, qb
-          WHERE {bucket("e.ev")} IN (qb.b, {flips})
+          WHERE {_md5_bucket_sql("e.ev", planes)} IN (qb.b, {flips})
         )
         SELECT c.vec_id,
                ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
@@ -3405,21 +3330,16 @@ def _recall_multi_oracle_sql(n_queries: int = 8) -> str:
             md5_hyperplanes(64, 4, table_seed("lvdb-lsh-v1", t))
             for t in range(n_tables)
         ]
-
-        def bucket_t(v: str, planes) -> str:
-            bits = [
-                f"CASE WHEN ({dot(v, p)}) >= 0 THEN {1 << (4 - 1 - j)} ELSE 0 END"
-                for j, p in enumerate(planes)
-            ]
-            return "(" + " + ".join(bits) + ")"
-
         qb_cols = ", ".join(
-            f"{bucket_t('qv', planes)} AS b{t}" for t, planes in enumerate(tabs)
+            f"{_md5_bucket_sql('qv', planes)} AS b{t}"
+            for t, planes in enumerate(tabs)
         )
         preds = []
         for t, planes in enumerate(tabs):
             flips = ", ".join(f"xor(qb.b{t}, {1 << j})" for j in range(4))
-            preds.append(f"({bucket_t('e.ev', planes)} IN (qb.b{t}, {flips}))")
+            preds.append(
+                f"({_md5_bucket_sql('e.ev', planes)} IN (qb.b{t}, {flips}))"
+            )
         where = " OR ".join(preds)
         return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
