@@ -1852,6 +1852,49 @@ def knn_sign_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.sign_search_batch_table(emb, qdf, k=K)
 
 
+@register("knn_sign_batch_pruned", ORACLE_SQL["knn_sign_batch"])
+def knn_sign_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_sign_batch over the PHYSICAL emb_by_sign layout: the
+    (query, bucket) probe rows broadcast-join the hive-partitioned
+    corpus on its partition column, which triggers DYNAMIC PARTITION
+    PRUNING — the scan's partition list is narrowed at RUNTIME to the
+    union of all queries' probed buckets (a planning-time filter
+    can't know them; they come from the query table). The 100 TB
+    meaning: a batch of queries reads only the directories any of
+    them probes, with no driver-side probe collection. Same
+    candidates and scores as the logical form, so it shares
+    knn_sign_batch's oracle verbatim; the DPP subquery is asserted in
+    tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import cosine_similarity
+    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+    layout = _sign_layout_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qb = ivf.sign_bucket(F.col("qv"), 4)
+    probes = qdf.select(
+        "query_id", "qv", F.explode(ivf.sign_ball(qb, 4, 1)).alias("bucket")
+    )
+    scored = layout.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("qv")),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= K)
+        .drop("_rn")
+    )
+
+
 @register(
     "knn_graph",
     """

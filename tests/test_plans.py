@@ -397,3 +397,15 @@ def test_graph_lsh_bounded_shuffles(spark, sf_dir):
 
     n_shuffles = len(re.findall(r"Exchange \(\d+\)", plan))
     assert n_shuffles <= 4, f"plan has {n_shuffles} shuffles"
+
+
+def test_sign_batch_pruned_uses_dynamic_partition_pruning(spark, sf_dir):
+    """The batch probe set comes from a query TABLE, so no static
+    filter can prune the partitioned corpus — the plan must instead
+    carry a dynamic-partition-pruning subquery on the bucket column,
+    narrowing the scan to the union of probed directories at runtime."""
+    from local_vectordb_spark import queries as q
+
+    df = q.SPARK_QUERIES["knn_sign_batch_pruned"](spark, sf_dir)
+    plan = plans.plan_string(df).lower()
+    assert "dynamicpruning" in plan
