@@ -1058,7 +1058,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
     )
     SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
-           ROUND(cost, 2) AS supply_cost
+           floor(cost * 100 + 0.5) / 100 AS supply_cost
     FROM cand WHERE cost = min_cost
     """,
 )
@@ -1095,7 +1095,14 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "n_name",
         "p_partkey",
-        F.round("cost", 2).alias("supply_cost"),
+        # half-up on the BINARY double value (floor(x·100+0.5)) on both
+        # engines: native round() diverges cross-engine exactly at
+        # x.xx5 boundaries (Spark rounds the shortest decimal repr,
+        # DuckDB the binary value) — a price/quantity ratio landed on
+        # 972.695 at sf0.1 and split the two
+        (F.floor(F.col("cost") * 100 + F.lit(0.5)) / 100.0).alias(
+            "supply_cost"
+        ),
     )
 
 
