@@ -409,3 +409,22 @@ def test_sign_batch_pruned_uses_dynamic_partition_pruning(spark, sf_dir):
     df = q.SPARK_QUERIES["knn_sign_batch_pruned"](spark, sf_dir)
     plan = plans.plan_string(df).lower()
     assert "dynamicpruning" in plan
+
+
+def test_sign_batch_pruned_equals_logical_form(spark, sf_dir):
+    """The dynamically-pruned physical form must return row-for-row
+    what the logical bucket-join returns — layout changes nothing
+    about results (the shared oracle proves both against DuckDB; this
+    pins the Spark-side identity directly)."""
+    from local_vectordb_spark import queries as q
+
+    a = sorted(
+        map(tuple, q.SPARK_QUERIES["knn_sign_batch"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            q.SPARK_QUERIES["knn_sign_batch_pruned"](spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
