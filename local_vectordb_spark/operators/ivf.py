@@ -231,6 +231,7 @@ def sign_search_batch_table(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Bulk sign-bucket search with the query set as a DATAFRAME —
     the deterministic tier's batch form, nothing through the driver:
@@ -239,9 +240,14 @@ def sign_search_batch_table(
     pairs that broadcast-join the bucketed corpus. A candidate's
     bucket matches exactly one probe row per query, so no dedup is
     needed; scoring is the JVM cosine and the per-query top-k one
-    window. Against a corpus physically partitioned by sign bucket
-    (the emb_by_sign layout) the same join drives per-query partition
-    pruning. Output (query_id, id, score) like every batch surface.
+    window. Output (query_id, id, score) like every batch surface.
+
+    Pass ``bucket_col`` naming an EXISTING corpus column (e.g. the
+    `bucket` partition column of the emb_by_sign physical layout) to
+    join on the stored value instead of recomputing the expression —
+    against a hive-partitioned corpus that join triggers DYNAMIC
+    partition pruning, narrowing the scan to the union of all
+    queries' probed directories at runtime.
     """
     from pyspark.sql import Window
 
@@ -253,9 +259,14 @@ def sign_search_batch_table(
     probes = queries.select(
         query_id_col, query_vec_col, F.explode(ball).alias("_bkt")
     )
-    corpus = vectors.select(
-        id_col, vec_col, sign_bucket(F.col(vec_col), n_bits).alias("_bkt")
-    )
+    if bucket_col is not None:
+        corpus = vectors.select(
+            id_col, vec_col, F.col(bucket_col).alias("_bkt")
+        )
+    else:
+        corpus = vectors.select(
+            id_col, vec_col, sign_bucket(F.col(vec_col), n_bits).alias("_bkt")
+        )
     scored = corpus.join(F.broadcast(probes), "_bkt").select(
         query_id_col,
         id_col,

@@ -285,18 +285,19 @@ def pq_adc_search_batch(
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Batch PQ-ADC: one codes scan serves EVERY query.  The corpus is
-    encoded once (query-independent), each query contributes a
-    driver-computed ADC table entering the plan as one nested literal,
-    and scoring a (row, query) pair is m lookups + m−1 adds.  Plan:
-    encode scan → explode over the query structs → per-query top-C
-    window (the only shuffle, |queries|·|corpus| score rows in, C rows
-    per query out) → rescore join against the full vectors for just
-    the candidate rows → per-query top-k.  Output (query_id, id,
-    score) matches knn_batch; scores are EXACT cosines.
+    encoded once (query-independent); the driver-computed per-query
+    ADC tables ship as a BROADCAST DataFrame (m·k_codes doubles per
+    query ≈ 1 KB), and scoring a (row, query) pair is m lookups +
+    m−1 adds.  Plan: encode scan → broadcast cross join with the
+    query table → per-query top-C window (the only shuffle,
+    |queries|·|corpus| score rows in, C rows per query out) → rescore
+    join against the full vectors for just the candidate rows →
+    per-query top-k.  Output (query_id, id, score) matches knn_batch;
+    scores are EXACT cosines.
 
-    Bounded by the literal ADC tables (m·k_codes doubles per query ≈
-    1 KB) — fine for driver-batch cardinalities; unbounded query sets
-    should route to cosine/ivf batch paths instead.
+    Bounded by the broadcast query table — fine for driver-batch
+    cardinalities; unbounded query sets should route to cosine/ivf
+    batch paths instead.
 
     Pass ``codes`` — a (id_col, codes ARRAY<INT>) DataFrame
     materialized once with `pq_encode_batch` — to run the DEPLOYMENT
@@ -352,18 +353,22 @@ def pq_adc_search_batch(
         qtbl.select("query_id", "_t")
     )
     if candidates is not None:
-        # NO broadcast hint: the candidate set scales with the corpus
-        # (an IVF slice is |corpus|·n_probe/k_clusters rows per query)
-        # — let AQE pick the strategy from the measured size
+        # LEFT SEMI join: yields each ADC row at most once even if the
+        # caller's pair set contains duplicates (an inner join would
+        # duplicate the row and let one id occupy two top-k slots, and
+        # an explicit dropDuplicates would add a whole extra shuffle).
+        # NO broadcast hint either: the candidate set scales with the
+        # corpus (an IVF slice is |corpus|·n_probe/k_clusters rows per
+        # query) — let AQE pick the strategy from the measured size.
         cand_pairs = candidates.select(
             F.col("query_id").alias("_cq"), F.col(id_col).alias("_cid")
-        ).dropDuplicates(["_cq", "_cid"])  # a duplicated pair would
-        # duplicate the ADC row and let one id occupy two top-k slots
+        )
         ex = ex.join(
             cand_pairs,
             (F.col("query_id") == F.col("_cq"))
             & (F.col(id_col) == F.col("_cid")),
-        ).drop("_cq", "_cid")
+            "left_semi",
+        )
     adc: Column | None = None
     for s in range(m):
         term = F.element_at(

@@ -1865,34 +1865,15 @@ def knn_sign_batch_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates and scores as the logical form, so it shares
     knn_sign_batch's oracle verbatim; the DPP subquery is asserted in
     tests/test_plans.py."""
-    from pyspark.sql import Window
-
-    from local_vectordb_spark.functions.vector import cosine_similarity
-    from local_vectordb_spark.operators.knn import SCORE_DECIMALS
-
     layout = _sign_layout_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    qb = ivf.sign_bucket(F.col("qv"), 4)
-    probes = qdf.select(
-        "query_id", "qv", F.explode(ivf.sign_ball(qb, 4, 1)).alias("bucket")
-    )
-    scored = layout.join(F.broadcast(probes), "bucket").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            cosine_similarity(F.col("embedding"), F.col("qv")),
-            SCORE_DECIMALS,
-        ).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= K)
-        .drop("_rn")
-    )
+    # bucket_col="bucket": join the STORED partition column (the
+    # operator would otherwise recompute the bucket expression, which
+    # defeats dynamic partition pruning)
+    return ivf.sign_search_batch_table(layout, qdf, k=K, bucket_col="bucket")
 
 
 @register(
@@ -1986,12 +1967,14 @@ def _md5_bucket_sql(v: str, planes, n_bits: int = 4) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def _graph_lsh_ctes(dim: int = 64, n_bits: int = 4, n_tables: int = 2) -> str:
+def _graph_lsh_ctes(
+    dim: int = 64, n_bits: int = 4, n_tables: int = 2, k: int = 5
+) -> str:
     """The bk/pair_scores/g CTE block shared by the knn_graph_lsh and
     graph_beam_search_lsh oracles: per-table buckets as md5-constant
     expressions, candidate pairs = buckets within Hamming 2 in ANY
     table (radius-1 balls intersect iff centers differ ≤2 bits), and
-    the per-src top-5 window over exact cosine scores."""
+    the per-src top-k window over exact cosine scores."""
     from local_vectordb_spark.operators.ann import md5_hyperplanes, table_seed
 
     tables = [
@@ -2019,7 +2002,7 @@ def _graph_lsh_ctes(dim: int = 64, n_bits: int = 4, n_tables: int = 2) -> str:
       SELECT src, dst FROM (
         SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
         FROM pair_scores
-      ) WHERE rn <= 5
+      ) WHERE rn <= {k}
     )"""
 
 
@@ -2128,7 +2111,7 @@ def _graph_lsh_oracle_sql(
     (_graph_lsh_ctes) evaluated over the all-pairs join (fine at
     oracle scale; the point of the Spark side is NOT to do that)."""
     return f"""
-    WITH {_graph_lsh_ctes(dim, n_bits, n_tables)},
+    WITH {_graph_lsh_ctes(dim, n_bits, n_tables, k)},
     edges AS (
       SELECT g.src, g.dst, p.score
       FROM g JOIN pair_scores p ON g.src = p.src AND g.dst = p.dst

@@ -250,6 +250,12 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = st.read_events_stream(spark, doc_dir, schema=schema)
     keyed = stream.withColumn("f", T.fingerprint(F.col("text")))
+    # cross-micro-batch safety: dropDuplicatesWithinWatermark state
+    # spans batches for keys within the horizon, and the synthetic
+    # event times above span at most 59 minutes — strictly inside the
+    # 2-hour default horizon — so the batch-count/trigger-size pairing
+    # can change freely without ever letting a duplicate's state
+    # expire between its two arrivals
     deduped = st.stream_dedup(keyed, keys=("lang", "f"))
     out = st.run_available_now(
         deduped, "q_stream_dedup_fp", output_mode="append"
