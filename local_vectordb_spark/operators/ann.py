@@ -190,6 +190,52 @@ def knn_graph_blocked(
     )
 
 
+# regime bounds for knn_graph_auto, mirroring the builders' own
+# docstrings: below ~1e4 rows the corpus is driver-trivial and the
+# broadcast BLAS build's collect+matmul beats any shuffle; the blocked
+# build's exact O(n²) flops stay payable to ~1e5 (at 1e5×64d that is
+# 6.4e11 multiply-adds spread over blocks — seconds at memory
+# bandwidth); past that only the LSH-bucketed sub-all-pairs build
+# scales (its flops shrink quadratically in n_bits via graph_lsh_bits).
+GRAPH_AUTO_BROADCAST_MAX = 10_000
+GRAPH_AUTO_BLOCKED_MAX = 100_000
+
+
+def knn_graph_auto(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
+    broadcast_max: int = GRAPH_AUTO_BROADCAST_MAX,
+    blocked_max: int = GRAPH_AUTO_BLOCKED_MAX,
+) -> DataFrame:
+    """X6 with the physical strategy chosen by corpus size — the graph
+    analogue of the API layer's `max_driver_queries` batch-search
+    dispatch (r7 verdict #7): broadcast BLAS below ``broadcast_max``
+    rows, block-matrix exact build to ``blocked_max``, LSH-bucketed
+    sub-all-pairs beyond. The first two regimes emit the identical
+    exact graph (shared oracle); the third trades uniform-random edge
+    recall for the loss of the quadratic term — the only viable trade
+    once n² flops stop being payable. ``n_rows`` callers that already
+    know the count skip the sizing scan; n_blocks in the middle regime
+    scales with n so one block's matrix stays task-sized (the blocked
+    builder's own guidance)."""
+    if n_rows is None:
+        n_rows = vectors.count()
+    if n_rows <= broadcast_max:
+        return knn_graph(vectors, k=k, id_col=id_col, vec_col=vec_col)
+    if n_rows <= blocked_max:
+        n_blocks = max(8, -(-n_rows // 12_500))
+        return knn_graph_blocked(
+            vectors, k=k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col
+        )
+    return knn_graph_lsh(
+        vectors, k=k, id_col=id_col, vec_col=vec_col, n_rows=n_rows, dim=dim
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: Sequence[int],
@@ -638,6 +684,8 @@ def knn_graph_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = LSH_MD5_SEED,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """X6 beyond the all-pairs regime: the kNN graph restricted to
     md5-LSH candidate pairs — the per-bucket build the blocked
@@ -677,12 +725,18 @@ def knn_graph_lsh(
         ]
     )
 
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
-        return vectors.sparkSession.createDataFrame([], out_schema)
-    dim = int(dim_row[0])
+    # ``n_rows``/``dim`` hints (r7 verdict #8): callers that already
+    # know the corpus size and vector width (the registry does — it
+    # counted the table to pick a strategy, and fixture dims are
+    # schema-fixed) skip BOTH warm-up corpus actions; at 100 TB the
+    # count() fallback is a full scan a table statistic makes free.
+    if dim is None:
+        dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None:
+            return vectors.sparkSession.createDataFrame([], out_schema)
+        dim = int(dim_row[0])
     if n_bits is None:
-        n_bits = graph_lsh_bits(vectors.count())
+        n_bits = graph_lsh_bits(n_rows if n_rows is not None else vectors.count())
 
     replicated = None
     for t in range(n_tables):

@@ -282,6 +282,7 @@ def pq_adc_search_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    codes_col: str = "codes",
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Batch PQ-ADC: one codes scan serves EVERY query.  The corpus is
@@ -299,7 +300,7 @@ def pq_adc_search_batch(
     cardinalities; unbounded query sets should route to cosine/ivf
     batch paths instead.
 
-    Pass ``codes`` — a (id_col, codes ARRAY<INT>) DataFrame
+    Pass ``codes`` — a (id_col, codes_col ARRAY<INT>) DataFrame
     materialized once with `pq_encode_batch` — to run the DEPLOYMENT
     shape: the ADC scan reads only the codes table (4 bytes/vector),
     and `vectors` is touched solely for the top-C rescore rows.
@@ -322,7 +323,7 @@ def pq_adc_search_batch(
         codebook = pq_codebook(dim=len(first_vec))
     m = len(codebook)
     if codes is not None:
-        base = codes.select(F.col(id_col), F.col("codes").alias("_codes"))
+        base = codes.select(F.col(id_col), F.col(codes_col).alias("_codes"))
     else:
         enc = pq_encode_batch(codebook)
         base = vectors.select(

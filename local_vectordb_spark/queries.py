@@ -48,6 +48,16 @@ def _query_vecs(sf_dir: str, max_vec_id: int = 1) -> list[tuple[int, list[float]
     ]
 
 
+def _parquet_rows(sf_dir: str, table: str) -> int:
+    """Exact row count from the parquet FOOTER — a metadata read, no
+    data scan and no Spark job. This is the `n_rows` hint the
+    LSH-graph builders take in place of a per-call `df.count()` (r7
+    verdict #8); at 100 TB the equivalent is a catalog table statistic."""
+    import pyarrow.parquet as pa_pq
+
+    return pa_pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 # --------------------------------------------------------------------------
 # Q1+Q2+Q3 — brute-force cosine top-k (flat index search)
 # --------------------------------------------------------------------------
@@ -1676,11 +1686,12 @@ def _ivf_physical_for(spark: SparkSession, sf_dir: str):
     key = ("phys", sf_dir)
     if key not in _IVF_CACHE:
         centroids, assignments = _ivf_index_for(spark, sf_dir)
-        from local_vectordb_spark.session import fixture_cache_dir
+        from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
         path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "ivf_assign")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            P.write_partitioned(assignments, path, ["cluster_id"])
+        materialize_once(
+            path, lambda p: P.write_partitioned(assignments, p, ["cluster_id"])
+        )
         _IVF_CACHE[key] = (centroids, path)
     return _IVF_CACHE[key]
 
@@ -1711,18 +1722,20 @@ def _sign_layout_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning time for any probe filter over the returned frame."""
     import os
 
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
     from local_vectordb_spark.sources import partitioned as P
 
     path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "emb_by_sign")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _write(p: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         P.write_partitioned(
             emb.withColumn("bucket", ivf.sign_bucket("embedding", n_bits=4)),
-            path,
+            p,
             ["bucket"],
         )
-    return P.read_partitioned(spark, path)
+
+    return P.read_partitioned(spark, materialize_once(path, _write))
 
 
 _SIGN_BUCKET_SQL = """CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END
@@ -1929,6 +1942,19 @@ def knn_graph_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot scale past one machine's memory. Shares knn_graph's
     oracle; the blocked form above is the default."""
     return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register("knn_graph_auto", ORACLE_SQL["knn_graph"])
+def knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 with size-dispatched physical strategy (r7 verdict #7):
+    `ann.knn_graph_auto` picks broadcast below 10⁴ rows, blocked to
+    10⁵, LSH-bucketed beyond — the graph twin of VectorDB.search_batch's
+    `max_driver_queries` dispatch. Every shipped fixture lands in the
+    broadcast regime, where the output is the exact graph, so this
+    entry shares knn_graph's oracle verbatim; the per-regime dispatch
+    itself is plan-gated in tests/test_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.knn_graph_auto(emb, k=5, n_rows=_parquet_rows(sf_dir, "embeddings"))
 
 
 @register("lsh_bucket_pairs")
@@ -2138,7 +2164,9 @@ def knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked fixture (≤2000 vectors — sf0.001/0.01/0.1) stays
     at exactly 4 bits (GRAPH_LSH_MAX_ROWS pins this)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann.knn_graph_lsh(emb, k=5, n_tables=2)
+    return ann.knn_graph_lsh(
+        emb, k=5, n_tables=2, n_rows=_parquet_rows(sf_dir, "embeddings")
+    )
 
 
 @register(
@@ -2291,7 +2319,9 @@ def graph_lsh_edge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    lsh = ann.knn_graph_lsh(emb, k=5, n_tables=2).select("src", "dst")
+    lsh = ann.knn_graph_lsh(
+        emb, k=5, n_tables=2, n_rows=_parquet_rows(sf_dir, "embeddings")
+    ).select("src", "dst")
     n_exact = exact.count()
     return lsh.join(exact, ["src", "dst"]).agg(
         F.round(F.count("*") / float(n_exact), 6).alias("edge_recall")
@@ -2311,7 +2341,9 @@ def graph_beam_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure md5-bucket expression, so the whole build+traverse pipeline
     unrolls into one oracle query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = ann.knn_graph_lsh(emb, k=5, n_tables=2)
+    edges = ann.knn_graph_lsh(
+        emb, k=5, n_tables=2, n_rows=_parquet_rows(sf_dir, "embeddings")
+    )
     scored = knn.score_all(emb, _query_vecs(sf_dir)[0][1])
     return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
 
@@ -3122,12 +3154,21 @@ def _trained_book_for(sf_dir: str, m: int = 8, k_codes: int = 16):
 
         from local_vectordb_spark.operators import pq
 
+        # vec_ids are dense from 0, so "first 4096 by vec_id" is exactly
+        # the predicate `vec_id < 4096` — pushed INTO the pyarrow scan
+        # like _query_vecs above, so the driver materializes at most
+        # 4096 rows regardless of corpus size (r7 verdict #2: the
+        # unfiltered to_table() here was the one unbounded driver-side
+        # materialization left in a 100 TB-flagship tier).
         tbl = (
             ds.dataset(f"{sf_dir}/embeddings.parquet")
-            .to_table(columns=["vec_id", "embedding"])
+            .to_table(
+                filter=ds.field("vec_id") < 4096,
+                columns=["vec_id", "embedding"],
+            )
             .sort_by("vec_id")
         )
-        sample = tbl["embedding"].to_pylist()[:4096]
+        sample = tbl["embedding"].to_pylist()
         _TRAINED_BOOK_CACHE[key] = pq.pq_codebook_trained(
             sample, m=m, k_codes=k_codes
         )
@@ -3594,6 +3635,8 @@ def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("method").agg(
         F.round(F.avg("r"), 6).alias("mean_recall_at_k")
     )
+
+
 def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, codes) table materialized once per (corpus, fixture
     version) with the md5 codebook — the stored-codes deployment
@@ -3601,16 +3644,18 @@ def _pq_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from local_vectordb_spark.operators import pq
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
     path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "pq_codes")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _write(p: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         enc = pq.pq_encode_batch(pq.pq_codebook())  # bit-identical to Column form
         emb.select(
             "vec_id", enc(F.col("embedding")).alias("codes")
-        ).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        ).write.mode("overwrite").parquet(p)
+
+    return spark.read.parquet(materialize_once(path, _write))
 
 
 @register("knn_pq_batch_stored", ORACLE_SQL["knn_pq_batch"])

@@ -374,13 +374,15 @@ def events_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from local_vectordb_spark.sources import partitioned as P
 
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
     out = os.path.join(fixture_cache_dir(sf_dir, "events"), "events_by_type")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        P.write_partitioned(
-            load_table(spark, sf_dir, "events"), out, ["event_type"]
-        )
+    materialize_once(
+        out,
+        lambda p: P.write_partitioned(
+            load_table(spark, sf_dir, "events"), p, ["event_type"]
+        ),
+    )
     ev = P.read_partitioned(spark, out).filter(F.col("event_type") == "click")
     return (
         ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))

@@ -22,15 +22,16 @@ from local_vectordb_spark.session import load_table
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Events table staged as a multi-file parquet dir (micro-second
     timestamps) keyed by sf_dir, built once per session."""
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
     out = os.path.join(fixture_cache_dir(sf_dir, "events", "lvdb_stream"), "events")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").repartition(8).write.mode(
-            "overwrite"
-        ).parquet(out)
-    return out
+    return materialize_once(
+        out,
+        lambda p: load_table(spark, sf_dir, "events")
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
 
 
 @register(
@@ -153,16 +154,19 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon and is evicted as the watermark advances — the bounded-state
     ingestion dedup you'd run in front of a 100 TB corpus build."""
     src = _staged_events(spark, sf_dir)
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
     dup_dir = os.path.join(
         fixture_cache_dir(sf_dir, "events", "lvdb_stream"), "events_dup"
     )
-    if not os.path.exists(os.path.join(dup_dir, "_SUCCESS")):
+
+    def _write(p: str) -> None:
         ev = spark.read.parquet(src)
         ev.unionByName(ev.filter(F.col("event_id") % 7 == 0)).repartition(
             8
-        ).write.mode("overwrite").parquet(dup_dir)
+        ).write.mode("overwrite").parquet(p)
+
+    materialize_once(dup_dir, _write)
     stream = st.read_events_stream(spark, dup_dir)
     deduped = st.stream_dedup(stream, keys=("event_id",))
     out = st.run_available_now(deduped, "q_stream_dedup", output_mode="append")
@@ -209,7 +213,7 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as SQLT
 
     from local_vectordb_spark.functions import text as T
-    from local_vectordb_spark.session import fixture_cache_dir
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
     # subdir name carries the doctoring recipe version: the cache key
     # fingerprints the SOURCE fixture, not this function's code, so a
@@ -217,7 +221,7 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_dir = os.path.join(
         fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_doctored_ws1"
     )
-    if not os.path.exists(os.path.join(doc_dir, "_SUCCESS")):
+    def _write(p: str) -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id",
             "lang",
@@ -239,7 +243,9 @@ def stream_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         docs.unionByName(doctored).repartition(8).write.mode(
             "overwrite"
-        ).parquet(doc_dir)
+        ).parquet(p)
+
+    materialize_once(doc_dir, _write)
     schema = SQLT.StructType(
         [
             SQLT.StructField("doc_id", SQLT.LongType()),

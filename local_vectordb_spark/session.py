@@ -61,20 +61,50 @@ def fixture_cache_dir(sf_dir: str, table: str, prefix: str = "lvdb_part") -> str
     """Session-spanning tempdir for caches DERIVED from a fixture table
     (partitioned layouts, stored PQ codes, staged stream inputs).
 
-    The directory name folds in the source parquet's (mtime, size)
+    The directory name folds in the source parquet's (mtime_ns, size)
     fingerprint, so regenerating a fixture at the same path
     invalidates every derived cache automatically — without this,
     stale codes/partitions silently serve wrong candidates after a
     fixture refresh (the `_SUCCESS` check only proves a PREVIOUS write
-    completed, not that it matches the current source)."""
+    completed, not that it matches the current source).  mtime is
+    taken at nanosecond resolution: with 1-second granularity a
+    fixture regenerated in-place within the same second at the same
+    byte size would silently serve stale caches."""
     import tempfile
 
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     tag = sf_dir.strip("/").replace("/", "_")
     return os.path.join(
         tempfile.gettempdir(),
-        f"{prefix}_{tag}_{table}_{int(st.st_mtime)}_{st.st_size}",
+        f"{prefix}_{tag}_{table}_{st.st_mtime_ns}_{st.st_size}",
     )
+
+
+def materialize_once(path: str, write_fn) -> str:
+    """Build a derived-cache directory exactly once, safely under
+    concurrent processes: ``write_fn(tmp_path)`` targets a
+    process-unique sibling directory which is atomically renamed into
+    place.  If a concurrent builder wins the rename race, ours fails
+    (non-empty destination), we discard our copy and serve theirs —
+    the bare check-then-write pattern this replaces could interleave
+    two Spark writers into one directory.  A destination left behind
+    by a crashed direct write (no ``_SUCCESS``) is cleared first so
+    the cache can never be served half-built."""
+    import shutil
+
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    if os.path.exists(path) and not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -343,3 +343,60 @@ def test_graph_lsh_bits_scales_with_corpus():
     b = graph_lsh_bits(20_000)
     assert b > 4 and 20_000 * (b + 1) / (1 << b) <= GRAPH_LSH_MAX_ROWS
     assert graph_lsh_bits(10**9) == 16  # cap
+
+
+def test_knn_graph_auto_dispatch_per_regime(monkeypatch, spark, sf_dir):
+    """The size dispatcher routes each regime to the right builder
+    (r7 verdict #7) WITHOUT a sizing scan when n_rows is hinted —
+    builders are stubbed so only the dispatch decision is under test."""
+    calls = []
+
+    def fake(name):
+        def _f(*a, **kw):
+            calls.append((name, kw))
+            return "df"
+
+        return _f
+
+    monkeypatch.setattr(ann, "knn_graph", fake("broadcast"))
+    monkeypatch.setattr(ann, "knn_graph_blocked", fake("blocked"))
+    monkeypatch.setattr(ann, "knn_graph_lsh", fake("lsh"))
+
+    ann.knn_graph_auto(None, k=5, n_rows=5_000)
+    ann.knn_graph_auto(None, k=5, n_rows=50_000)
+    ann.knn_graph_auto(None, k=5, n_rows=500_000)
+    names = [n for n, _ in calls]
+    assert names == ["broadcast", "blocked", "lsh"]
+    # blocked regime scales n_blocks with n (floored at the default 8;
+    # 50k/12.5k rounds to 4 → 8, and a 100k corpus gets exactly 8)
+    assert calls[1][1]["n_blocks"] == 8
+    # lsh regime forwards the hint so the builder skips its count()
+    assert calls[2][1]["n_rows"] == 500_000
+
+
+def test_knn_graph_auto_exact_in_broadcast_regime(spark, sf_dir):
+    """Every shipped fixture lands in the broadcast regime, where auto
+    must emit the exact graph — identical edges to knn_graph."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {(r.src, r.dst, r.score) for r in ann.knn_graph(emb, k=5).collect()}
+    got = {
+        (r.src, r.dst, r.score)
+        for r in ann.knn_graph_auto(emb, k=5).collect()
+    }
+    assert got == want
+
+
+def test_knn_graph_lsh_hints_skip_warmup_actions(monkeypatch, spark, sf_dir):
+    """With n_rows and dim supplied, the LSH build must not run the
+    count()/first() warm-up jobs (r7 verdict #8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def boom(*a, **kw):  # pragma: no cover - fails the test if called
+        raise AssertionError("warm-up corpus action ran despite hints")
+
+    hinted = emb.select("vec_id", "embedding")
+    monkeypatch.setattr(type(hinted), "count", boom)
+    monkeypatch.setattr(type(hinted), "first", boom)
+    # plan construction alone must succeed without any corpus action
+    df = ann.knn_graph_lsh(hinted, k=5, n_tables=2, n_rows=500, dim=64)
+    assert [f.name for f in df.schema.fields] == ["src", "dst", "score"]

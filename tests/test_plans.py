@@ -428,3 +428,29 @@ def test_sign_batch_pruned_equals_logical_form(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_no_unbounded_driver_materialization():
+    """Source gate (r7 verdict #2): every pyarrow `.to_table(` call in
+    the package must push a `filter=` into the scan — an unfiltered
+    to_table materializes the whole table on the driver, which is an
+    OOM at 100 TB regardless of how small the fixtures are."""
+    import pathlib
+    import re
+
+    import local_vectordb_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(r"\.to_table\(", src):
+            # the filter kwarg must appear inside THIS call's parens
+            depth, j = 1, m.end()
+            while j < len(src) and depth:
+                depth += {"(": 1, ")": -1}.get(src[j], 0)
+                j += 1
+            if "filter=" not in src[m.end() : j]:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{py.relative_to(root)}:{line}")
+    assert not offenders, f"unfiltered driver to_table at: {offenders}"
