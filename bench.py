@@ -36,6 +36,7 @@ HEADLINE = [
     "ivf_sign_pruned",  # r5: oracle-exact partition-pruned search
     "knn_graph",  # r6: default = block-matrix scale path (see queries.py)
     "knn_graph_broadcast",  # driver-broadcast small-corpus utility
+    "knn_graph_auto",  # r8: size-dispatched strategy (broadcast regime here)
     "knn_sq8",
     "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
     "ivf_pq_search",  # r6: partition-pruned + PQ-compressed composition
