@@ -183,3 +183,30 @@ def test_ivf_pq_trained_recall(spark):
     }
     got = {r.vec_id for r in SPARK_QUERIES["ivf_pq_trained"](spark, sf).collect()}
     assert len(got & exact) / 10.0 >= 0.9
+
+
+def test_pq_family_multi_query_means(spark):
+    """ann_recall_pq_multi (r7 verdict #5): the md5-book family's
+    8-query mean recalls hold their measured floors (0.35/0.84 for
+    depth 50/300; 0.30/0.80 for the sign-IVF compositions at sf0.01,
+    asserted with slack for fixture regen), deepening the rescore
+    must not hurt, and restricting to a sign-ball candidate set can
+    only remove candidates (composition <= unrestricted tier)."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    means = {
+        r.method: r.mean_recall_at_k
+        for r in SPARK_QUERIES["ann_recall_pq_multi"](spark, sf).collect()
+    }
+    assert set(means) == {"pq_adc", "pq_adc_deep", "ivf_pq", "ivf_pq_multiprobe"}
+    assert means["pq_adc"] >= 0.25
+    assert means["pq_adc_deep"] >= 0.75
+    assert means["ivf_pq"] >= 0.25
+    assert means["ivf_pq_multiprobe"] >= 0.70
+    # invariants that survive any fixture: depth only helps, and a
+    # candidate restriction can only lose exact-top-k members
+    assert means["pq_adc_deep"] >= means["pq_adc"]
+    assert means["ivf_pq_multiprobe"] >= means["ivf_pq"]
+    assert means["ivf_pq"] <= means["pq_adc"] + 1e-9
+    assert means["ivf_pq_multiprobe"] <= means["pq_adc_deep"] + 1e-9
