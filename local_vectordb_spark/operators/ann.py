@@ -667,6 +667,10 @@ def graph_lsh_bits(n: int, max_rows_per_bucket: int = GRAPH_LSH_MAX_ROWS) -> int
     replication makes the bucketed build MORE expensive than the flat
     blocked one (measured 66 s vs 24 s at the sf1.0 stress corpus
     before this knob existed). Pure function of n → deterministic.
+    Measured at the sf10 stress tier (200k rows → n_bits=12, the
+    first corpus past the 4-bit knee): the LSH build holds 22.6 s
+    where the exact blocked build takes 1564 s — the knob is what
+    turns a 4× gap at 20k into a 69× gap at 200k (BENCH_scale.json).
     Registry caveat: the oracle SQL is generated at 4 bits, so the
     auto knob must keep every oracle-checked fixture (≤2000 vectors)
     at 4 — see GRAPH_LSH_MAX_ROWS."""

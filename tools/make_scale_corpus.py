@@ -13,7 +13,14 @@ replicated 10x VERBATIM (20k vectors, every sign/LSH bucket exactly
 vec_id 0 stays a corpus member so the registered queries' driver-side
 query-vector lookup works unchanged.
 
-Usage: python tools/make_scale_corpus.py [out_dir]   (default .scale/sf1.0)
+r8 (verdict #4): a second, 100x tier (.scale/sf10 — 500k docs / 200k
+vectors, REPLICAS=100) pushes the embeddings corpus past the
+graph_lsh_bits knee: graph_lsh_bits(200_000) = 12, so the auto-bits
+LSH graph build finally runs OFF the oracle's 4-bit setting and its
+sub-quadratic claim is measured, not asserted.
+
+Usage: python tools/make_scale_corpus.py [out_dir] [replicas]
+       (defaults .scale/sf1.0, 10; pass `.scale/sf10 100` for the XL tier)
 """
 
 from __future__ import annotations
@@ -29,10 +36,13 @@ OFFSET = 10_000_000
 
 
 def main() -> None:
+    global REPLICAS
     out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale", "sf1.0",
     )
+    if len(sys.argv) > 2:
+        REPLICAS = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(
