@@ -50,6 +50,7 @@ HEADLINE = [
     "knn_graph_lsh",  # r7: bucket-local graph build (beats blocked at 10x)
     "ivf_pq_trained",  # r7: fully-trained FAISS-shaped composition
     "graph_beam_search_lsh",  # r7: NSW with no quadratic stage anywhere
+    "graph_beam_search_stored",  # r8: traverse-only over the stored graph
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

@@ -2348,6 +2348,48 @@ def graph_beam_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
 
 
+def _lsh_graph_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, score) LSH-built k=5 kNN graph materialized ONCE per
+    (corpus, fixture version) — the stored-index deployment artifact
+    the `*_stored` graph queries traverse, sibling of `_pq_codes_for`.
+    The md5 build is fully deterministic, so the stored table is
+    value-identical to an inline build and every consumer keeps the
+    inline entry's oracle verbatim."""
+    import os
+
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "lsh_graph_k5_t2")
+
+    def _write(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        ann.knn_graph_lsh(
+            emb, k=5, n_tables=2, n_rows=_parquet_rows(sf_dir, "embeddings")
+        ).write.mode("overwrite").parquet(p)
+
+    return spark.read.parquet(materialize_once(path, _write))
+
+
+@register("graph_beam_search_stored", _beam_lsh_oracle_sql())
+def graph_beam_search_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the STORED LSH graph — the build-once /
+    traverse-many deployment shape (the reference persists its NSW
+    index across requests for exactly this reason,
+    src/models/collection.py:251 keeping `index` on the collection):
+    the graph is materialized once per corpus version to a (src, dst,
+    score) parquet table and each search pays ONLY the 3-hop beam-8
+    traversal — per-hop a broadcast of a ≤beam frontier against the
+    edge table, never a build stage. At 100 TB the build is a batch
+    job and this is the steady-state query path; `graph_beam_search_lsh`
+    above times build+traverse fused, this entry isolates the
+    traverse-side latency. Deterministic build ⇒ shares the fused
+    entry's full value oracle."""
+    edges = _lsh_graph_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = knn.score_all(emb, _query_vecs(sf_dir)[0][1])
+    return ann.graph_beam_search(edges, scored, k=K, beam=8, hops=3)
+
+
 @register(
     "ivf_add_remove_roundtrip",
     f"""

@@ -400,3 +400,22 @@ def test_knn_graph_lsh_hints_skip_warmup_actions(monkeypatch, spark, sf_dir):
     # plan construction alone must succeed without any corpus action
     df = ann.knn_graph_lsh(hinted, k=5, n_tables=2, n_rows=500, dim=64)
     assert [f.name for f in df.schema.fields] == ["src", "dst", "score"]
+
+
+def test_graph_beam_search_stored_matches_inline(spark, sf_dir):
+    """The stored-graph traversal must return value-identical results
+    to the fused build+traverse entry: the md5 LSH build is
+    deterministic, so a parquet round-trip of the edge table cannot
+    change the beam search's outcome (this is what lets
+    graph_beam_search_stored share _beam_lsh_oracle_sql verbatim)."""
+    from local_vectordb_spark import queries as q
+
+    inline = [
+        (r.vec_id, r.score)
+        for r in q.graph_beam_search_lsh(spark, sf_dir).collect()
+    ]
+    stored = [
+        (r.vec_id, r.score)
+        for r in q.graph_beam_search_stored(spark, sf_dir).collect()
+    ]
+    assert stored == inline
