@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard_capped",  # r5: skew-capped near-dup path
     "dedup_simhash_md5",  # r5: one-pass simhash (was 60 aggregate passes)
+    "dedup_lines_boilerplate",  # r8: sub-document line-level dedup
     "api_search_batch_table",  # r5: unbounded batch-search path
     "dedup_embedding_cosine_lsh",
     "text_quality",
@@ -85,6 +86,7 @@ HEADLINE = [
     "embed_hashed",
     "sample_hash_10pct",
     "sample_temperature_by_lang",  # r6: temperature mixture rebalancing
+    "split_group_aware",  # r8: near-dup-family leakage-safe split
     "docs_training_manifest",  # r6: full curation funnel as one plan
     "pack_token_budget",
 ]

@@ -866,3 +866,86 @@ def ngram_contamination(
         .select(id_col)
         .distinct()
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_chars: int = 6,
+) -> DataFrame:
+    """Normalized lines that recur across ``min_docs`` distinct
+    documents — navigation bars, cookie banners, license footers: the
+    cross-document boilerplate that line-level dedup (the CCNet /
+    Dolma pipeline stage) strips BEFORE document-level near-dup, since
+    shared boilerplate otherwise inflates every pairwise similarity.
+    The reference has no notion of sub-document structure (documents
+    are opaque strings end to end, /root/reference/src/models/
+    collection.py:58-60); this is corpus-hygiene capability on top.
+
+    Output: (norm, n_docs) per boilerplate line. Lines shorter than
+    ``min_chars`` after normalization are never flagged (single words
+    recur by chance, not by templating).
+
+    Plan shape for 100 TB: explode to (doc, line), then ONE shuffle —
+    the groupBy on the normalized line, with map-side partial
+    aggregation collapsing each document's repeats before the exchange.
+    countDistinct(id) rewrites to a two-phase aggregate, still the
+    same single key.
+    """
+    from local_vectordb_spark.functions.text import normalize_text
+
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).select("_id", normalize_text(F.col("line")).alias("norm"))
+    return (
+        lines.filter(F.length("norm") >= min_chars)
+        .groupBy("norm")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    min_chars: int = 6,
+) -> DataFrame:
+    """Line-level dedup: rebuild each document without its
+    cross-document boilerplate lines (``boilerplate_lines`` above),
+    preserving the order of the surviving lines.
+
+    Output: (id, n_kept, clean_text) — documents whose every line was
+    boilerplate drop out entirely (nothing left to train on).
+
+    Plan shape for 100 TB: the boilerplate set is the heavy-hitter
+    tail of the line distribution — tiny relative to the corpus — so
+    the anti-join is left to AQE, which broadcasts it when the built
+    side is small and falls back to a shuffled join (on the same
+    `norm` key the aggregation already shuffled on) when a pathological
+    corpus makes it big. Reassembly is one groupBy(id) with the line
+    order carried as data (array_sort on (pos, line) structs), not as
+    a window sort.
+    """
+    from local_vectordb_spark.functions.text import normalize_text
+
+    bp = boilerplate_lines(
+        docs, id_col=id_col, text_col=text_col,
+        min_docs=min_docs, min_chars=min_chars,
+    ).select("norm")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", normalize_text(F.col("line")))
+    kept = lines.join(bp, "norm", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+    )

@@ -1045,6 +1045,88 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dupes(_docs_with_exact_dupes(spark, sf_dir))
 
 
+def _docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-laid-out as MULTI-LINE pages (the fixture texts are
+    single-line): each text chunked into 8-word lines with a per-lang
+    header line prepended — the header recurs across every document of
+    a language, i.e. deterministic synthetic boilerplate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+    )
+    header = F.concat(F.lit("== "), F.col("lang"), F.lit(" section =="))
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.concat(F.array(header), chunks)).alias("text"),
+    )
+
+
+# the staged multi-line corpus, reconstructed in SQL: words → 8-word
+# chunk lines (string_agg ORDER BY word index) + the header at pos -1
+# (Spark's posexplode numbers the header 0 and chunks 1.. — only the
+# relative order matters, and it is identical)
+_MULTILINE_SQL = r"""
+    words AS (
+      SELECT doc_id, generate_subscripts(w, 1) - 1 AS i, unnest(w) AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    chunks AS (
+      SELECT doc_id, i // 8 AS pos, string_agg(word, ' ' ORDER BY i) AS line
+      FROM words GROUP BY doc_id, i // 8
+    ),
+    lines AS (
+      SELECT doc_id, -1 AS pos, '== ' || lang || ' section ==' AS line
+      FROM documents
+      UNION ALL
+      SELECT doc_id, pos, line FROM chunks
+    )
+"""
+
+
+@register(
+    "dedup_lines_boilerplate",
+    rf"""
+    WITH {_MULTILINE_SQL},
+    norm AS (
+      SELECT doc_id, pos, line,
+             trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS n
+      FROM lines
+    ),
+    bp AS (
+      SELECT n FROM norm WHERE len(n) >= 6
+      GROUP BY n HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM norm WHERE n NOT IN (SELECT n FROM bp)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_lines_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level dedup (the CCNet/Dolma boilerplate-strip stage —
+    sub-document hygiene the document-level families above can't
+    express): normalized lines recurring across ≥3 documents are
+    removed and each document is reassembled from its surviving lines
+    in order. Runs over the staged multi-line corpus (`_docs_multiline`
+    — the per-lang header line is planted boilerplate; 8-word chunk
+    lines shared across the fixture's near-dup families are the
+    organic kind). One shuffle for the heavy-hitter line aggregate, an
+    AQE-sized anti-join on the same key, one groupBy to reassemble —
+    no pairwise stage anywhere, so the plan is corpus-linear at 100 TB.
+    Value-checked end to end: clean_md5 fingerprints the rebuilt text,
+    so line order and content both hash into the oracle compare."""
+    staged = _docs_multiline(spark, sf_dir)
+    out = dedup.strip_boilerplate(staged, min_docs=3, min_chars=6)
+    return out.select(
+        "doc_id", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     rf"""

@@ -249,6 +249,60 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_split_group_aware() -> None:
+    """Oracle = the (already oracle-matched) recursive-CTE components
+    query nested as a CTE, left-joined back to the doctored corpus,
+    with the identical md5-threshold CASE keyed on the FAMILY id."""
+    from local_vectordb_spark.queries import _NEAR_DUPES_SQL
+
+    comp_sql = ORACLE_SQL["dedup_components"]
+    case = """CASE WHEN substr(md5(CAST(family_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(family_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END"""
+    sql = f"""
+    WITH all_docs AS ({_NEAR_DUPES_SQL}),
+    comp AS ({comp_sql}),
+    fam AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS family_id
+      FROM all_docs d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, family_id, {case} AS split FROM fam
+    """
+
+    @register("split_group_aware", sql)
+    def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GROUP-AWARE train/val/test split: the hash coin is flipped on
+        the near-dup FAMILY id (the component's canonical id; singletons
+        are their own family), so every member of a duplicate family
+        lands in the same split. A per-document split over a corpus with
+        near-duplicates leaks eval content into training — the model
+        'memorizes' the test set through its train-side twins — which is
+        exactly the failure the document-level split above cannot rule
+        out. Runs over the doctored near-dup corpus so real families
+        exist to co-travel. Plan: the pair→component propagation (one
+        bounded join round per graph diameter), a left join of the tiny
+        component map onto the corpus (AQE broadcasts it), then the
+        same codegen'd CASE as hash_split — no extra shuffle beyond the
+        components build. Fully value-oracled per document."""
+        from local_vectordb_spark.queries import SPARK_QUERIES, _docs_with_near_dupes
+
+        comps = SPARK_QUERIES["dedup_components"](spark, sf_dir)
+        docs = _docs_with_near_dupes(spark, sf_dir).select("doc_id")
+        fam = docs.join(
+            comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("component", "doc_id").alias("family_id")
+        )
+        return hash_split(
+            fam, "family_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "family_id", "split")
+
+
+_register_split_group_aware()
+
+
 # --------------------------------------------------------------------------
 # Sequence packing into fixed token budgets (window cumsum, one shuffle)
 # --------------------------------------------------------------------------

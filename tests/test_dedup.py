@@ -228,3 +228,33 @@ def test_keep_best_per_family_is_a_member_and_unique(spark, sf_dir):
         assert r.doc_id in members
         assert r.family_size == len(members)
         assert r.quality == max(quality[m] for m in members)
+
+
+def test_strip_boilerplate_removes_recurring_lines(spark):
+    """Hand-computable line-level dedup: a banner recurring (with
+    case/whitespace noise) in 3 docs and a shared footer are stripped;
+    a recurring line SHORTER than min_chars survives (single short
+    tokens recur by chance, not templating); a doc made entirely of
+    boilerplate drops out; surviving lines keep their order."""
+    rows = [
+        (1, "COOKIE BANNER HERE\nhi yo\nalpha beta gamma\nfooter line text"),
+        (2, "cookie banner here\nhi yo\ndelta epsilon\nfooter line text"),
+        (3, "Cookie  Banner   Here\nhi yo\nzeta eta theta\nfooter line text"),
+        (4, "unique one\nunique two"),
+        (5, "footer line text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bp = {
+        (r.norm, r.n_docs)
+        for r in dedup.boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert bp == {("cookie banner here", 3), ("footer line text", 4)}
+
+    out = {
+        r.doc_id: r for r in dedup.strip_boilerplate(docs, min_docs=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # doc 5 was pure boilerplate
+    assert out[1].n_kept == 2
+    assert out[1].clean_text == "hi yo\nalpha beta gamma"
+    assert out[4].clean_text == "unique one\nunique two"

@@ -219,3 +219,23 @@ def test_temperature_sample_flattens_head(spark, sf_dir):
     largest = max(counts, key=counts.get)
     assert kept[smallest] == counts[smallest]
     assert kept[largest] < counts[largest]
+
+
+def test_split_group_aware_families_never_straddle_splits(spark, sf_dir):
+    """The group-aware split's whole point: every near-dup family maps
+    to exactly ONE split (a per-doc split would leak eval twins into
+    train), and each doctored copy (+1000000 id) co-travels with its
+    original."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["split_group_aware"](spark, sf_dir).collect()
+    by_family = {}
+    by_doc = {}
+    for r in rows:
+        by_family.setdefault(r.family_id, set()).add(r.split)
+        by_doc[r.doc_id] = r.split
+    assert all(len(s) == 1 for s in by_family.values())
+    copies = [d for d in by_doc if d >= 1_000_000]
+    assert copies  # the doctored corpus must actually contain families
+    assert all(by_doc[d] == by_doc[d - 1_000_000] for d in copies)
+    assert {"train", "val", "test"} >= set(by_doc.values()) and "train" in by_doc.values()
