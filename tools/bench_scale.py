@@ -52,6 +52,7 @@ STRESS = [
     "hybrid_rrf",
     "text_repetition_stats",
     "docs_training_manifest",
+    "dedup_lines_boilerplate",  # r8: line-level strip vs 10-deep shared chunks
 ]
 # r8 (r7 verdict #4): the sub-quadratic family at 200k vectors — every
 # entry here must hold the budget WITHOUT a quadratic stage anywhere.
@@ -65,6 +66,7 @@ STRESS_XL = [
     "knn_pq_batch",  # one ADC codes scan serving 8 queries
     "dedup_minhash_lsh_md5_capped",  # caps vs 100-deep posting lists
     "fts_bm25",  # inverted index over 500k docs
+    "dedup_lines_boilerplate",  # r8: corpus-linear line strip at 500k docs
 ]
 BUDGET_S = 120.0
 
