@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_pq_batch",  # r7: one codes scan serving 8 queries
     "knn_graph_lsh",  # r7: bucket-local graph build (beats blocked at 10x)
     "ivf_pq_trained",  # r7: fully-trained FAISS-shaped composition
+    "ivf_pq_residual",  # r8: residual-encoded IndexIVFPQ fidelity tier
     "graph_beam_search_lsh",  # r7: NSW with no quadratic stage anywhere
     "graph_beam_search_stored",  # r8: traverse-only over the stored graph
     "fts_bm25",

@@ -404,3 +404,82 @@ def pq_adc_search_batch(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_residual_search(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    codebook: Sequence,
+    k: int = 10,
+    n_probe: int = 8,
+    n_candidates: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ
+    recipe: PQ codes quantize ``vec - centroid(vec)``, not the raw
+    vector. Residuals cluster tightly around zero, so the same code
+    budget spends its cells on the part of the vector the coarse
+    quantizer didn't already explain — the reason FAISS trains its PQ
+    on residuals by default.
+
+    Scoring decomposes exactly: ⟨q̂, v⟩ ≈ ⟨q̂, c⟩ + ⟨q̂, decode(codes)⟩
+    where c is the row's coarse centroid. The first term is one
+    driver-side constant per probed cluster (shipped on the broadcast
+    probe row); the second is the standard ADC lookup against a table
+    built from the residual codebook. The ADC scan therefore stays m
+    lookups + adds per row, and the exact-cosine rescore of the top-C
+    keeps reported scores exact, as in every other PQ tier.
+
+    Plan shape: broadcast the ≤n_probe (cluster_id, centroid, ⟨q̂,c⟩)
+    rows, inner-join = probe filter, Arrow-batched residual encode,
+    TakeOrderedAndProject top-C, rescore join — no shuffle anywhere.
+    Rows-only territory by construction (KMeans centroids + trained
+    residual book are data-dependent); the deterministic md5 tiers
+    carry the value oracles for the identical ADC machinery.
+    """
+    from local_vectordb_spark.functions.vector import dot_product, l2_norm
+    from local_vectordb_spark.operators.ivf import probe_clusters
+
+    spark = vectors.sparkSession
+    probed = probe_clusters(centroids, query_vec, n_probe=n_probe)
+    qhat = _unit(query_vec)
+    adc = pq_adc_table(query_vec, codebook)
+    cent_rows = [
+        (
+            int(c),
+            [float(x) for x in centroids[c]],
+            float(sum(a * b for a, b in zip(qhat, centroids[c]))),
+        )
+        for c in probed
+    ]
+    cents = spark.createDataFrame(
+        cent_rows, "cluster_id int, _cent array<double>, _qdotc double"
+    )
+    enc = pq_encode_batch(codebook)
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("_cent"), lambda x, y: x - y
+    )
+    cand = (
+        vectors.join(assignments, id_col)
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.col("_qdotc") + pq_adc_scores(enc(resid), adc)).alias("_adc"),
+        )
+        .orderBy(F.desc("_adc"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    qn = F.array(*[F.lit(x) for x in qhat])
+    norm = l2_norm(F.col(vec_col))
+    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(vec_col), qn) / norm
+    )
+    return (
+        cand.select(F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

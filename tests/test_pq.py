@@ -210,3 +210,24 @@ def test_pq_family_multi_query_means(spark):
     assert means["ivf_pq_multiprobe"] >= means["ivf_pq"]
     assert means["ivf_pq"] <= means["pq_adc"] + 1e-9
     assert means["ivf_pq_multiprobe"] <= means["pq_adc_deep"] + 1e-9
+
+
+def test_ivf_pq_residual_finds_query_and_holds_recall_floor(spark):
+    """Residual-encoded IVF-PQ: the query vector itself must surface
+    (its cluster is always probed, its residual encodes to its own
+    cells) and the 8-query mean recall holds the documented ≥0.85
+    floor. The tier is recall-NEUTRAL vs the raw trained book on this
+    weakly-clustered fixture (0.875 vs 0.90 at equal depth) — asserted
+    as a band, not a win, per the honest-accounting docstring."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"  # the scale the recall claims cite
+    top = SPARK_QUERIES["ivf_pq_residual"](spark, sf).collect()
+    assert len(top) == 10
+    assert top[0].vec_id == 0 and top[0].score == 1.0
+
+    r = {
+        row["method"]: row["mean_recall_at_k"]
+        for row in SPARK_QUERIES["ann_recall_residual"](spark, sf).collect()
+    }
+    assert 0.85 <= r["ivf_pq_residual"] <= 1.0
