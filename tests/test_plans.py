@@ -454,3 +454,33 @@ def test_no_unbounded_driver_materialization():
                 line = src[: m.start()].count("\n") + 1
                 offenders.append(f"{py.relative_to(root)}:{line}")
     assert not offenders, f"unfiltered driver to_table at: {offenders}"
+
+
+def test_line_dedup_no_cartesian_and_prunes_columns(spark, sf_dir):
+    """Line-level dedup must stay an explode/groupBy/anti-join
+    pipeline — never a pairwise product — and the documents scan must
+    read only the columns the staging needs (doc_id, lang, text), not
+    the full table."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["dedup_lines_boilerplate"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for scan in plans.read_schema_columns(df):
+        assert set(scan) <= {"doc_id", "lang", "text"}, f"scan reads {scan}"
+
+
+def test_ivf_pq_residual_probe_broadcasts_and_takeordered(spark, sf_dir):
+    """The residual IVF-PQ plan must ship the ≤n_probe centroid rows
+    as a broadcast (the probe filter IS the join), keep the candidate
+    tier a TakeOrderedAndProject, and never fall into a nested-loop
+    join for the probe."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["ivf_pq_residual"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
