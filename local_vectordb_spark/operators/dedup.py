@@ -419,7 +419,7 @@ def lsh_bucket_audit(
 
 def connected_components(
     pairs: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None = None,
     a_col: str = "a_id",
     b_col: str = "b_id",
     id_col: str = "doc_id",
@@ -435,6 +435,12 @@ def connected_components(
     one original), so a handful of joins. Each round is one shuffle on
     node id; frontiers are checkpointed so the plan doesn't re-expand
     previous rounds. Output: (node, component) with component = min id.
+
+    ``nodes`` defaults to the endpoints of ``pairs`` — derived from
+    the CHECKPOINTED edge list, so an expensive pair-generation plan
+    (e.g. the n-gram inverted index) executes exactly once; a caller
+    passing its own ``nodes`` built from the raw pairs plan pays that
+    plan a second time (the 2x cost this default exists to avoid).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -444,6 +450,9 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if nodes is None:
+        # edges are bidirectional, so src alone covers every endpoint
+        nodes = edges.select(F.col("src").alias(id_col)).distinct()
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)

@@ -2661,12 +2661,11 @@ def _register_dedup_components() -> None:
         its component's canonical (minimum) id — the representative a
         dedup pipeline keeps. Oracle: recursive-CTE closure."""
         pairs = dedup_ngram_jaccard(spark, sf_dir)
-        nodes = (
-            pairs.select(F.col("a_id").alias("doc_id"))
-            .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
-            .distinct()
-        )
-        return dedup.connected_components(pairs, nodes)
+        # nodes default to the CHECKPOINTED edge endpoints inside
+        # connected_components — passing a nodes frame built from the
+        # raw `pairs` plan here would execute the n-gram inverted
+        # index twice (measured ~2.9 s of the old 5.8 s at sf0.1)
+        return dedup.connected_components(pairs)
 
 
 _register_dedup_components()
