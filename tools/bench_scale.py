@@ -62,6 +62,12 @@ STRESS = [
 STRESS_XL = [
     "knn_graph_lsh",  # auto-bits build at n_bits=12 (not the oracle's 4)
     "graph_beam_search_lsh",  # build + 3-hop NSW traversal, no quadratic stage
+    # r8: traverse-only over the stored graph. Stored-artifact rows
+    # measure the steady state: the graph materializes once per corpus
+    # fingerprint (a batch job in a deployment; ~66 s cold incl. the
+    # 1M-edge parquet write at this tier) and every timed run after
+    # reads it — 14.5 s vs 36.7 s for the fused build+traverse form.
+    "graph_beam_search_stored",
     "ann_recall_multi",  # 4 probe tiers x 8 queries as composed batch plans
     "knn_pq_batch",  # one ADC codes scan serving 8 queries
     "dedup_minhash_lsh_md5_capped",  # caps vs 100-deep posting lists
