@@ -85,6 +85,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_fingerprint_winnow",
     "embed_hashed",
+    "embedding_stats",  # r8: per-dimension hygiene aggregate, full oracle
     "sample_hash_10pct",
     "sample_temperature_by_lang",  # r6: temperature mixture rebalancing
     "split_group_aware",  # r8: near-dup-family leakage-safe split

@@ -1594,6 +1594,47 @@ def embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_stats",
+    """
+    WITH d AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim_idx,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings
+    )
+    SELECT dim_idx,
+           ROUND(avg(x), 6) AS mean,
+           ROUND(stddev_pop(x), 6) AS sd,
+           ROUND(min(x), 6) AS vmin,
+           ROUND(max(x), 6) AS vmax
+    FROM d GROUP BY dim_idx
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-batch hygiene report: per-dimension mean/sd/min/max
+    over the corpus — the sanity check a pipeline runs on every
+    embedding batch before indexing (a broken encoder shows up as a
+    dead dimension with sd≈0, a saturated one as |mean| near the
+    range edge; the reference ingests Cohere vectors with no
+    validation at all, src/embeddings.py:3-15). Plan: posexplode →
+    groupBy(dim_idx) — 64 keys, so map-side partial aggregation
+    collapses each partition to 64 rows before a tiny shuffle; at
+    100 TB this is the cheapest full-corpus statistic there is.
+    Full value oracle (the whole computation is plain SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "x"
+        )
+    )
+    return dims.groupBy("dim_idx").agg(
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("sd"),
+        F.round(F.min("x"), 6).alias("vmin"),
+        F.round(F.max("x"), 6).alias("vmax"),
+    )
+
+
 # ==========================================================================
 # Multimodal binary-column plumbing (north-star)
 # ==========================================================================
