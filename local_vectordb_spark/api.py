@@ -52,7 +52,16 @@ from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
-INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq")
+INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "auto")
+
+# auto-strategy knee, mirroring ann.knn_graph_auto's regime bounds: an
+# exact float scan of <=1e5 rows is cheaper than any index's candidate
+# machinery (TakeOrderedAndProject, zero shuffle); past it the
+# deterministic sign-bucket tier prunes the scan ~16x with no trained
+# state to invalidate on write (a deployment with a maintained KMeans
+# index would route to 'ivf' here instead — that choice needs trained
+# state, so the default picks the always-available tier)
+AUTO_BRUTE_MAX = 100_000
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -86,6 +95,7 @@ class VectorDB:
         self._ivf_version = -1
         self._version = 0
         self._ivf = None
+        self._count_cache: tuple[int, int] | None = None  # (version, n)
 
     # ---------------- storage ----------------
 
@@ -337,6 +347,15 @@ class VectorDB:
                 chunks = chunks.filter(F.col("metadata")[key] == str(val))
         return chunks
 
+    def _chunk_count(self) -> int:
+        """Corpus size for the auto-strategy dispatch, cached per table
+        VERSION (writes bump `_version`, so the count job runs once per
+        write generation — dispatch is a property of the corpus, not of
+        any per-search filter, hence the UNfiltered table)."""
+        if self._count_cache is None or self._count_cache[0] != self._version:
+            self._count_cache = (self._version, self.table("chunks").count())
+        return self._count_cache[1]
+
     def search(
         self,
         query: str | None = None,
@@ -355,10 +374,19 @@ class VectorDB:
         cosine ranking by reciprocal-rank fusion (requires query TEXT
         for the lexical side; score column is the RRF score).
         diversify="mmr" re-ranks a 5k-deep candidate tier by maximal
-        marginal relevance (score column is the MMR score)."""
+        marginal relevance (score column is the MMR score).
+        index_type="auto" dispatches on corpus size (the search twin
+        of ann.knn_graph_auto): exact brute force up to AUTO_BRUTE_MAX
+        rows, the deterministic sign-pruned tier beyond — the count is
+        cached per table VERSION (one job per write generation, never
+        per search)."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
+            )
+        if index_type == "auto":
+            index_type = (
+                "cosine" if self._chunk_count() <= AUTO_BRUTE_MAX else "sign"
             )
         if diversify not in (None, "mmr"):
             raise ValueError(f"unknown diversify {diversify!r}; only 'mmr'")

@@ -259,6 +259,20 @@ def api_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K)
 
 
+@register("api_search_auto", ORACLE_SQL["api_search_cosine"])
+def api_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 with SIZE-DISPATCHED strategy (the search twin of
+    knn_graph_auto): index_type='auto' routes to exact brute force
+    below AUTO_BRUTE_MAX rows and the deterministic sign-pruned tier
+    beyond, with the sizing count cached per table version (one job
+    per write generation, never per search — api.VectorDB._chunk_count).
+    Every shipped fixture lands in the brute regime, so this entry
+    shares api_search_cosine's oracle verbatim; the past-the-knee flip
+    to the sign tier is pinned in tests/test_api_e2e.py."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="auto", k=K)
+
+
 @register(
     "api_search_batch_cosine",
     f"""

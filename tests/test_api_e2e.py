@@ -78,7 +78,7 @@ def test_embeddings_filled_on_create(db):
     assert d.table("chunks").filter("embedding IS NULL").count() == 0
 
 
-@pytest.mark.parametrize("index_type", ["cosine", "ivf", "sign", "nsw", "pq"])
+@pytest.mark.parametrize("index_type", ["cosine", "ivf", "sign", "nsw", "pq", "auto"])
 def test_query_each_strategy_finds_exact_match(db, index_type):
     d, *_ = db
     hits = d.search(QUESTIONS[0], index_type=index_type, k=3).collect()
@@ -452,3 +452,32 @@ def test_search_batch_sign_matches_cosine_hits(db):
         top = max(by_q[i], key=lambda r: r.score)
         assert top.content == QUESTIONS[i]
         assert top.score == pytest.approx(1.0, abs=1e-5)
+
+
+def test_auto_strategy_dispatches_on_corpus_size(db, monkeypatch):
+    """index_type='auto' is the search twin of ann.knn_graph_auto:
+    brute force at fixture scale (results == the cosine strategy), the
+    sign-pruned tier once the corpus passes AUTO_BRUTE_MAX — and the
+    sizing count is cached per table version, so repeated auto searches
+    run zero extra count jobs."""
+    from local_vectordb_spark import api as api_mod
+
+    d, *_ = db
+    want = [(r.id, r.score) for r in d.search(QUESTIONS[1], index_type="cosine", k=3).collect()]
+    got = [(r.id, r.score) for r in d.search(QUESTIONS[1], index_type="auto", k=3).collect()]
+    assert got == want
+
+    # past the knee the dispatch must flip to the sign tier: with the
+    # knee forced to 0 rows, auto == sign (which prunes to the probed
+    # buckets and can legitimately differ from brute force)
+    monkeypatch.setattr(api_mod, "AUTO_BRUTE_MAX", 0)
+    want_sign = [(r.id, r.score) for r in d.search(QUESTIONS[1], index_type="sign", k=3).collect()]
+    got_sign = [(r.id, r.score) for r in d.search(QUESTIONS[1], index_type="auto", k=3).collect()]
+    assert got_sign == want_sign
+
+    # version-cached sizing: a second auto search must not re-count
+    calls = []
+    real_count = type(d.table("chunks")).count
+    monkeypatch.setattr(type(d.table("chunks")), "count", lambda s: calls.append(1) or real_count(s))
+    d.search(QUESTIONS[1], index_type="auto", k=3)
+    assert not calls
