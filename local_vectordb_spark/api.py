@@ -124,9 +124,24 @@ class VectorDB:
             os.path.join(self._table_dir(kind), f"v{v}")
         )
 
-    def table(self, kind: str) -> DataFrame:
-        """C1 — the full collection as a DataFrame (live version)."""
-        return self._snapshot(kind)[1]
+    def table(self, kind: str, version: int | None = None) -> DataFrame:
+        """C1 — the collection as a DataFrame: the live version by
+        default, or a TIME-TRAVEL read of a retained historical
+        ``version``. The versioned-directory layout keeps the newest
+        `keep_versions` generations precisely so a reader can pin a
+        snapshot across concurrent writes; asking for a GC'd (or
+        never-written) generation raises rather than silently serving
+        the wrong data."""
+        if version is None:
+            return self._snapshot(kind)[1]
+        live = self._current_version(kind)
+        path = os.path.join(self._table_dir(kind), f"v{version}")
+        if version < 0 or version > live or not os.path.exists(path):
+            raise ValueError(
+                f"{kind} v{version} not available (live is v{live}; "
+                f"newest {self.keep_versions} versions are retained)"
+            )
+        return self.spark.read.parquet(path)
 
     def _commit_pointer(self, kind: str, version: int) -> None:
         """Atomically point readers at `version`: write-fsync a temp

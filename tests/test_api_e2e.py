@@ -481,3 +481,22 @@ def test_auto_strategy_dispatches_on_corpus_size(db, monkeypatch):
     monkeypatch.setattr(type(d.table("chunks")), "count", lambda s: calls.append(1) or real_count(s))
     d.search(QUESTIONS[1], index_type="auto", k=3)
     assert not calls
+
+
+def test_time_travel_reads_retained_version_and_rejects_gcd(spark, tmp_path):
+    """table(kind, version=N) reads a retained historical generation
+    (the versioned layout exists precisely for snapshot pinning);
+    asking for a GC'd or never-written generation raises instead of
+    silently serving the wrong data."""
+    d = VectorDB(spark, str(tmp_path), keep_versions=2)
+    d.add("libraries", _lib_row(spark, "v0"))
+    d.add("libraries", _lib_row(spark, "v1"))
+    live = d._current_version("libraries")
+    prev = live - 1
+    assert d.table("libraries", version=prev).count() == 1
+    assert d.table("libraries", version=live).count() == 2
+    d.add("libraries", _lib_row(spark, "v2"))  # GCs `prev`
+    with pytest.raises(ValueError, match="not available"):
+        d.table("libraries", version=prev)
+    with pytest.raises(ValueError, match="not available"):
+        d.table("libraries", version=live + 99)
