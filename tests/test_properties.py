@@ -304,3 +304,57 @@ def test_graph_lsh_bits_bound_holds(n):
     if b > 4:
         assert n * (b - 1 + 1) / (1 << (b - 1)) > GRAPH_LSH_MAX_ROWS
     assert graph_lsh_bits(2 * n) >= b
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.lists(WORD, min_size=1, max_size=4).map(" ".join),
+            min_size=1,
+            max_size=5,
+        ).map("\n".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(2, 3),
+)
+@SLOW
+def test_strip_boilerplate_matches_python_reference(sp, docs, min_docs):
+    """strip_boilerplate agrees with a direct pure-Python model on
+    arbitrary small corpora: a line is removed iff its normalized form
+    is >= min_chars long AND recurs in >= min_docs distinct docs;
+    survivors keep document order; all-boilerplate docs drop out."""
+    import re
+
+    from local_vectordb_spark.operators import dedup
+
+    min_chars = 3
+
+    def norm(line):
+        return re.sub(r"\s+", " ", line.lower()).strip()
+
+    per_doc_norms = [
+        {norm(ln) for ln in text.split("\n")} for text in docs
+    ]
+    from collections import Counter
+
+    df_count = Counter(n for s in per_doc_norms for n in s)
+    bp = {
+        n for n, c in df_count.items() if len(n) >= min_chars and c >= min_docs
+    }
+    want = {}
+    for i, text in enumerate(docs):
+        kept = [ln for ln in text.split("\n") if norm(ln) not in bp]
+        if kept:
+            want[i] = (len(kept), "\n".join(kept))
+
+    sdf = sp.createDataFrame(
+        list(enumerate(docs)), "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.clean_text)
+        for r in dedup.strip_boilerplate(
+            sdf, min_docs=min_docs, min_chars=min_chars
+        ).collect()
+    }
+    assert got == want
