@@ -73,6 +73,7 @@ HEADLINE = [
     "graph_beam_search",  # r5: NSW traversal as distributed beam search
     # streaming engine
     "stream_tumbling_hour",
+    "stream_strip_boilerplate",  # r8: stream-static anti-join strip
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -1074,6 +1074,7 @@ def _docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     header = F.concat(F.lit("== "), F.col("lang"), F.lit(" section =="))
     return docs.select(
         "doc_id",
+        "lang",  # carried for consumers that aggregate per language
         F.concat_ws("\n", F.concat(F.array(header), chunks)).alias("text"),
     )
 

@@ -439,3 +439,90 @@ def stream_then_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(
         query=f"streamed update: {new_texts[7]}", index_type="sign", k=10
     ).select("id", F.round("score", 6).alias("score"))
+
+
+def _register_stream_strip_boilerplate() -> None:
+    """Oracle = the batch line-dedup CTE chain aggregated per lang —
+    the stream-static join commutes with batch evaluation because the
+    static side is fixed for the whole run."""
+    from local_vectordb_spark.queries import _MULTILINE_SQL
+
+    sql = rf"""
+    WITH {_MULTILINE_SQL},
+    norm AS (
+      SELECT doc_id, pos, line,
+             trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS n
+      FROM lines
+    ),
+    bp AS (
+      SELECT n FROM norm WHERE len(n) >= 6
+      GROUP BY n HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM norm WHERE n NOT IN (SELECT n FROM bp)
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_lines_kept,
+           CAST(count(DISTINCT k.doc_id) AS BIGINT) AS n_docs
+    FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    GROUP BY d.lang
+    """
+
+    @register("stream_strip_boilerplate", sql)
+    def stream_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAM-STATIC JOIN — the streaming pattern the other five
+        entries don't exercise: documents arrive as a stream and are
+        stripped line-by-line against a STATIC boilerplate table built
+        batch-side (`dedup.boilerplate_lines` over the same staged
+        multi-line corpus — in production, yesterday's heavy-hitter
+        table). The anti-join is stateless per micro-batch (the static
+        side broadcasts into each batch; no watermark, no state store),
+        which is what makes boilerplate-stripping deployable on an
+        ingest stream where the full-corpus line count is not
+        computable online. Drains via availableNow into an append sink,
+        then aggregates per lang; the oracle replays the identical
+        batch semantics, so the entry is FULL-value-checked."""
+        from pyspark.sql import types as SQLT
+
+        from local_vectordb_spark.functions.text import normalize_text
+        from local_vectordb_spark.operators import dedup
+        from local_vectordb_spark.queries import _docs_multiline
+        from local_vectordb_spark.session import fixture_cache_dir, materialize_once
+
+        staged = _docs_multiline(spark, sf_dir)
+        doc_dir = os.path.join(
+            fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_multiline"
+        )
+        materialize_once(
+            doc_dir,
+            lambda p: staged.repartition(8).write.mode("overwrite").parquet(p),
+        )
+        bp = dedup.boilerplate_lines(staged, min_docs=3, min_chars=6).select("norm")
+        schema = SQLT.StructType(
+            [
+                SQLT.StructField("doc_id", SQLT.LongType()),
+                SQLT.StructField("lang", SQLT.StringType()),
+                SQLT.StructField("text", SQLT.StringType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)  # several micro-batches
+            .parquet(doc_dir)
+        )
+        lines = stream.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.col("text"), "\n")).alias("line"),
+        ).withColumn("norm", normalize_text(F.col("line")))
+        kept = lines.join(bp, "norm", "left_anti").select("doc_id", "lang")
+        out = st.run_available_now(
+            kept, "q_stream_strip_bp", output_mode="append"
+        )
+        return out.groupBy("lang").agg(
+            F.count("*").alias("n_lines_kept"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+
+
+_register_stream_strip_boilerplate()

@@ -297,3 +297,30 @@ def test_stream_dedup_fingerprint_collapses_doctored_copies(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_strip_boilerplate_matches_batch(spark, sf_dir):
+    """The stream-static strip must equal the batch form: per-lang
+    kept-line totals from the streaming anti-join (several
+    micro-batches via maxFilesPerTrigger) == the batch
+    strip_boilerplate aggregation over the same staged corpus."""
+    from local_vectordb_spark.operators import dedup
+    from local_vectordb_spark.queries import SPARK_QUERIES, _docs_multiline
+
+    got = {
+        r.lang: (r.n_lines_kept, r.n_docs)
+        for r in SPARK_QUERIES["stream_strip_boilerplate"](spark, sf_dir).collect()
+    }
+    staged = _docs_multiline(spark, sf_dir)
+    batch = dedup.strip_boilerplate(staged, min_docs=3, min_chars=6)
+    want = {
+        r.lang: (r.n_lines, r.n_docs)
+        for r in batch.join(staged.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_kept").cast("bigint").alias("n_lines"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert got == want
