@@ -74,6 +74,7 @@ HEADLINE = [
     # streaming engine
     "stream_tumbling_hour",
     "stream_strip_boilerplate",  # r8: stream-static anti-join strip
+    "stream_view_purchase_attribution",  # r8: watermarked stream-stream join
     # LLM-pipeline ops
     "dedup_exact",
     "dedup_minhash_lsh",

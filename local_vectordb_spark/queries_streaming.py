@@ -526,3 +526,67 @@ def _register_stream_strip_boilerplate() -> None:
 
 
 _register_stream_strip_boilerplate()
+
+
+@register(
+    "stream_view_purchase_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(count(*) AS BIGINT) AS n_views_30m
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    GROUP BY p.event_id
+    """,
+)
+def stream_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN — the last Structured Streaming pattern in
+    the matrix (windows, sessions, dedup, stream-static,
+    applyInPandasWithState, foreachBatch are covered by the entries
+    above): purchases attribute to the views the SAME user made in the
+    preceding 30 minutes, both sides arriving as watermarked streams.
+    The join state is bounded by watermark + the time-range predicate
+    (Spark evicts a buffered row once no future match can reach it);
+    the horizon here spans the staged fixture because its replay files
+    are UNORDERED in event time — a production feed with bounded
+    disorder would use minutes, and the state-size math is the
+    watermark, not the corpus. Inner join emits append-mode rows as
+    matches arrive; per-purchase counts aggregate after the sink.
+    FULL value oracle: the batch range-join is the same relation."""
+    src = _staged_events(spark, sf_dir)
+    views = (
+        st.read_events_stream(spark, src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "35 days")
+    )
+    purchases = (
+        st.read_events_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "35 days")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "v_user = p_user AND "
+            "view_ts >= p_ts - INTERVAL 30 MINUTES AND view_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id")
+    out = st.run_available_now(
+        joined, "q_stream_attr", output_mode="append"
+    )
+    return out.groupBy("purchase_id").agg(
+        F.count("*").alias("n_views_30m")
+    )

@@ -324,3 +324,41 @@ def test_stream_strip_boilerplate_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, sf_dir):
+    """The watermarked stream-stream join must emit exactly the batch
+    range-join's (purchase, view-within-30min) pairs — per-purchase
+    counts compared as whole dicts."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+    from local_vectordb_spark.session import load_table
+
+    got = {
+        r.purchase_id: r.n_views_30m
+        for r in SPARK_QUERIES["stream_view_purchase_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    want = {
+        r.purchase_id: r.n
+        for r in p.join(
+            v,
+            F.expr(
+                "v_user = p_user AND view_ts >= p_ts - INTERVAL 30 MINUTES"
+                " AND view_ts <= p_ts"
+            ),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
