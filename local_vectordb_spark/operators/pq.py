@@ -483,3 +483,115 @@ def ivf_pq_residual_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_residual_search_batch(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_rows: Sequence[tuple[int, Sequence[float]]],
+    codebook: Sequence,
+    k: int = 10,
+    n_probe: int = 8,
+    n_candidates: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch form of :func:`ivf_pq_residual_search` — ONE residual
+    encode scan serves every query (residual codes are
+    query-INDEPENDENT: each row encodes against its own centroid, so
+    the (id, cluster, codes) relation is exactly the stored IVF-PQ
+    codes layout FAISS persists). Per-query state ships as two
+    broadcasts: the residual-ADC tables (as in `pq_adc_search_batch`)
+    and the (query, cluster) probe rows carrying the ⟨q̂,c⟩ constant —
+    the inner probe join is simultaneously the IVF filter AND the
+    constant lookup. Then the standard per-query top-C window and
+    exact-cosine rescore. No driver loop anywhere; |queries| scales to
+    the broadcast limit like every other batch tier."""
+    from pyspark.sql import Window
+
+    from local_vectordb_spark.functions.vector import dot_product, l2_norm
+    from local_vectordb_spark.operators.ivf import probe_clusters
+
+    if not query_rows:
+        raise ValueError("empty query batch")
+    spark = vectors.sparkSession
+    m = len(codebook)
+
+    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    enc = pq_encode_batch(codebook)
+    resid = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.element_at(cent_lit, F.col("cluster_id") + 1),
+        lambda x, y: x - y,
+    )
+    base = (
+        vectors.join(assignments, id_col)
+        .select(F.col(id_col), "cluster_id", enc(resid).alias("_codes"))
+    )
+
+    probe_rows = []
+    qt_rows = []
+    for qid, v in query_rows:
+        qhat = _unit(v)
+        qt_rows.append(
+            (
+                int(qid),
+                [[float(x) for x in r] for r in pq_adc_table(v, codebook)],
+                [float(x) for x in qhat],
+            )
+        )
+        for c in probe_clusters(centroids, v, n_probe=n_probe):
+            probe_rows.append(
+                (
+                    int(qid),
+                    int(c),
+                    float(sum(a * b for a, b in zip(qhat, centroids[c]))),
+                )
+            )
+    probes = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "query_id long, cluster_id int, _qdotc double"
+        )
+    )
+    qtbl = F.broadcast(
+        spark.createDataFrame(
+            qt_rows, "query_id long, _t array<array<double>>, _qhat array<double>"
+        )
+    )
+
+    ex = base.join(probes, "cluster_id").join(
+        qtbl.select("query_id", "_t"), "query_id"
+    )
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_t"), s + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    w_c = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc(id_col))
+    cand = (
+        ex.select("query_id", F.col(id_col), (F.col("_qdotc") + adc).alias("_adc"))
+        .withColumn("_rn", F.row_number().over(w_c))
+        .filter(F.col("_rn") <= n_candidates)
+        .select("query_id", id_col)
+    )
+    joined = cand.join(vectors.select(id_col, vec_col), id_col).join(
+        qtbl.select("query_id", "_qhat"), "query_id"
+    )
+    norm = l2_norm(F.col(vec_col))
+    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
+        dot_product(F.col(vec_col), F.col("_qhat")) / norm
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        joined.select(
+            "query_id",
+            F.col(id_col),
+            F.round(score, SCORE_DECIMALS).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w_k))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -3485,11 +3485,12 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean recall@10 OVER 8 QUERIES for the residual-encoded IVF-PQ
     tier — the multi-query honesty bar every other family already
-    meets (one query can flatter a tier). Eight per-query subplans
-    (each probe set differs, so the per-cluster ⟨q̂,c⟩ constants
-    can't share one batch ADC scan) unioned into ONE job against the
-    batch exact top-k; rows-only like every trained tier, with the
-    mean's floor asserted in tests/test_pq.py."""
+    meets (one query can flatter a tier). ONE batch plan
+    (`pq.ivf_pq_residual_search_batch`: a single residual-encode scan,
+    per-query ADC tables + ⟨q̂,c⟩ probe constants as broadcasts)
+    against the batch exact top-k — no driver loop; rows-only like
+    every trained tier, with the mean's floor asserted in
+    tests/test_pq.py."""
     from local_vectordb_spark.operators import knn as knn_ops
     from local_vectordb_spark.operators import pq
 
@@ -3501,15 +3502,13 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     exact = knn_ops.knn_batch_table(emb, qdf, k=K).select("query_id", "vec_id")
-    tier = None
-    for qid, qv in qvs:
-        got = pq.ivf_pq_residual_search(
-            emb, assignments, centroids, qv,
-            codebook=book, k=K, n_probe=8, n_candidates=150,
-        ).select(F.lit(int(qid)).alias("query_id"), "vec_id")
-        tier = got if tier is None else tier.unionByName(got)
+    tier = pq.ivf_pq_residual_search_batch(
+        emb, assignments, centroids, qvs,
+        codebook=book, k=K, n_probe=8, n_candidates=150,
+    )
     hits = (
-        tier.join(exact, ["query_id", "vec_id"])
+        tier.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("_n"))
     )

@@ -231,3 +231,31 @@ def test_ivf_pq_residual_finds_query_and_holds_recall_floor(spark):
         for row in SPARK_QUERIES["ann_recall_residual"](spark, sf).collect()
     }
     assert 0.85 <= r["ivf_pq_residual"] <= 1.0
+
+
+def test_ivf_pq_residual_batch_equals_single_query_loop(spark):
+    """The batch residual path (one encode scan + broadcast probe
+    constants) must return exactly the single-query operator's results
+    for every query — (query, id, score) triples compared as sets."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    centroids, assignments = q._ivf_index_for(spark, sf)
+    book = q._residual_book_for(spark, sf)
+    qvs = q._query_vecs(sf, max_vec_id=8)
+    batch = pq.ivf_pq_residual_search_batch(
+        emb, assignments, centroids, qvs,
+        codebook=book, k=10, n_probe=8, n_candidates=150,
+    )
+    got = {(r.query_id, r.vec_id, r.score) for r in batch.collect()}
+    want = set()
+    for qid, qv in qvs:
+        single = pq.ivf_pq_residual_search(
+            emb, assignments, centroids, qv,
+            codebook=book, k=10, n_probe=8, n_candidates=150,
+        )
+        want |= {(qid, r.vec_id, r.score) for r in single.collect()}
+    assert got == want and len(got) == 80
