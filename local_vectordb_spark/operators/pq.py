@@ -496,6 +496,7 @@ def ivf_pq_residual_search_batch(
     n_candidates: int = 150,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Batch form of :func:`ivf_pq_residual_search` — ONE residual
     encode scan serves every query (residual codes are
@@ -507,7 +508,14 @@ def ivf_pq_residual_search_batch(
     the inner probe join is simultaneously the IVF filter AND the
     constant lookup. Then the standard per-query top-C window and
     exact-cosine rescore. No driver loop anywhere; |queries| scales to
-    the broadcast limit like every other batch tier."""
+    the broadcast limit like every other batch tier.
+
+    Pass ``codes`` — an (id_col, cluster_id, codes ARRAY<INT>)
+    DataFrame materialized once with this function's encode stage — to
+    run the DEPLOYMENT shape: the ADC scan reads only the ~5
+    bytes/vector codes table and `vectors` is touched solely for the
+    top-C rescore rows. Encoding is deterministic given (book,
+    centroids), so the stored path is value-identical to inline."""
     from pyspark.sql import Window
 
     from local_vectordb_spark.functions.vector import dot_product, l2_norm
@@ -518,17 +526,20 @@ def ivf_pq_residual_search_batch(
     spark = vectors.sparkSession
     m = len(codebook)
 
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
-    enc = pq_encode_batch(codebook)
-    resid = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        F.element_at(cent_lit, F.col("cluster_id") + 1),
-        lambda x, y: x - y,
-    )
-    base = (
-        vectors.join(assignments, id_col)
-        .select(F.col(id_col), "cluster_id", enc(resid).alias("_codes"))
-    )
+    if codes is not None:
+        base = codes.select(F.col(id_col), "cluster_id", F.col("codes").alias("_codes"))
+    else:
+        cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+        enc = pq_encode_batch(codebook)
+        resid = F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster_id") + 1),
+            lambda x, y: x - y,
+        )
+        base = (
+            vectors.join(assignments, id_col)
+            .select(F.col(id_col), "cluster_id", enc(resid).alias("_codes"))
+        )
 
     probe_rows = []
     qt_rows = []

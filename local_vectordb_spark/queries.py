@@ -3524,6 +3524,64 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _residual_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster_id, codes) residual-encoded table materialized
+    once per (corpus, fixture version) — the stored IVF-PQ layout FAISS
+    persists (coarse id + fine residual codes, ~5 bytes of payload per
+    vector), sibling of `_pq_codes_for` and `_lsh_graph_for`."""
+    import os
+
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
+
+    path = os.path.join(fixture_cache_dir(sf_dir, "embeddings"), "resid_codes")
+
+    def _write(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids, assignments = _ivf_index_for(spark, sf_dir)
+        book = _residual_book_for(spark, sf_dir)
+        cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+        enc = pq.pq_encode_batch(book)
+        resid = F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cent_lit, F.col("cluster_id") + 1),
+            lambda x, y: x - y,
+        )
+        emb.join(assignments, "vec_id").select(
+            "vec_id", "cluster_id", enc(resid).alias("codes")
+        ).write.mode("overwrite").parquet(p)
+
+    return spark.read.parquet(materialize_once(path, _write))
+
+
+@register("knn_pq_residual_batch_stored")
+def knn_pq_residual_batch_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual IVF-PQ DEPLOYMENT shape: coarse cluster id + fine
+    residual codes are materialized ONCE (`_residual_codes_for` — the
+    table FAISS's IndexIVFPQ persists) and the 8-query batch search
+    scans ONLY that ~5-bytes-per-vector table; float embeddings are
+    read solely for the per-query top-150 rescore rows. At 100 TB this
+    is the difference between re-encoding the corpus per batch and a
+    codes-only scan. Encoding is deterministic given (book, centroids),
+    so stored == inline batch, pinned by a parity test; rows-only like
+    every trained tier (the recall row lives in ann_recall_residual)."""
+    from local_vectordb_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    return pq.ivf_pq_residual_search_batch(
+        emb,
+        assignments,
+        centroids,
+        _query_vecs(sf_dir, max_vec_id=8),
+        codebook=_residual_book_for(spark, sf_dir),
+        k=K,
+        n_probe=8,
+        n_candidates=150,
+        codes=_residual_codes_for(spark, sf_dir),
+    )
+
+
 def _ivf_pq_multiprobe_oracle_sql() -> str:
     """IVF-PQ at recall settings: the depth-300 PQ oracle narrowed to
     the Hamming≤2 sign-probed buckets."""

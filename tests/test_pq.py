@@ -259,3 +259,29 @@ def test_ivf_pq_residual_batch_equals_single_query_loop(spark):
         )
         want |= {(qid, r.vec_id, r.score) for r in single.collect()}
     assert got == want and len(got) == 80
+
+
+def test_residual_stored_codes_equal_inline_batch(spark):
+    """The stored residual-codes path must be value-identical to the
+    inline encode: same (query, id, score) triples from
+    knn_pq_residual_batch_stored and the codes=None batch form."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import pq
+    from local_vectordb_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    stored = {
+        (r.query_id, r.vec_id, r.score)
+        for r in q.SPARK_QUERIES["knn_pq_residual_batch_stored"](spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    centroids, assignments = q._ivf_index_for(spark, sf)
+    inline = {
+        (r.query_id, r.vec_id, r.score)
+        for r in pq.ivf_pq_residual_search_batch(
+            emb, assignments, centroids, q._query_vecs(sf, max_vec_id=8),
+            codebook=q._residual_book_for(spark, sf),
+            k=10, n_probe=8, n_candidates=150,
+        ).collect()
+    }
+    assert stored == inline and len(stored) == 80
