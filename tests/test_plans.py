@@ -484,3 +484,19 @@ def test_ivf_pq_residual_probe_broadcasts_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_residual_stored_codes_scan_never_reads_embeddings(spark, sf_dir):
+    """The stored residual-codes deployment shape (FAISS's persisted
+    IVF-PQ layout): the ADC tier's parquet scan must read ONLY
+    (vec_id, cluster_id, codes) — float embeddings may appear solely
+    in the rescore join's scan."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_pq_residual_batch_stored"](spark, sf_dir)
+    schemas = plans.read_schema_columns(df)
+    code_scans = [s for s in schemas if "codes" in s]
+    assert code_scans, f"no codes scan found in {schemas}"
+    for s in code_scans:
+        assert "embedding" not in s, f"ADC scan reads embeddings: {s}"
+    assert any("embedding" in s for s in schemas)  # the rescore join
