@@ -53,6 +53,7 @@ STRESS = [
     "text_repetition_stats",
     "docs_training_manifest",
     "dedup_lines_boilerplate",  # r8: line-level strip vs 10-deep shared chunks
+    "stream_strip_boilerplate",  # r8: the same strip as a stream-static join
 ]
 # r8 (r7 verdict #4): the sub-quadratic family at 200k vectors — every
 # entry here must hold the budget WITHOUT a quadratic stage anywhere.
