@@ -497,7 +497,16 @@ def _register_stream_strip_boilerplate() -> None:
             doc_dir,
             lambda p: staged.repartition(8).write.mode("overwrite").parquet(p),
         )
-        bp = dedup.boilerplate_lines(staged, min_docs=3, min_chars=6).select("norm")
+        # materialize the static side ONCE: a plain static DataFrame in
+        # a streaming query re-evaluates per micro-batch, so without
+        # the barrier the full heavy-hitter aggregation re-runs for
+        # every trigger (4x here with maxFilesPerTrigger=2 over 8
+        # files; unboundedly often on a long-lived ingest stream)
+        bp = (
+            dedup.boilerplate_lines(staged, min_docs=3, min_chars=6)
+            .select("norm")
+            .localCheckpoint(eager=True)
+        )
         schema = SQLT.StructType(
             [
                 SQLT.StructField("doc_id", SQLT.LongType()),
