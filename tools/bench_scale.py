@@ -74,6 +74,7 @@ STRESS_XL = [
     "dedup_minhash_lsh_md5_capped",  # caps vs 100-deep posting lists
     "fts_bm25",  # inverted index over 500k docs
     "dedup_lines_boilerplate",  # r8: corpus-linear line strip at 500k docs
+    "stream_strip_boilerplate",  # r8: the stream-static form at 500k docs
 ]
 BUDGET_S = 120.0
 
