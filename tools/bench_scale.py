@@ -75,6 +75,12 @@ STRESS_XL = [
     "fts_bm25",  # inverted index over 500k docs
     "dedup_lines_boilerplate",  # r8: corpus-linear line strip at 500k docs
     "stream_strip_boilerplate",  # r8: the stream-static form at 500k docs
+    # r8: the fully-trained residual tier end to end at 200k vectors —
+    # KMeans(16) coarse build, residual book training (bounded 4096
+    # sample), batch search, and the exact batch baseline all inside
+    # the row; mean recall@10 = 1.0 here (100-deep families co-cluster
+    # each query's true top-10 with it)
+    "ann_recall_residual",
 ]
 BUDGET_S = 120.0
 
