@@ -3462,9 +3462,12 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-book composition's 0.90 at the same depth — residual ≈ raw
     minus a small centroid when clusters barely separate); the tier
     exists for the clustered corpora where FAISS trains on residuals
-    by default, and the ≥0.85 floor plus the exact score
-    decomposition are pinned in tests/test_pq.py. The md5 tiers keep
-    the value oracles for the identical ADC machinery."""
+    by default — and that regime is MEASURED, not asserted: at the
+    sf10 stress corpus (200k vectors, 100-deep planted families that
+    DO cluster) the 8-query mean is 1.0 (BENCH_scale.json,
+    ann_recall_residual row). The ≥0.85 fixture floor plus the exact
+    score decomposition are pinned in tests/test_pq.py; the md5 tiers
+    keep the value oracles for the identical ADC machinery."""
     from local_vectordb_spark.operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
