@@ -62,6 +62,7 @@ STRESS = [
 # blocked_reference for its measured cost).
 STRESS_XL = [
     "knn_graph_lsh",  # auto-bits build at n_bits=12 (not the oracle's 4)
+    "knn_graph_auto",  # r8: the size dispatcher MEASURED routing to LSH here
     "graph_beam_search_lsh",  # build + 3-hop NSW traversal, no quadratic stage
     # r8: traverse-only over the stored graph. Stored-artifact rows
     # measure the steady state: the graph materializes once per corpus
