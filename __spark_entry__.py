@@ -44,6 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-verified in r6/r7 and is re-verified locally each round via
 # tools/verify_local.py regardless. (The trained-PQ tiers remain
 # rows-only by design and keep their recall invariants in tests.)
+#
+# Round-9 rotation note: the SEVEN queries added late in r8 with full
+# oracles but no driver row yet — graph_beam_search_stored,
+# dedup_lines_boilerplate, split_group_aware, embedding_stats,
+# api_search_auto, stream_strip_boilerplate,
+# stream_view_purchase_attribution — are tier (a) of the next window,
+# followed by whatever the r8 window leaves 3 rounds stale. All seven
+# are green in VERIFY_LOCAL_r8*.txt at three scale factors.
 _PRIORITY = [
     # (a) first driver row
     "knn_sign_batch",
