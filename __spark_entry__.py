@@ -32,80 +32,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 8 rotation (r7 verdict #1): (a) the 4
-# oracled queries with NO driver row in any round yet (the sign-batch
-# pair, the epoch-shuffle order, the stored-codes batch PQ), (b) the 3
-# queries whose last driver row is r4 — four rounds stale, the oldest
-# tier left — and (c) ALL 43 queries whose last driver row is r5,
-# which hit the 3-round staleness bound exactly this round (mm_*, the
-# funnel/as-of/cohort events family, the sampling/curation family, the
-# text long tail, streaming, and the relational percentile/cube/ntile
-# tail). 4+3+43 = exactly the 50-slot window; everything else was
-# driver-verified in r6/r7 and is re-verified locally each round via
-# tools/verify_local.py regardless. (The trained-PQ tiers remain
+# in registration order. Round 9 rotation (r8 verdict #1): (a) the 9
+# full-oracle queries with NO driver row in any round — the seven added
+# late in r8 (graph_beam_search_stored, dedup_lines_boilerplate,
+# split_group_aware, embedding_stats, api_search_auto,
+# stream_strip_boilerplate, stream_view_purchase_attribution) plus
+# knn_graph_auto (added r8 with knn_graph's full oracle) and the new
+# crud_time_travel (r8 verdict #5) — then (b) 41 of the 50 queries
+# whose last driver row is r6, which hit the 3-round staleness bound
+# this round. The 9 deferred r6-tier queries (simple single-shape
+# relational built-ins, unchanged since r6: string_funcs_parts,
+# date_funcs_monthly_revenue, pivot_status_by_priority,
+# setops_wealthy_nations, scalar_subquery_premium_parts,
+# semi_join_deep_discount_orders, grouping_sets_flag_status,
+# numeric_stats_lineitem, window_running_totals) lead the r10 window;
+# they remain re-verified locally at three scale factors each round via
+# tools/verify_local.py. (The trained/residual PQ tiers remain
 # rows-only by design and keep their recall invariants in tests.)
-#
-# Round-9 rotation note: the SEVEN queries added late in r8 with full
-# oracles but no driver row yet — graph_beam_search_stored,
-# dedup_lines_boilerplate, split_group_aware, embedding_stats,
-# api_search_auto, stream_strip_boilerplate,
-# stream_view_purchase_attribution — are tier (a) of the next window,
-# followed by whatever the r8 window leaves 3 rounds stale. All seven
-# are green in VERIFY_LOCAL_r8*.txt at three scale factors.
 _PRIORITY = [
-    # (a) first driver row
-    "knn_sign_batch",
-    "knn_sign_batch_pruned",
-    "docs_shuffle_order",
-    "knn_pq_batch_stored",
-    # (b) last driver row r4
-    "dedup_minhash_lsh",
-    "ivf_search",
-    "lsh_bucket_pairs",
-    # (c) last driver row r5 — the full 43-query tier
-    "api_search_batch_table",
-    "text_langid",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh_md5_capped",
-    "dedup_lsh_bucket_audit",
-    "dedup_simhash",
-    "embed_letter_knn",
-    "embed_hashed_md5",
-    "embed_hashed",
-    "mm_media_meta",
-    "mm_frame_sample",
-    "ivf_batch_search",
-    "ivf_search_pruned",
-    "lsh_search",
-    "text_fingerprint_rolling",
-    "text_fingerprint_winnow",
-    "chunk_documents",
-    "embed_pool_by_label",
-    "quantiles_order_value",
-    "skew_salted_event_counts",
-    "text_bpe_token_stats",
-    "sketch_distinct_users_daily",
-    "events_interarrival",
-    "text_repetition_stats",
-    "text_pii_scrub_audit",
-    "events_partition_pruned_scan",
-    "events_retention_cohorts",
-    "docs_zipf_token_freq",
-    "events_session_funnel",
-    "events_error_burst_windows",
-    "docs_quality_quantiles",
-    "orders_percentile_by_priority",
-    "part_cube_brand_size",
-    "supplier_balance_ntile",
-    "stream_tumbling_hour",
-    "stream_sliding_window",
-    "stream_sessionize",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_train_val_test",
-    "events_asof_last_view",
-    "events_band_clicks_near_errors",
-    "docs_dedup_family_sizes",
+    # (a) first driver row — all full-oracle
+    "graph_beam_search_stored",
+    "dedup_lines_boilerplate",
+    "split_group_aware",
+    "embedding_stats",
+    "api_search_auto",
+    "stream_strip_boilerplate",
+    "stream_view_purchase_attribution",
+    "knn_graph_auto",
+    "crud_time_travel",
+    # (b) last driver row r6 — 41 of the 50-query tier
+    "ann_recall_report",
+    "anti_join_never_bulk_ordered_parts",
+    "api_search_cosine",
+    "decontam_ngram_overlap",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_keep_best_per_family",
+    "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_md5",
+    "docs_training_manifest",
+    "ivf_pq_search",
+    "knn_graph_broadcast",
+    "knn_pq_adc",
+    "knn_range_search",
+    "lsh_search_md5",
+    "pack_token_budget",
+    "sample_temperature_by_lang",
+    "stream_dedup_exact",
+    "text_scrub_denylist",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_late_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_latency_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_rich_customers",
 ]
 
 
