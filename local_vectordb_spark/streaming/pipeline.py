@@ -92,24 +92,59 @@ def run_available_now(
     query_name: str,
     output_mode: str = "append",
     timeout_sec: int = 300,
+    shuffle_partitions: int | None = None,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Drain all currently-available input through the streaming plan
     (trigger=availableNow) into an in-memory table; return it.
 
+    ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` to
+    this streaming run (captured by the stream at start, restored
+    after): stateful operators allocate one state store per shuffle
+    partition, so a KB-scale-state query on a 32-core session otherwise
+    pays 32 state-store instances x per-batch commit overhead for
+    state that fits in one. Size it by STATE volume, not corpus volume
+    — a 100 TB ingest stream keyed on billions of users wants hundreds
+    of state partitions; a per-(window,type) aggregate with dozens of
+    groups wants single digits. Fresh checkpoints only: repartitioning
+    state under an existing checkpoint is an error.
+
+    ``progress_sink`` (a list) receives the run's per-trigger
+    StreamingQueryProgress dicts, so tests can assert state-store row
+    bounds across micro-batches.
+
     Test/inspection helper — production sinks are parquet/kafka via the
     same writeStream with a checkpointLocation.
     """
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    import json as _json
+
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(f"stream {query_name} still running after {timeout_sec}s")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"stream {query_name} still running after {timeout_sec}s"
+                )
+            if progress_sink is not None:
+                for p in q.recentProgress:
+                    progress_sink.append(
+                        _json.loads(p.json) if hasattr(p, "json") else p
+                    )
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return sdf.sparkSession.table(query_name)
+        if shuffle_partitions is not None:
+            spark.conf.set(key, old)
+    return spark.table(query_name)

@@ -362,3 +362,68 @@ def test_stream_stream_attribution_matches_batch_range_join(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_ordered_replay_staging_is_event_time_ordered(spark, sf_dir):
+    """`_staged_events_ordered` invariants that make the minutes-scale
+    watermark sound: walking files in mtime order walks event time —
+    mtimes strictly increase with part number, and each file's min ts
+    is >= the previous file's max ts (range partitioning), so the
+    replay has zero cross-batch late data."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from local_vectordb_spark.queries_streaming import _staged_events_ordered
+
+    path = _staged_events_ordered(spark, sf_dir)
+    parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    assert len(parts) >= 4
+    mtimes = [os.stat(os.path.join(path, f)).st_mtime for f in parts]
+    assert all(a < b for a, b in zip(mtimes, mtimes[1:]))
+    prev_max = None
+    for f in parts:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        mins = [md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)]
+        if prev_max is not None:
+            assert min(mins) >= prev_max
+        prev_max = max(maxs)
+
+
+def test_stream_stream_attribution_state_bounded(spark, sf_dir):
+    """The bounded-state claim, MEASURED (r8 verdict #2): draining the
+    ordered replay with the 10-minute watermark must (a) run several
+    micro-batches, (b) actually EVICT join state as the watermark
+    advances, and (c) never hold state anywhere near corpus size —
+    the live horizon is watermark + the 30-minute range predicate, so
+    buffered rows track the clock, not the drain length."""
+    from local_vectordb_spark.queries_streaming import _view_purchase_joined
+
+    prog: list = []
+    out = st.run_available_now(
+        _view_purchase_joined(spark, sf_dir),
+        f"t_attr_state_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+        shuffle_partitions=4,
+        progress_sink=prog,
+    )
+    assert out.count() > 0
+    batches = [p for p in prog if p.get("stateOperators")]
+    assert len([p for p in batches if p["numInputRows"] > 0]) >= 4
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in batches
+    ]
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in batches for op in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted any join state"
+    ev_df = load_table(spark, sf_dir, "events")
+    n_side = ev_df.filter(F.col("event_type").isin("view", "purchase")).count()
+    # peak state must be far below the corpus the old 35-day horizon
+    # would have buffered (both sides combined)
+    assert max(totals) < 0.5 * n_side, (max(totals), n_side)
