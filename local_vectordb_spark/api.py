@@ -364,11 +364,17 @@ class VectorDB:
 
     def _chunk_count(self) -> int:
         """Corpus size for the auto-strategy dispatch, cached per table
-        VERSION (writes bump `_version`, so the count job runs once per
-        write generation — dispatch is a property of the corpus, not of
-        any per-search filter, hence the UNfiltered table)."""
-        if self._count_cache is None or self._count_cache[0] != self._version:
-            self._count_cache = (self._version, self.table("chunks").count())
+        generation — keyed on the ON-DISK version (one tiny pointer-file
+        read per search), not the in-process write counter: another
+        instance/process committing through the same `_CURRENT` pointer
+        must invalidate this cache too, or index_type='auto' would
+        dispatch on a stale count indefinitely (r8 ADVICE). The count
+        job itself still runs once per write generation — dispatch is a
+        property of the corpus, not of any per-search filter, hence the
+        UNfiltered table."""
+        v = self._current_version("chunks")
+        if self._count_cache is None or self._count_cache[0] != v:
+            self._count_cache = (v, self.table("chunks").count())
         return self._count_cache[1]
 
     def search(

@@ -97,12 +97,23 @@ def materialize_once(path: str, write_fn) -> str:
         return path
     tmp = f"{path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    write_fn(tmp)
-    if os.path.exists(path) and not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
     try:
-        os.rename(tmp, path)
-    except OSError:
+        write_fn(tmp)
+        if os.path.exists(path) and not os.path.exists(marker):
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # losing the race to a concurrent builder is the ONLY
+            # failure this may swallow — verify a complete destination
+            # actually exists before serving it; any other rename error
+            # must surface here, not as a confusing downstream read of
+            # a path that was never created (r8 ADVICE)
+            if not os.path.exists(marker):
+                raise
+    finally:
+        # a write_fn crash (or a lost race) must not accumulate full
+        # Spark output directories in the tempdir across retries
         shutil.rmtree(tmp, ignore_errors=True)
     return path
 

@@ -500,3 +500,63 @@ def test_time_travel_reads_retained_version_and_rejects_gcd(spark, tmp_path):
         d.table("libraries", version=prev)
     with pytest.raises(ValueError, match="not available"):
         d.table("libraries", version=live + 99)
+
+
+def test_auto_count_cache_invalidated_by_other_instance(db, spark):
+    """The auto-dispatch sizing cache is keyed on the ON-DISK table
+    version (r8 ADVICE): a write committed by ANOTHER VectorDB instance
+    through the shared _CURRENT pointer must refresh this instance's
+    cached corpus count — the in-process write counter alone would
+    serve a stale size forever."""
+    d, _, doc_ids, _ = db
+    other = VectorDB(spark, d.root)  # second writer, same store
+    n0 = d._chunk_count()
+    other.add(
+        "chunks",
+        spark.createDataFrame(
+            [
+                (str(uuid.uuid4()), {}, None, None, f"xinst {i}", None, doc_ids[0])
+                for i in range(3)
+            ],
+            SCHEMAS["chunks"],
+        ),
+    )
+    assert d._chunk_count() == n0 + 3
+
+
+def test_materialize_once_cleans_tmp_on_failure_and_serves_race_winner(tmp_path):
+    """A crashing write_fn must propagate AND leave no tmp directory
+    behind (repeated failures otherwise accumulate full Spark output
+    dirs in the tempdir); losing the rename race to a completed
+    concurrent builder must serve the winner's directory (r8 ADVICE)."""
+    import os
+    import pathlib
+
+    from local_vectordb_spark.session import materialize_once
+
+    dest = str(tmp_path / "cache")
+
+    def boom(p):
+        os.makedirs(p)
+        (tmp_path / "cache.tmp-was-created").touch()
+        raise RuntimeError("writer crashed")
+
+    with pytest.raises(RuntimeError, match="writer crashed"):
+        materialize_once(dest, boom)
+    assert not os.path.exists(dest)
+    leftovers = [e for e in os.listdir(tmp_path) if e.startswith("cache.tmp.")]
+    assert leftovers == []
+
+    def lose_race(p):
+        os.makedirs(p)
+        (pathlib.Path(p) / "part-0").write_text("mine")
+        # a concurrent builder completes the destination first
+        os.makedirs(dest)
+        (pathlib.Path(dest) / "part-0").write_text("winner")
+        (pathlib.Path(dest) / "_SUCCESS").touch()
+
+    got = materialize_once(dest, lose_race)
+    assert got == dest
+    assert (pathlib.Path(dest) / "part-0").read_text() == "winner"
+    leftovers = [e for e in os.listdir(tmp_path) if e.startswith("cache.tmp.")]
+    assert leftovers == []
