@@ -269,20 +269,29 @@ class VectorDB:
 
     def _validated(
         self, kind: str, rows: DataFrame, allow_null_fk: bool = False
-    ) -> DataFrame:
-        """C8: drop rows whose supplied FK has no parent (the reference
-        rejects the whole request with 404; batch semantics keep valid
-        rows). Rows with a null FK pass through — on update that means
-        'keep the base row's parent' (partial-update semantics)."""
-        if kind in _PARENTS:
-            fk, parent = _PARENTS[kind]
-            with_fk = rows.filter(F.col(fk).isNotNull()).join(
-                self.table(parent).select(F.col("id").alias(fk)), fk, "left_semi"
-            )
-            if allow_null_fk:
-                with_fk = with_fk.unionByName(rows.filter(F.col(fk).isNull()))
-            rows = with_fk
-        return rows
+    ) -> tuple[DataFrame, DataFrame]:
+        """C8: split rows into (valid, fk_violators). A violator's FK
+        names no parent row — the reference rejects the whole request
+        with 400/404 (src/main.py:159-162, 221-232); batch semantics
+        keep valid rows AND return the violators so callers can surface
+        them loudly (r9 verdict #1: silent drops are data loss at
+        100 TB). Rows with a null FK pass through only when
+        allow_null_fk — on update a null FK means 'keep the base row's
+        parent' (partial-update semantics); on insert it is a
+        violation like any other missing parent."""
+        if kind not in _PARENTS:
+            return rows, rows.filter(F.lit(False))
+        fk, parent = _PARENTS[kind]
+        parent_keys = self.table(parent).select(F.col("id").alias(fk))
+        non_null = rows.filter(F.col(fk).isNotNull())
+        valid = non_null.join(parent_keys, fk, "left_semi")
+        violators = non_null.join(parent_keys, fk, "left_anti")
+        null_fk = rows.filter(F.col(fk).isNull())
+        if allow_null_fk:
+            valid = valid.unionByName(null_fk)
+        else:
+            violators = violators.unionByName(null_fk)
+        return valid, violators
 
     def _embedded(self, kind: str, rows: DataFrame) -> DataFrame:
         """E1: chunks without an embedding get one from the batch
@@ -299,13 +308,21 @@ class VectorDB:
 
     def add(self, kind: str, rows: DataFrame) -> DataFrame:
         """C4 insert (+C8 FK, +C9 duplicate rejection, +E1 embed).
-        Returns the rejected-duplicate rows (empty when all inserted)."""
+        Returns EVERY rejected row — duplicates AND FK violators —
+        tagged with a `reject_reason` column ('duplicate_id' |
+        'missing_parent'); empty when all inserted. The reference 400s
+        the whole request on either condition (src/main.py:110-114,
+        221-232); batch semantics keep valid rows but never silently
+        drop the bad ones (r9 verdict #1)."""
         base_v, base = self._snapshot(kind)
-        rows = self._validated(kind, rows)
-        accepted, rejected = crud.reject_duplicates(base, rows, "id")
+        rows, fk_rejected = self._validated(kind, rows)
+        accepted, dup_rejected = crud.reject_duplicates(base, rows, "id")
         accepted = self._embedded(kind, accepted).withColumn(
             "created_at", F.coalesce("created_at", F.current_timestamp())
         ).withColumn("updated_at", F.coalesce("updated_at", F.current_timestamp()))
+        rejected = dup_rejected.withColumn(
+            "reject_reason", F.lit("duplicate_id")
+        ).unionByName(fk_rejected.withColumn("reject_reason", F.lit("missing_parent")))
         # materialize before the overwrite invalidates the files this
         # lazy plan reads from
         rejected = rejected.localCheckpoint(eager=True)
@@ -316,19 +333,39 @@ class VectorDB:
         )
         return rejected
 
-    def update(self, kind: str, updates: DataFrame) -> None:
+    def add_strict(self, kind: str, rows: DataFrame) -> None:
+        """add() with the reference's request-level semantics: ANY
+        rejected row (duplicate id or missing parent) raises ValueError
+        naming up to 10 offending ids, and nothing the caller sent is
+        lost silently. (The valid rows ARE committed first, like the
+        batch form — this surfaces the failure, it does not roll back.)
+        """
+        rejected = self.add(kind, rows)
+        bad = rejected.select("id", "reject_reason").limit(10).collect()
+        if bad:
+            detail = ", ".join(f"{r.id} ({r.reject_reason})" for r in bad)
+            raise ValueError(f"add({kind}): rejected rows: {detail}")
+
+    def update(self, kind: str, updates: DataFrame) -> DataFrame:
         """C5 — partial update: non-null fields win, created_at is
         preserved, updated_at bumped; chunks whose content changed
         without a supplied embedding are re-embedded (E1 update path,
-        src/main.py:295-299)."""
-        updates = self._validated(kind, updates, allow_null_fk=True)
+        src/main.py:295-299). A null FK keeps the base row's parent; a
+        NON-null FK naming a missing parent rejects that row — returned
+        tagged `reject_reason='missing_parent'`, never silently dropped
+        (reference 400s, src/main.py:295-299 via get_document)."""
+        updates, fk_rejected = self._validated(kind, updates, allow_null_fk=True)
         updates = self._embedded(kind, updates)
         updates = updates.withColumn("updated_at", F.current_timestamp())
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base
+        rejected = fk_rejected.withColumn(
+            "reject_reason", F.lit("missing_parent")
+        ).localCheckpoint(eager=True)
         base_v, base = self._snapshot(kind)
         merged = crud.upsert(base, updates, "id").select(*base.columns)
         self._write(kind, merged, expected_version=base_v)
+        return rejected
 
     def delete(self, kind: str, keys: DataFrame) -> None:
         """C6 delete + C7 cascade (library -> documents -> chunks)."""
@@ -644,13 +681,18 @@ class VectorDB:
 
     def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
-        table version.
+        table version — keyed on the ON-DISK _CURRENT version like
+        _chunk_count (r9 ADVICE): a commit by ANOTHER instance/process
+        through the shared pointer must invalidate this cache too, or
+        this instance serves search candidates from a stale index
+        indefinitely. One tiny pointer-file read per search.
 
         Always built from the UNFILTERED chunks table: search() applies
         its metadata filter to the candidate set only (ivf_search's
         semi join), so a filtered first search can't poison the cache
         for later differently-filtered ones."""
-        if self._ivf is None or self._ivf_version != self._version:
+        disk_v = self._current_version("chunks")
+        if self._ivf is None or self._ivf_version != disk_v:
             if self._ivf is not None:
                 # release the stale version's cached blocks before
                 # rebuilding, or write-heavy sessions accumulate them
@@ -662,5 +704,5 @@ class VectorDB:
                 chunks, n_clusters=k_clusters, id_col="id"
             )
             self._ivf = (centroids, assignments.cache())
-            self._ivf_version = self._version
+            self._ivf_version = disk_v
         return self._ivf

@@ -166,16 +166,84 @@ def test_duplicate_ids_rejected(db, spark):
     assert d.table("chunks").count() == 10
 
 
-def test_fk_violation_dropped(db, spark):
+def test_fk_violation_rejected_loudly(db, spark):
+    """r9 verdict #1: a chunk naming a missing parent document must be
+    kept OUT of the table AND reported back — never silently dropped
+    (the reference 400s the request, src/main.py:221-232)."""
     d, *_ = db
-    d.add(
+    orphan_id = str(uuid.uuid4())
+    rejected = d.add(
         "chunks",
         spark.createDataFrame(
-            [(str(uuid.uuid4()), {}, None, None, "orphan", None, str(uuid.uuid4()))],
+            [(orphan_id, {}, None, None, "orphan", None, str(uuid.uuid4()))],
             SCHEMAS["chunks"],
         ),
     )
     assert d.table("chunks").filter("content = 'orphan'").count() == 0
+    bad = rejected.collect()
+    assert [(r.id, r.reject_reason) for r in bad] == [(orphan_id, "missing_parent")]
+
+
+def test_fk_null_on_insert_rejected(db, spark):
+    """On INSERT a null FK is a violation too (every reference create
+    route requires the parent id); only update treats null as
+    'keep the base parent'."""
+    d, *_ = db
+    rejected = d.add(
+        "chunks",
+        spark.createDataFrame(
+            [(str(uuid.uuid4()), {}, None, None, "no-parent", None, None)],
+            SCHEMAS["chunks"],
+        ),
+    )
+    assert rejected.count() == 1
+    assert rejected.collect()[0].reject_reason == "missing_parent"
+    assert d.table("chunks").filter("content = 'no-parent'").count() == 0
+
+
+def test_add_strict_raises_on_any_rejection(db, spark):
+    """add_strict is the reference's request-level 400: any rejected
+    row raises, naming the offending ids and reasons."""
+    d, *_ = db
+    with pytest.raises(ValueError, match="missing_parent"):
+        d.add_strict(
+            "chunks",
+            spark.createDataFrame(
+                [
+                    (
+                        str(uuid.uuid4()),
+                        {},
+                        None,
+                        None,
+                        "strict-orphan",
+                        None,
+                        str(uuid.uuid4()),
+                    )
+                ],
+                SCHEMAS["chunks"],
+            ),
+        )
+
+
+def test_update_fk_violation_rejected_loudly(db, spark):
+    """An UPDATE retargeting a chunk at a nonexistent parent must
+    reject that row (reported, not applied, not dropped silently);
+    the base row keeps its original parent."""
+    d, _, _, chunk_ids = db
+    cid = chunk_ids[2]
+    before = d.get("chunks", cid).collect()[0]
+    rejected = d.update(
+        "chunks",
+        spark.createDataFrame(
+            [(cid, None, None, None, None, None, str(uuid.uuid4()))],
+            SCHEMAS["chunks"],
+        ),
+    )
+    assert [(r.id, r.reject_reason) for r in rejected.collect()] == [
+        (cid, "missing_parent")
+    ]
+    after = d.get("chunks", cid).collect()[0]
+    assert after.document_id == before.document_id
 
 
 def test_update_reembeds_changed_content(db, spark):
@@ -507,21 +575,77 @@ def test_auto_count_cache_invalidated_by_other_instance(db, spark):
     version (r8 ADVICE): a write committed by ANOTHER VectorDB instance
     through the shared _CURRENT pointer must refresh this instance's
     cached corpus count — the in-process write counter alone would
-    serve a stale size forever."""
-    d, _, doc_ids, _ = db
+    serve a stale size forever.
+
+    Seeds its own parent document: the module fixture's doc_ids were
+    cascade-deleted earlier, and FK-violating inserts are (correctly)
+    rejected — the r9 suite failure was exactly this stale-id read."""
+    d, *_ = db
     other = VectorDB(spark, d.root)  # second writer, same store
-    n0 = d._chunk_count()
+    lib_id = str(uuid.uuid4())
     other.add(
+        "libraries",
+        spark.createDataFrame(
+            [(lib_id, {}, None, None, "xinst-lib")], SCHEMAS["libraries"]
+        ),
+    )
+    doc_id = str(uuid.uuid4())
+    other.add(
+        "documents",
+        spark.createDataFrame(
+            [(doc_id, {}, None, None, "xinst-doc", lib_id)], SCHEMAS["documents"]
+        ),
+    )
+    n0 = d._chunk_count()
+    rejected = other.add(
         "chunks",
         spark.createDataFrame(
             [
-                (str(uuid.uuid4()), {}, None, None, f"xinst {i}", None, doc_ids[0])
+                (str(uuid.uuid4()), {}, None, None, f"xinst {i}", None, doc_id)
                 for i in range(3)
             ],
             SCHEMAS["chunks"],
         ),
     )
+    assert rejected.count() == 0  # all three inserted, none rejected
     assert d._chunk_count() == n0 + 3
+
+
+def test_ivf_index_invalidated_by_other_instance(db, spark):
+    """r9 ADVICE: the cached IVF index must be keyed on the ON-DISK
+    version like the count cache — a chunk committed by another
+    instance must be findable through THIS instance's ivf search, not
+    filtered out by a stale cached candidate assignment table."""
+    d, *_ = db
+    d.search(QUESTIONS[0], index_type="ivf", k=3)  # warm the cache
+    other = VectorDB(spark, d.root)
+    lib_id = str(uuid.uuid4())
+    other.add(
+        "libraries",
+        spark.createDataFrame(
+            [(lib_id, {}, None, None, "ivf-inval-lib")], SCHEMAS["libraries"]
+        ),
+    )
+    doc_id = str(uuid.uuid4())
+    other.add(
+        "documents",
+        spark.createDataFrame(
+            [(doc_id, {}, None, None, "ivf-inval-doc", lib_id)],
+            SCHEMAS["documents"],
+        ),
+    )
+    marker = "zyxw unique ivf invalidation probe"
+    other.add(
+        "chunks",
+        spark.createDataFrame(
+            [(str(uuid.uuid4()), {}, None, None, marker, None, doc_id)],
+            SCHEMAS["chunks"],
+        ),
+    )
+    hits = d.search(marker, index_type="ivf", k=3).collect()
+    top = max(hits, key=lambda r: r.score)
+    assert top.content == marker
+    assert top.score == pytest.approx(1.0, abs=1e-5)
 
 
 def test_materialize_once_cleans_tmp_on_failure_and_serves_race_winner(tmp_path):

@@ -244,9 +244,10 @@ def test_stream_upserts_invalidate_and_rebuild_ivf(spark, sf_dir, tmp_path):
         ),
     )
     db.search(query="warm the index", index_type="ivf", k=1).collect()
-    v_before = db._version
-    ivf_before = db._ivf_version
-    assert ivf_before == v_before  # index is current pre-stream
+    # the cache is keyed on the ON-DISK chunks version (r9 ADVICE —
+    # cross-instance writes must invalidate it too)
+    v_before = db._current_version("chunks")
+    assert db._ivf_version == v_before  # index is current pre-stream
 
     src = tmp_path / "incoming"
     src.mkdir()
@@ -264,10 +265,11 @@ def test_stream_upserts_invalidate_and_rebuild_ivf(spark, sf_dir, tmp_path):
         (src / f"s{i}.json").write_text(json.dumps(rec))
     run_chunk_upsert_stream_into_db(spark, str(src), db, str(tmp_path / "ckpt"))
 
-    assert db._version > v_before          # stream committed new versions
-    assert db._ivf_version < db._version   # cache is stale -> will rebuild
+    v_now = db._current_version("chunks")
+    assert v_now > v_before            # stream committed new versions
+    assert db._ivf_version < v_now     # cache is stale -> will rebuild
     hits = db.search(query=special, index_type="ivf", k=3).collect()
-    assert db._ivf_version == db._version  # search rebuilt the index
+    assert db._ivf_version == db._current_version("chunks")  # rebuilt
     assert hits[0].id == "s3"              # streamed chunk is the top hit
     assert db.table("chunks").count() == 25
 
