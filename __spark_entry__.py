@@ -32,76 +32,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 9 rotation (r8 verdict #1): (a) the 9
-# full-oracle queries with NO driver row in any round — the seven added
-# late in r8 (graph_beam_search_stored, dedup_lines_boilerplate,
-# split_group_aware, embedding_stats, api_search_auto,
-# stream_strip_boilerplate, stream_view_purchase_attribution) plus
-# knn_graph_auto (added r8 with knn_graph's full oracle) and the new
-# crud_time_travel (r8 verdict #5) — then (b) 41 of the 50 queries
-# whose last driver row is r6, which hit the 3-round staleness bound
-# this round. The 9 deferred r6-tier queries (simple single-shape
-# relational built-ins, unchanged since r6: string_funcs_parts,
-# date_funcs_monthly_revenue, pivot_status_by_priority,
-# setops_wealthy_nations, scalar_subquery_premium_parts,
-# semi_join_deep_discount_orders, grouping_sets_flag_status,
-# numeric_stats_lineitem, window_running_totals) lead the r10 window;
-# they remain re-verified locally at three scale factors each round via
+# in registration order. Round 10 rotation (r9 verdict #3): (a) the 9
+# r6-tier queries deferred from the r9 window (last driver row r6 — at
+# the 3-round staleness bound, they MUST lead this window), then
+# (b) 41 of the 50 queries whose last driver row is r7. Every crud_*,
+# api_*, and knn/ivf/graph mutation entry from the r7 tier stays
+# IN-window because add()/update() FK semantics changed this round
+# (loud rejection, commit 9e86582). The 9 deferred r7-tier queries are
+# simple single-shape built-ins unchanged since r7 (events_json_extract,
+# events_tumbling_hour, events_sliding_window, events_sessionize,
+# rollup_revenue, window_top_orders_per_customer, text_quality,
+# text_token_stats, graph_bfs_2hop); they lead the r11 window and
+# remain re-verified locally at three scale factors each round via
 # tools/verify_local.py. (The trained/residual PQ tiers remain
 # rows-only by design and keep their recall invariants in tests.)
 _PRIORITY = [
-    # (a) first driver row — all full-oracle
-    "graph_beam_search_stored",
-    "dedup_lines_boilerplate",
-    "split_group_aware",
-    "embedding_stats",
-    "api_search_auto",
-    "stream_strip_boilerplate",
-    "stream_view_purchase_attribution",
-    "knn_graph_auto",
-    "crud_time_travel",
-    # (b) last driver row r6 — 41 of the 50-query tier
-    "ann_recall_report",
-    "anti_join_never_bulk_ordered_parts",
-    "api_search_cosine",
-    "decontam_ngram_overlap",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_keep_best_per_family",
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_md5",
-    "docs_training_manifest",
-    "ivf_pq_search",
-    "knn_graph_broadcast",
-    "knn_pq_adc",
-    "knn_range_search",
-    "lsh_search_md5",
-    "pack_token_budget",
-    "sample_temperature_by_lang",
-    "stream_dedup_exact",
-    "text_scrub_denylist",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_late_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_latency_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_rich_customers",
+    # (a) last driver row r6 — deferred from r9, staleness bound hit
+    "string_funcs_parts",
+    "date_funcs_monthly_revenue",
+    "pivot_status_by_priority",
+    "setops_wealthy_nations",
+    "scalar_subquery_premium_parts",
+    "semi_join_deep_discount_orders",
+    "grouping_sets_flag_status",
+    "numeric_stats_lineitem",
+    "window_running_totals",
+    # (b) last driver row r7 — 41 of the 50-query tier
+    "ann_recall_multi",
+    "api_search_batch_cosine",
+    "crud_cascade_delete",
+    "crud_delete",
+    "crud_exists_semi",
+    "crud_fk_orphans",
+    "crud_full_scan",
+    "crud_insert_append",
+    "crud_point_lookup",
+    "crud_reject_duplicates",
+    "crud_truncate",
+    "crud_upsert",
+    "fts_bm25",
+    "graph_add_remove",
+    "graph_beam_search",
+    "graph_beam_search_lsh",
+    "graph_lsh_edge_recall",
+    "hybrid_rrf",
+    "ivf_add_remove_roundtrip",
+    "ivf_batch_search_full_probe",
+    "ivf_pq_multiprobe",
+    "ivf_search_full_probe",
+    "ivf_sign_multiprobe",
+    "ivf_sign_pruned",
+    "knn_batch",
+    "knn_brute_force",
+    "knn_graph",
+    "knn_graph_lsh",
+    "knn_hydrated",
+    "knn_metadata_filter",
+    "knn_mmr_diversified",
+    "knn_pq_adc_deep",
+    "knn_pq_batch",
+    "knn_pq_stored",
+    "knn_sq8",
+    "lsh_search_md5_multi",
+    "stream_dedup_fingerprint",
+    "stream_then_ivf_search",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_pq_adc_deep",
     "knn_pq_trained",
     "knn_pq_batch",  # r7: one codes scan serving 8 queries
+    "knn_pq_residual_batch_stored",  # r10: residual-coded batch over stored codes
     "knn_graph_lsh",  # r7: bucket-local graph build (beats blocked at 10x)
     "ivf_pq_trained",  # r7: fully-trained FAISS-shaped composition
     "ivf_pq_residual",  # r8: residual-encoded IndexIVFPQ fidelity tier
@@ -93,6 +94,8 @@ HEADLINE = [
     "split_group_aware",  # r8: near-dup-family leakage-safe split
     "docs_training_manifest",  # r6: full curation funnel as one plan
     "pack_token_budget",
+    # storage engine
+    "crud_time_travel",  # r10: versioned snapshot read (time travel)
 ]
 
 

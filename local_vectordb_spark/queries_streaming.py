@@ -49,8 +49,13 @@ def _staged_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 8) -
     never exercised eviction)."""
     from local_vectordb_spark.session import fixture_cache_dir, materialize_once
 
+    # n_files is part of the layout: a cached 8-file staging silently
+    # served to a caller asking for a different replay granularity
+    # would change trigger counts and watermark progression with no
+    # cache invalidation (r9 ADVICE) — so it names the directory.
     out = os.path.join(
-        fixture_cache_dir(sf_dir, "events", "lvdb_stream"), "events_by_ts"
+        fixture_cache_dir(sf_dir, "events", "lvdb_stream"),
+        f"events_by_ts_{n_files}",
     )
 
     def _write(p: str) -> None:
@@ -531,64 +536,14 @@ def _register_stream_strip_boilerplate() -> None:
         batch-side (`dedup.boilerplate_lines` over the same staged
         multi-line corpus — in production, yesterday's heavy-hitter
         table). The anti-join is stateless per micro-batch (the static
-        side broadcasts into each batch; no watermark, no state store),
-        which is what makes boilerplate-stripping deployable on an
-        ingest stream where the full-corpus line count is not
-        computable online. Drains via availableNow into an append sink,
-        then aggregates per lang; the oracle replays the identical
-        batch semantics, so the entry is FULL-value-checked."""
-        from pyspark.sql import types as SQLT
-
-        from local_vectordb_spark.functions.text import normalize_text
-        from local_vectordb_spark.operators import dedup
-        from local_vectordb_spark.queries import _docs_multiline
-        from local_vectordb_spark.session import fixture_cache_dir, materialize_once
-
-        staged = _docs_multiline(spark, sf_dir)
-        doc_dir = os.path.join(
-            fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_multiline"
-        )
-        materialize_once(
-            doc_dir,
-            lambda p: staged.repartition(8).write.mode("overwrite").parquet(p),
-        )
-        # materialize the static side ONCE PER CORPUS FINGERPRINT (not
-        # merely once per run): a plain static DataFrame in a streaming
-        # query re-evaluates per micro-batch, and even an eager
-        # localCheckpoint re-pays the heavy-hitter aggregation on every
-        # run. Persisting it beside the staged corpus is the production
-        # shape the docstring names — yesterday's heavy-hitter table,
-        # built by the batch pass, read by the ingest stream.
-        bp_dir = os.path.join(
-            fixture_cache_dir(sf_dir, "documents", "lvdb_stream"),
-            "docs_multiline_bp_d3c6",
-        )
-        materialize_once(
-            bp_dir,
-            lambda p: dedup.boilerplate_lines(staged, min_docs=3, min_chars=6)
-            .select("norm")
-            .write.mode("overwrite")
-            .parquet(p),
-        )
-        bp = spark.read.parquet(bp_dir)
-        schema = SQLT.StructType(
-            [
-                SQLT.StructField("doc_id", SQLT.LongType()),
-                SQLT.StructField("lang", SQLT.StringType()),
-                SQLT.StructField("text", SQLT.StringType()),
-            ]
-        )
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)  # several micro-batches
-            .parquet(doc_dir)
-        )
-        lines = stream.select(
-            "doc_id",
-            "lang",
-            F.explode(F.split(F.col("text"), "\n")).alias("line"),
-        ).withColumn("norm", normalize_text(F.col("line")))
-        kept = lines.join(bp, "norm", "left_anti").select("doc_id", "lang")
+        side broadcasts into each batch; no watermark, no state store —
+        asserted per-trigger in tests/test_streaming.py), which is what
+        makes boilerplate-stripping deployable on an ingest stream
+        where the full-corpus line count is not computable online.
+        Drains via availableNow into an append sink, then aggregates
+        per lang; the oracle replays the identical batch semantics, so
+        the entry is FULL-value-checked."""
+        kept = _stripped_lines_stream(spark, sf_dir)
         out = st.run_available_now(
             kept, "q_stream_strip_bp", output_mode="append"
         )
@@ -596,6 +551,65 @@ def _register_stream_strip_boilerplate() -> None:
             F.count("*").alias("n_lines_kept"),
             F.countDistinct("doc_id").alias("n_docs"),
         )
+
+
+def _stripped_lines_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static anti-join plan shared by the registered
+    stream_strip_boilerplate entry and its zero-state test: documents
+    as a file stream, exploded to normalized lines, anti-joined against
+    the fingerprint-cached static heavy-hitter table."""
+    from pyspark.sql import types as SQLT
+
+    from local_vectordb_spark.functions.text import normalize_text
+    from local_vectordb_spark.operators import dedup
+    from local_vectordb_spark.queries import _docs_multiline
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
+
+    staged = _docs_multiline(spark, sf_dir)
+    doc_dir = os.path.join(
+        fixture_cache_dir(sf_dir, "documents", "lvdb_stream"), "docs_multiline"
+    )
+    materialize_once(
+        doc_dir,
+        lambda p: staged.repartition(8).write.mode("overwrite").parquet(p),
+    )
+    # materialize the static side ONCE PER CORPUS FINGERPRINT (not
+    # merely once per run): a plain static DataFrame in a streaming
+    # query re-evaluates per micro-batch, and even an eager
+    # localCheckpoint re-pays the heavy-hitter aggregation on every
+    # run. Persisting it beside the staged corpus is the production
+    # shape — yesterday's heavy-hitter table, built by the batch pass,
+    # read by the ingest stream.
+    bp_dir = os.path.join(
+        fixture_cache_dir(sf_dir, "documents", "lvdb_stream"),
+        "docs_multiline_bp_d3c6",
+    )
+    materialize_once(
+        bp_dir,
+        lambda p: dedup.boilerplate_lines(staged, min_docs=3, min_chars=6)
+        .select("norm")
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    bp = spark.read.parquet(bp_dir)
+    schema = SQLT.StructType(
+        [
+            SQLT.StructField("doc_id", SQLT.LongType()),
+            SQLT.StructField("lang", SQLT.StringType()),
+            SQLT.StructField("text", SQLT.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)  # several micro-batches
+        .parquet(doc_dir)
+    )
+    lines = stream.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), "\n")).alias("line"),
+    ).withColumn("norm", normalize_text(F.col("line")))
+    return lines.join(bp, "norm", "left_anti").select("doc_id", "lang")
 
 
 _register_stream_strip_boilerplate()

@@ -17,10 +17,16 @@ Design rules at scale:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from local_vectordb_spark.operators import events as ev
+
+# serializes run_available_now's session-global shuffle-partition
+# scoping window (see its docstring)
+_CONF_SCOPE_LOCK = threading.Lock()
 
 EVENT_SCHEMA = T.StructType(
     [
@@ -115,11 +121,23 @@ def run_available_now(
 
     Test/inspection helper — production sinks are parquet/kafka via the
     same writeStream with a checkpointLocation.
+
+    CONCURRENCY (r9 ADVICE): the scoped conf is SESSION-GLOBAL while
+    the stream drains — Spark has no per-query shuffle-partition
+    option, and the stream captures the value from the session that
+    built ``sdf``, so a session clone can't carry it either. A lock
+    serializes overlapping run_available_now calls in this process
+    (interleaved set/restore can otherwise restore the wrong 'old'
+    value); a BATCH query planned concurrently on the same session
+    during the window would still see the scoped value — callers
+    running a parallel harness should pass shuffle_partitions=None or
+    use a separate SparkSession.
     """
     import json as _json
 
     spark = sdf.sparkSession
     key = "spark.sql.shuffle.partitions"
+    _CONF_SCOPE_LOCK.acquire()
     old = spark.conf.get(key)
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
@@ -147,4 +165,5 @@ def run_available_now(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(key, old)
+        _CONF_SCOPE_LOCK.release()
     return spark.table(query_name)
