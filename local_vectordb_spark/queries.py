@@ -3596,26 +3596,124 @@ def ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_residual")
-def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean recall@10 OVER 8 QUERIES for the residual-encoded IVF-PQ
-    tier — the multi-query honesty bar every other family already
-    meets (one query can flatter a tier). ONE batch plan
-    (`pq.ivf_pq_residual_search_batch`: a single residual-encode scan,
-    per-query ADC tables + ⟨q̂,c⟩ probe constants as broadcasts)
-    against the batch exact top-k — no driver loop; rows-only like
-    every trained tier, with the mean's floor asserted in
-    tests/test_pq.py."""
+def _clustered_embeddings_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A deterministically CLUSTERED corpus planted from the fixture —
+    the regime FAISS trains residual books for (the shipped fixture is
+    weakly clustered, which makes the residual tier look recall-neutral
+    there). 64 family seeds (vec_id < 64) each spawn 16 members: member
+    0 is the seed verbatim (so the standard vec_id<8 query lookup still
+    hits corpus members); members 1-15 are the seed plus 5%-scale
+    md5-derived pseudo-noise, re-normalized — tight cosine clusters
+    with non-zero residual variance (verbatim replicas would make the
+    residual stage trivially exact). All noise is JVM expressions
+    (md5/conv/transform), materialized once per corpus fingerprint."""
+    import os
+
+    from local_vectordb_spark.session import fixture_cache_dir, materialize_once
+
+    path = os.path.join(
+        fixture_cache_dir(sf_dir, "embeddings"), "clustered_fam16"
+    )
+
+    def _write(p: str) -> None:
+        seeds = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 64)
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        )
+        fam = seeds.select(
+            "vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
+        )
+        dims = F.sequence(F.lit(1), F.size("v"))
+        noise = F.transform(
+            dims,
+            lambda i: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.col("vec_id"), F.col("j"), i)),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(2**59))
+                - 1.0
+            )
+            * 0.05,
+        )
+        raw = F.when(F.col("j") == 0, F.col("v")).otherwise(
+            F.zip_with("v", noise, lambda x, n: x + n)
+        )
+        member = fam.select(
+            (F.col("vec_id") + F.col("j") * 1_000_000).alias("vec_id"),
+            raw.alias("raw"),
+        )
+        norm = F.sqrt(
+            F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x)
+        )
+        member.select(
+            "vec_id",
+            F.transform("raw", lambda x: x / norm)
+            .cast("array<float>")
+            .alias("embedding"),
+        ).write.mode("overwrite").parquet(p)
+
+    return spark.read.parquet(materialize_once(path, _write))
+
+
+_CLUSTERED_RESID_CACHE: dict = {}
+
+
+def _clustered_residual_index_for(spark: SparkSession, sf_dir: str):
+    """(centroids, assignments, residual codebook) trained ON the
+    planted-family corpus — build-once per (process, corpus), the
+    clustered sibling of `_ivf_index_for` + `_residual_book_for`. The
+    book sample is the whole 1024-row corpus (bounded by construction,
+    not by luck), residual-encoded driver-side exactly like
+    `_residual_book_for`."""
+    if sf_dir in _CLUSTERED_RESID_CACHE:
+        return _CLUSTERED_RESID_CACHE[sf_dir]
+    import numpy as np
+
+    from local_vectordb_spark.operators import pq
+
+    emb_c = _clustered_embeddings_for(spark, sf_dir)
+    _, centroids, assignments = ivf.ivf_build(emb_c, n_clusters=16)
+    sample = [
+        [float(x) for x in r.embedding]
+        for r in emb_c.orderBy("vec_id").collect()  # 1024 rows, bounded
+    ]
+    mat = np.array(sample, dtype=np.float64)
+    cents = np.array([list(map(float, c)) for c in centroids])
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = mat - cents[np.argmin(d2, axis=1)]
+    book = pq.pq_codebook_trained(resid.tolist(), m=8, k_codes=16)
+    _CLUSTERED_RESID_CACHE[sf_dir] = (centroids, assignments.cache(), book)
+    return _CLUSTERED_RESID_CACHE[sf_dir]
+
+
+def _residual_recall_row(
+    spark: SparkSession,
+    emb: DataFrame,
+    centroids,
+    assignments: DataFrame,
+    book,
+    corpus_label: str,
+) -> DataFrame:
+    """One (method, corpus, mean_recall_at_k) row: the residual tier's
+    8-query batch search joined against the batch exact top-k over the
+    same corpus — one plan, no driver loop."""
     from local_vectordb_spark.operators import knn as knn_ops
     from local_vectordb_spark.operators import pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids, assignments = _ivf_index_for(spark, sf_dir)
-    book = _residual_book_for(spark, sf_dir)
-    qvs = _query_vecs(sf_dir, max_vec_id=8)
     qdf = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    qvs = [
+        (int(r.query_id), [float(x) for x in r.qv])
+        for r in qdf.orderBy("query_id").collect()  # 8 rows
+    ]
     exact = knn_ops.knn_batch_table(emb, qdf, k=K).select("query_id", "vec_id")
     tier = pq.ivf_pq_residual_search_batch(
         emb, assignments, centroids, qvs,
@@ -3632,11 +3730,40 @@ def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         qids.join(hits, "query_id", "left")
         .select(
             F.lit("ivf_pq_residual").alias("method"),
+            F.lit(corpus_label).alias("corpus"),
             (F.coalesce(F.col("_n"), F.lit(0)) / float(K)).alias("r"),
         )
-        .groupBy("method")
+        .groupBy("method", "corpus")
         .agg(F.round(F.avg("r"), 6).alias("mean_recall_at_k"))
     )
+
+
+@register("ann_recall_residual")
+def ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean recall@10 OVER 8 QUERIES for the residual-encoded IVF-PQ
+    tier, reported honestly on BOTH regimes (r9 verdict #7): the
+    shipped fixture (weakly clustered — residual refinement is
+    recall-neutral there, the documented 0.875-vs-0.90 story) AND a
+    deterministically planted-family corpus (`_clustered_embeddings_for`
+    — the regime FAISS residual-trains for, where the tier earns its
+    keep). One batch plan per corpus
+    (`pq.ivf_pq_residual_search_batch`: a single residual-encode scan,
+    per-query ADC tables + ⟨q̂,c⟩ probe constants as broadcasts)
+    against the batch exact top-k — no driver loop; rows-only like
+    every trained tier, with BOTH means' floors asserted in
+    tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = _ivf_index_for(spark, sf_dir)
+    fixture_row = _residual_recall_row(
+        spark, emb, centroids, assignments,
+        _residual_book_for(spark, sf_dir), "fixture",
+    )
+    emb_c = _clustered_embeddings_for(spark, sf_dir)
+    c_cents, c_assign, c_book = _clustered_residual_index_for(spark, sf_dir)
+    clustered_row = _residual_recall_row(
+        spark, emb_c, c_cents, c_assign, c_book, "clustered"
+    )
+    return fixture_row.unionByName(clustered_row)
 
 
 def _residual_codes_for(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -227,10 +227,15 @@ def test_ivf_pq_residual_finds_query_and_holds_recall_floor(spark):
     assert top[0].vec_id == 0 and top[0].score == 1.0
 
     r = {
-        row["method"]: row["mean_recall_at_k"]
+        row["corpus"]: row["mean_recall_at_k"]
         for row in SPARK_QUERIES["ann_recall_residual"](spark, sf).collect()
     }
-    assert 0.85 <= r["ivf_pq_residual"] <= 1.0
+    # weakly-clustered fixture: recall-neutral band (documented 0.875)
+    assert 0.85 <= r["fixture"] <= 1.0
+    # planted-family clustered corpus — the regime the tier exists for
+    # (r9 verdict #7): residuals around tight centroids must recover
+    # essentially the exact top-k
+    assert r["clustered"] >= 0.95
 
 
 def test_ivf_pq_residual_batch_equals_single_query_loop(spark):
