@@ -92,6 +92,7 @@ HEADLINE = [
     "sample_hash_10pct",
     "sample_temperature_by_lang",  # r6: temperature mixture rebalancing
     "split_group_aware",  # r8: near-dup-family leakage-safe split
+    "split_group_aware_lsh",  # r10: star-edge LSH family split (100 TB path)
     "docs_training_manifest",  # r6: full curation funnel as one plan
     "pack_token_budget",
     # storage engine

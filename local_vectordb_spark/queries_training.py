@@ -303,6 +303,100 @@ def _register_split_group_aware() -> None:
 _register_split_group_aware()
 
 
+def _register_split_group_aware_lsh() -> None:
+    """Oracle: the md5-portable banding CTEs (shared verbatim with
+    dedup_minhash_lsh_md5_capped's oracle), bucket-min STAR edges, a
+    recursive-CTE closure, then the identical family-keyed md5 CASE."""
+    from local_vectordb_spark.queries import _MINHASH_MD5_SIG_SQL, _NEAR_DUPES_SQL
+
+    case = """CASE WHEN substr(md5(CAST(family_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(family_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END"""
+    sql = rf"""
+    WITH RECURSIVE all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, [{_MINHASH_MD5_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    hubs AS (SELECT band, bh, min(doc_id) AS hub FROM banded GROUP BY band, bh),
+    edges0 AS (
+      SELECT b.doc_id AS s, h.hub AS d
+      FROM banded b JOIN hubs h USING (band, bh)
+      WHERE b.doc_id != h.hub
+    ),
+    edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+    nodes AS (SELECT doc_id AS node FROM all_docs),
+    reach(node, anc) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    fam AS (SELECT node AS doc_id, min(anc) AS family_id FROM reach GROUP BY node)
+    SELECT doc_id, family_id, {case} AS split FROM fam
+    """
+
+    @register("split_group_aware_lsh", sql)
+    def split_group_aware_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """GROUP-AWARE split, 100 TB PAIR SOURCE (r9 verdict #5): the
+        all-pairs n-gram composition behind `split_group_aware` is
+        quadratic in family depth (a 100-deep family is C(100,2)=4950
+        pairs — measured OOM at the 500k-doc/100-deep stress tier), so
+        the scale path links each LSH bucket member to the bucket's
+        MINIMUM id instead: O(size) STAR edges per (band, band-hash)
+        bucket, n_docs x n_bands edges total, corpus-LINEAR with no
+        bucket cap and therefore no dropped family members (the cap
+        the pair form needs for skew is exactly what would leak a
+        split). Any two docs sharing a bucket stay connected through
+        the hub, so components — and the splits keyed on them — match
+        the pair form's wherever both connect, and over-merge (never
+        under-merge) on band collisions: the conservative direction
+        for leakage. Same min-label propagation (O(diameter) shuffles;
+        hubs halve the diameter vs pair chains), same family-keyed md5
+        CASE; fully value-oracled per document via the md5-portable
+        banding."""
+        from pyspark.sql.window import Window
+
+        from local_vectordb_spark.queries import _docs_with_near_dupes
+
+        docs = _docs_with_near_dupes(spark, sf_dir)
+        banded = dedup.minhash_banded_portable(docs)
+        hub = F.min("doc_id").over(Window.partitionBy("band", "bh"))
+        edges = (
+            banded.select("doc_id", hub.alias("hub"))
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("doc_id").alias("a_id"), F.col("hub").alias("b_id"))
+            .distinct()
+        )
+        comps = dedup.connected_components(edges, nodes=docs.select("doc_id"))
+        fam = docs.select("doc_id").join(
+            comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("component", "doc_id").alias("family_id")
+        )
+        return hash_split(
+            fam, "family_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "family_id", "split")
+
+
+_register_split_group_aware_lsh()
+
+
 # --------------------------------------------------------------------------
 # Sequence packing into fixed token budgets (window cumsum, one shuffle)
 # --------------------------------------------------------------------------

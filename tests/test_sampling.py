@@ -239,3 +239,32 @@ def test_split_group_aware_families_never_straddle_splits(spark, sf_dir):
     assert copies  # the doctored corpus must actually contain families
     assert all(by_doc[d] == by_doc[d - 1_000_000] for d in copies)
     assert {"train", "val", "test"} >= set(by_doc.values()) and "train" in by_doc.values()
+
+
+def test_split_group_aware_lsh_families_never_straddle_and_cover_pair_form(spark, sf_dir):
+    """The star-edge LSH split (the 100 TB pair source) holds the same
+    leakage guarantee — every family in one split, each doctored copy
+    co-traveling with its original — AND its families are a coarsening
+    of the pair form's: any two docs the all-pairs composition put in
+    one family must share an LSH family too (star edges over-merge on
+    band collisions, never under-merge a bucketed pair)."""
+    from local_vectordb_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["split_group_aware_lsh"](spark, sf_dir).collect()
+    by_family = {}
+    by_doc = {}
+    fam_of = {}
+    for r in rows:
+        by_family.setdefault(r.family_id, set()).add(r.split)
+        by_doc[r.doc_id] = r.split
+        fam_of[r.doc_id] = r.family_id
+    assert all(len(s) == 1 for s in by_family.values())
+    copies = [d for d in by_doc if d >= 1_000_000]
+    assert copies
+    assert all(by_doc[d] == by_doc[d - 1_000_000] for d in copies)
+
+    pair_fams = {}
+    for r in SPARK_QUERIES["split_group_aware"](spark, sf_dir).collect():
+        pair_fams.setdefault(r.family_id, []).append(r.doc_id)
+    for members in pair_fams.values():
+        assert len({fam_of[d] for d in members}) == 1, members

@@ -54,6 +54,12 @@ STRESS = [
     "docs_training_manifest",
     "dedup_lines_boilerplate",  # r8: line-level strip vs 10-deep shared chunks
     "stream_strip_boilerplate",  # r8: the same strip as a stream-static join
+    # r10 (r9 verdict #5): the pair-form group-aware split at the depth
+    # it still scales to (10-deep families; the 100-deep tier needs the
+    # star-edge LSH form below), and the watermarked stream-stream join
+    # over the time-extended 1M-event feed
+    "split_group_aware",
+    "stream_view_purchase_attribution",
 ]
 # r8 (r7 verdict #4): the sub-quadratic family at 200k vectors — every
 # entry here must hold the budget WITHOUT a quadratic stage anywhere.
@@ -82,6 +88,14 @@ STRESS_XL = [
     # the row; mean recall@10 = 1.0 here (100-deep families co-cluster
     # each query's true top-10 with it)
     "ann_recall_residual",
+    # r10 (r9 verdict #5): leakage-safe split over 500k docs with
+    # 100-deep families — the star-edge LSH components form (the
+    # all-pairs form is C(100,2) per family and OOMs here, which is
+    # the point: split_group_aware_lsh IS the 100 TB path); plus the
+    # attribution join at the 1M-event time-extended feed, proving
+    # live state tracks the watermark horizon, not the feed length
+    "split_group_aware_lsh",
+    "stream_view_purchase_attribution",
 ]
 BUDGET_S = 120.0
 

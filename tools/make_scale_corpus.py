@@ -68,7 +68,32 @@ def main() -> None:
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    for t in ("documents", "embeddings"):
+    # Events scale along the TIME axis (r9 verdict #5): replica r is the
+    # whole sf0.1 feed shifted r x (span + 1h) later, new event_ids, same
+    # users. 10x the rows over 10x the clock is the honest stream-stress
+    # shape — a watermarked stream-stream join's live state must track
+    # the watermark horizon (KBs), not the feed length, and verbatim
+    # replication would instead explode per-timestamp join fan-out
+    # (10 views x 10 purchases per pair), which tests skew, not state.
+    # Capped at 10 replicas in every tier: past 10x the drain only adds
+    # identical micro-batches, not new state behavior.
+    ev_reps = min(REPLICAS, 10)
+    con.execute(
+        f"""
+        COPY (
+          WITH span AS (
+            SELECT max(ts) - min(ts) + INTERVAL 1 HOUR AS w
+            FROM read_parquet('{SRC}/events.parquet')
+          )
+          SELECT e.event_id + r.r * {OFFSET} AS event_id,
+                 e.ts + r.r * span.w AS ts,
+                 e.user_id, e.event_type, e.value, e.props
+          FROM read_parquet('{SRC}/events.parquet') e,
+               (SELECT unnest(range(0, {ev_reps})) AS r) r, span
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("documents", "embeddings", "events"):
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows -> {out}/{t}.parquet")
 
