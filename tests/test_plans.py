@@ -500,3 +500,31 @@ def test_residual_stored_codes_scan_never_reads_embeddings(spark, sf_dir):
     for s in code_scans:
         assert "embedding" not in s, f"ADC scan reads embeddings: {s}"
     assert any("embedding" in s for s in schemas)  # the rescore join
+
+
+def test_lsh_star_edges_linear_plan(spark, sf_dir):
+    """The star-edge plan behind split_group_aware_lsh must stay
+    corpus-linear: edges come from a WINDOW MIN over (band, bh) — one
+    hash-partitioned exchange, no self-join of the banded relation
+    (the bucket self-join is exactly the quadratic shape this form
+    exists to avoid), no cartesian anywhere."""
+    from pyspark.sql.window import Window
+
+    from local_vectordb_spark.operators import dedup
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    banded = dedup.minhash_banded_portable(docs)
+    hub = F.min("doc_id").over(Window.partitionBy("band", "bh"))
+    edges = (
+        banded.select("doc_id", hub.alias("hub"))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .distinct()
+    )
+    plan = plans.plan_string(edges)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window + filter + distinct only — ANY join here would mean the
+    # banded relation is being self-joined (the quadratic bucket-pair
+    # shape this form exists to avoid)
+    assert "Join" not in plan

@@ -497,3 +497,37 @@ def test_windowed_agg_state_bounded_by_groups(spark, sf_dir, builder, name):
     # state <= O(groups): 10x the events would add rows per group, not
     # state rows.
     assert max(totals) <= 2 * n_groups, (max(totals), n_groups)
+
+
+def test_stream_dedup_state_evicts_with_watermark(spark, sf_dir):
+    """Completes r9 verdict #8 for the last stateful family: the
+    ingest-dedup state store must EVICT keys as the watermark advances
+    over the event-time-ordered replay (dropDuplicatesWithinWatermark
+    holds one row per key inside the horizon, never the whole feed) —
+    numRowsRemoved > 0 across the drain and peak state far below the
+    corpus key count."""
+    from local_vectordb_spark.queries_streaming import _staged_events_ordered
+
+    stream = st.read_events_stream(
+        spark, _staged_events_ordered(spark, sf_dir), max_files_per_trigger=1
+    )
+    deduped = st.stream_dedup(stream, keys=("event_id",), watermark="10 minutes")
+    prog: list = []
+    out = st.run_available_now(
+        deduped,
+        f"t_dedupstate_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+        shuffle_partitions=4,
+        progress_sink=prog,
+    )
+    n_keys = out.count()
+    batches = [p for p in prog if p.get("stateOperators")]
+    assert len([p for p in batches if p["numInputRows"] > 0]) >= 4
+    removed = sum(
+        op.get("numRowsRemoved", 0) for p in batches for op in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted any dedup state"
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in batches
+    ]
+    assert max(totals) < 0.5 * n_keys, (max(totals), n_keys)
