@@ -194,7 +194,18 @@ class _Handler(BaseHTTPRequestHandler):
         if not self.db.exists(kind, item):
             self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
             return
-        self.db.update(kind, _record_df(self.db, kind, self._body(), item))
+        rejected = self.db.update(
+            kind, _record_df(self.db, kind, self._body(), item)
+        ).limit(1).collect()
+        if rejected:
+            # the single-row update was rejected (re-parenting onto a
+            # missing parent) — nothing applied; the reference 404s the
+            # request the same way (src/main.py:295-299 via get_document)
+            self._send(
+                404,
+                {"detail": f"parent not found ({rejected[0].reject_reason})"},
+            )
+            return
         self._send(200, _row_to_json(self.db.get(kind, item).collect()[0]))
 
     def _delete(self) -> None:

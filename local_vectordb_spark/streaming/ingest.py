@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from local_vectordb_spark.operators import crud
 from local_vectordb_spark.sources.json_records import CHUNK_SCHEMA
@@ -93,12 +94,24 @@ def run_chunk_upsert_stream_into_db(
     per record (the reference rebuilds per insert,
     /root/reference/src/models/collection.py:97-99). Returns the final
     chunks table.
+
+    Rows the store rejects (missing parent document — add()/update()
+    return them tagged since the r9 FK fix) are never silently lost:
+    each batch's rejects append to ``<checkpoint_dir>/_rejects`` with
+    the batch id — the dead-letter path of a production ingest.
     """
+    rejects_dir = os.path.join(checkpoint_dir, "_rejects")
     stream = (
         spark.readStream.schema(CHUNK_SCHEMA)
         .option("maxFilesPerTrigger", "64")
         .json(src_dir)
     )
+
+    def _dead_letter(rejected: DataFrame, batch_id: int) -> None:
+        if rejected.limit(1).count():
+            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(rejects_dir)
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates(["id"])
@@ -106,9 +119,9 @@ def run_chunk_upsert_stream_into_db(
         new_rows = batch.join(existing, "id", "left_anti")
         upd_rows = batch.join(existing, "id", "left_semi")
         if new_rows.limit(1).count():
-            db.add("chunks", new_rows)
+            _dead_letter(db.add("chunks", new_rows), batch_id)
         if upd_rows.limit(1).count():
-            db.update("chunks", upd_rows)
+            _dead_letter(db.update("chunks", upd_rows), batch_id)
 
     q = (
         stream.writeStream.foreachBatch(upsert_batch)

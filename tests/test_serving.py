@@ -188,3 +188,32 @@ def test_seed_demo_flow(server, spark):
     confs = [r["confidence"] for r in results]
     assert confs == sorted(confs, reverse=True)
     assert all(r["content"] for r in results)
+
+
+def test_put_reparent_onto_missing_parent_404s(server):
+    """A PUT that retargets a chunk at a nonexistent parent document
+    must 404 with nothing applied (the reference's update_chunk path
+    404s via get_document) — the REST face of the r9 FK fix."""
+    _req(server, "POST", "/reset")
+    _, lib = _req(server, "POST", "/libraries", {"name": "l"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    _, ch = _req(
+        server, "POST", "/chunks", {"content": "hello", "document_id": doc["id"]}
+    )
+    code, body = _req(
+        server, "PUT", f"/chunks/{ch['id']}", {"document_id": "nope"}
+    )
+    assert code == 404 and "parent" in body["detail"]
+    code, got = _req(server, "GET", f"/chunks/{ch['id']}")
+    assert code == 200 and got["document_id"] == doc["id"]
+
+    # and a VALID re-parent still applies
+    _, doc2 = _req(
+        server, "POST", "/documents", {"name": "d2", "library_id": lib["id"]}
+    )
+    code, body = _req(
+        server, "PUT", f"/chunks/{ch['id']}", {"document_id": doc2["id"]}
+    )
+    assert code == 200 and body["document_id"] == doc2["id"]

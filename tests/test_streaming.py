@@ -531,3 +531,64 @@ def test_stream_dedup_state_evicts_with_watermark(spark, sf_dir):
         sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in batches
     ]
     assert max(totals) < 0.5 * n_keys, (max(totals), n_keys)
+
+
+def test_chunk_upsert_stream_dead_letters_fk_rejects(spark, tmp_path):
+    """A streamed chunk naming a missing parent document must land in
+    the checkpoint's _rejects dead-letter table (tagged with reason and
+    batch id), not in the chunks table and not silently nowhere."""
+    import os
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+    from local_vectordb_spark.streaming.ingest import (
+        run_chunk_upsert_stream_into_db,
+    )
+
+    db = VectorDB(spark, str(tmp_path / "db"))
+    ts = "2025-01-01 00:00:00"
+    db.add(
+        "libraries",
+        spark.createDataFrame(
+            [("lib1", {}, None, None, "corpus")], SCHEMAS["libraries"]
+        ).select(
+            "id",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            "name",
+        ),
+    )
+    db.add(
+        "documents",
+        spark.createDataFrame(
+            [("d1", {}, None, None, "doc", "lib1")], SCHEMAS["documents"]
+        ).select(
+            "id",
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(ts).cast("timestamp").alias("created_at"),
+            F.lit(ts).cast("timestamp").alias("updated_at"),
+            "name",
+            "library_id",
+        ),
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for cid, doc in (("good", "d1"), ("orphan", "d-missing")):
+        rec = {
+            "id": cid,
+            "metadata": {},
+            "created_at": ts,
+            "updated_at": ts,
+            "content": f"content of {cid}",
+            "embedding": None,
+            "document_id": doc,
+        }
+        (src / f"{cid}.json").write_text(json.dumps(rec))
+    table = run_chunk_upsert_stream_into_db(spark, str(src), db, ckpt)
+    assert {r.id for r in table.select("id").collect()} == {"good"}
+    rejects = spark.read.parquet(os.path.join(ckpt, "_rejects")).collect()
+    assert [(r.id, r.reject_reason) for r in rejects] == [
+        ("orphan", "missing_parent")
+    ]
