@@ -320,9 +320,11 @@ class VectorDB:
         accepted = self._embedded(kind, accepted).withColumn(
             "created_at", F.coalesce("created_at", F.current_timestamp())
         ).withColumn("updated_at", F.coalesce("updated_at", F.current_timestamp()))
-        rejected = dup_rejected.withColumn(
-            "reject_reason", F.lit("duplicate_id")
-        ).unionByName(fk_rejected.withColumn("reject_reason", F.lit("missing_parent")))
+        rejected = dup_rejected.withColumn("reject_reason", F.lit("duplicate_id"))
+        if kind in _PARENTS:  # FK-less kinds can't produce violators
+            rejected = rejected.unionByName(
+                fk_rejected.withColumn("reject_reason", F.lit("missing_parent"))
+            )
         # materialize before the overwrite invalidates the files this
         # lazy plan reads from
         rejected = rejected.localCheckpoint(eager=True)
@@ -359,9 +361,10 @@ class VectorDB:
         updates = updates.withColumn("updated_at", F.current_timestamp())
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base
-        rejected = fk_rejected.withColumn(
-            "reject_reason", F.lit("missing_parent")
-        ).localCheckpoint(eager=True)
+        rejected = fk_rejected.withColumn("reject_reason", F.lit("missing_parent"))
+        if kind in _PARENTS:
+            # materialize before the overwrite invalidates these files
+            rejected = rejected.localCheckpoint(eager=True)
         base_v, base = self._snapshot(kind)
         merged = crud.upsert(base, updates, "id").select(*base.columns)
         self._write(kind, merged, expected_version=base_v)
