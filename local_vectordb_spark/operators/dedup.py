@@ -482,6 +482,16 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # silently returning non-converged labels would hand a dedup
+        # pipeline WRONG families (members split across components) —
+        # at 100 TB that's leaked eval twins, not a perf footnote. A
+        # graph this deep needs a bigger max_iters or hub-style edges
+        # (see the star-edge LSH form) that halve the diameter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+            " — component diameter exceeds the iteration budget"
+        )
     return labels
 
 

@@ -258,3 +258,21 @@ def test_strip_boilerplate_removes_recurring_lines(spark):
     assert out[1].n_kept == 2
     assert out[1].clean_text == "hi yo\nalpha beta gamma"
     assert out[4].clean_text == "unique one\nunique two"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain graph deeper than max_iters must raise, not silently
+    return split families (wrong components = leaked eval twins at
+    scale)."""
+    import pytest
+
+    from local_vectordb_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iters=2)
+    # and a sufficient budget converges to one family
+    labels = dedup.connected_components(chain, max_iters=11)
+    assert {r.component for r in labels.collect()} == {0}
