@@ -417,6 +417,12 @@ def lsh_bucket_audit(
     )
 
 
+# rounds the most recent connected_components call took to converge
+# (including the final no-change round) — observability for the
+# O(diameter) claim; read after a call, e.g. by the scale bench notes
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
@@ -442,6 +448,7 @@ def connected_components(
     passing its own ``nodes`` built from the raw pairs plan pays that
     plan a second time (the 2x cost this default exists to avoid).
     """
+    global LAST_CC_ROUNDS
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -456,7 +463,8 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    for it in range(max_iters):
+        LAST_CC_ROUNDS = it + 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
