@@ -94,6 +94,7 @@ HEADLINE = [
     "split_group_aware",  # r8: near-dup-family leakage-safe split
     "split_group_aware_lsh",  # r10: star-edge LSH family split (100 TB path)
     "docs_training_manifest",  # r6: full curation funnel as one plan
+    "docs_training_manifest_leakage_safe",  # r10: family-keyed split funnel
     "pack_token_budget",
     # storage engine
     "crud_time_travel",  # r10: versioned snapshot read (time travel)

@@ -397,6 +397,156 @@ def _register_split_group_aware_lsh() -> None:
 _register_split_group_aware_lsh()
 
 
+def _register_manifest_leakage_safe() -> None:
+    """Oracle: the LSH-family CTEs (verbatim from split_group_aware_lsh,
+    computed over the FULL doctored corpus — families must be assigned
+    before any filtering or a filtered-out twin would silently decouple
+    its survivor), the text_quality 3-term formula inlined over the
+    same corpus, exact-dedup keep-lowest, family-keyed md5 split, and
+    the per-(split, lang) accounting; lang rides the base document id
+    (a doctored copy inherits its original's language)."""
+    from local_vectordb_spark.queries import _MINHASH_MD5_SIG_SQL, _NEAR_DUPES_SQL
+
+    sql = rf"""
+    WITH RECURSIVE all_docs AS ({_NEAR_DUPES_SQL}),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+                         x -> x != '') AS t
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))) AS s
+      FROM toks
+    ),
+    sig AS (SELECT doc_id, [{_MINHASH_MD5_SIG_SQL}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b.band,
+             md5(array_to_string(sig[b.band * 4 + 1 : b.band * 4 + 4], '|')) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    hubs AS (SELECT band, bh, min(doc_id) AS hub FROM banded GROUP BY band, bh),
+    edges0 AS (
+      SELECT b.doc_id AS s, h.hub AS d
+      FROM banded b JOIN hubs h USING (band, bh)
+      WHERE b.doc_id != h.hub
+    ),
+    edges AS (SELECT s, d FROM edges0 UNION SELECT d, s FROM edges0),
+    nodes AS (SELECT doc_id AS node FROM all_docs),
+    reach(node, anc) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.anc FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    fam AS (SELECT node AS doc_id, min(anc) AS family_id FROM reach GROUP BY node),
+    tq AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS qtoks,
+             CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM all_docs
+    ),
+    qs AS (
+      SELECT doc_id,
+             ROUND((least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0)
+               + least(CAST(len(list_filter(qtoks, x -> list_contains(
+                     ['the','a','of','and','is','in','to','it'], x))) AS DOUBLE)
+                   / len(qtoks) * 5.0, 1.0)
+               + greatest(0.0, 1.0 - punct_ratio * 5.0)) / 3.0, 6) AS quality
+      FROM tq
+    ),
+    filt AS (
+      SELECT a.doc_id, a.text, d.lang
+      FROM all_docs a
+      JOIN documents d
+        ON d.doc_id = CASE WHEN a.doc_id >= 1000000
+                           THEN a.doc_id - 1000000 ELSE a.doc_id END
+      JOIN qs ON qs.doc_id = a.doc_id
+      WHERE qs.quality >= 0.5
+    ),
+    kept AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          ORDER BY doc_id
+        ) AS rn
+        FROM filt
+      ) WHERE rn = 1
+    ),
+    s AS (
+      SELECT k.lang,
+             len(list_filter(string_split_regex(k.text, '\s+'), x -> x != ''))
+               AS n_tokens,
+             CASE WHEN substr(md5(CAST(f.family_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(f.family_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept k JOIN fam f ON f.doc_id = k.doc_id
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """
+
+    @register("docs_training_manifest_leakage_safe", sql)
+    def docs_training_manifest_leakage_safe(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The curation funnel with the leakage hole CLOSED: the plain
+        manifest splits per-DOCUMENT, so a near-dup family can straddle
+        train and eval — eval members get memorized through their
+        train-side twins. This funnel assigns the split on the LSH
+        FAMILY id (star-edge components over the FULL corpus, computed
+        BEFORE quality filtering and exact dedup — a family must keep
+        one identity even when some members are filtered away), then
+        quality-filters, exact-dedups keeping the lowest id, and
+        accounts per (split, lang). Every stage is the scale path:
+        corpus-linear star edges, O(diameter) propagation, one dedup
+        shuffle, map-side split. Fully value-oracled."""
+        from pyspark.sql import Window
+
+        from local_vectordb_spark.queries import SPARK_QUERIES, _docs_with_near_dupes
+
+        fam = (
+            SPARK_QUERIES["split_group_aware_lsh"](spark, sf_dir)
+            .select("doc_id", "family_id")
+        )
+        docs = _docs_with_near_dupes(spark, sf_dir)
+        lang = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("base_id"), "lang"
+        )
+        corpus = docs.withColumn(
+            "base_id",
+            F.when(
+                F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
+            ).otherwise(F.col("doc_id")),
+        ).join(lang, "base_id")
+        filt = corpus.withColumn(
+            "quality", T.quality_score(F.col("text"))
+        ).filter(F.col("quality") >= 0.5)
+        fp = filt.withColumn("f", T.fingerprint(F.col("text")))
+        w = Window.partitionBy("f").orderBy("doc_id")
+        kept = fp.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        split = hash_split(
+            kept.join(fam, "doc_id"),
+            "family_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        return split.groupBy("split", "lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        )
+
+
+_register_manifest_leakage_safe()
+
+
 # --------------------------------------------------------------------------
 # Sequence packing into fixed token budgets (window cumsum, one shuffle)
 # --------------------------------------------------------------------------

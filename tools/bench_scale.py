@@ -95,6 +95,7 @@ STRESS_XL = [
     # attribution join at the 1M-event time-extended feed, proving
     # live state tracks the watermark horizon, not the feed length
     "split_group_aware_lsh",
+    "docs_training_manifest_leakage_safe",  # the funnel on star-edge families
     "stream_view_purchase_attribution",
 ]
 BUDGET_S = 120.0
