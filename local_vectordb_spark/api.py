@@ -590,6 +590,16 @@ class VectorDB:
                 f"search_batch supports ('cosine', 'ivf', 'sign', 'nsw'); "
                 f"{index_type!r} is single-query only — loop search()"
             )
+        if index_type == "auto":
+            # same size-dispatch rule as search(): exact brute force up
+            # to AUTO_BRUTE_MAX corpus rows, the deterministic
+            # sign-pruned tier beyond — resolved ONCE per batch (the
+            # knee is a property of the corpus, not of any query), and
+            # both targets support the distributed table path, so auto
+            # composes with any batch size
+            index_type = (
+                "cosine" if self._chunk_count() <= AUTO_BRUTE_MAX else "sign"
+            )
         if query_vecs is None and not queries:
             raise ValueError("provide queries or query_vecs")
         n_queries = len(queries) if query_vecs is None else len(query_vecs)

@@ -319,6 +319,22 @@ def api_search_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("api_search_batch_auto", ORACLE_SQL["api_search_batch_cosine"])
+def api_search_batch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk search with SIZE-DISPATCHED strategy (r10): search_batch's
+    index_type='auto' resolves ONCE per batch on the version-cached
+    corpus count — brute force below AUTO_BRUTE_MAX, the sign-pruned
+    tier beyond — and the resolved strategy composes with both the
+    interactive and distributed-table batch paths. Every shipped
+    fixture lands in the brute regime, so this entry shares
+    api_search_batch_cosine's oracle verbatim; the past-the-knee flip
+    and the table-path composition are pinned in tests/test_api_e2e.py."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search_batch(
+        query_vecs=_query_vecs(sf_dir, max_vec_id=8), index_type="auto", k=K
+    )
+
+
 @register(
     "api_search_batch_table",
     f"""

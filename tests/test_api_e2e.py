@@ -684,3 +684,30 @@ def test_materialize_once_cleans_tmp_on_failure_and_serves_race_winner(tmp_path)
     assert (pathlib.Path(dest) / "part-0").read_text() == "winner"
     leftovers = [e for e in os.listdir(tmp_path) if e.startswith("cache.tmp.")]
     assert leftovers == []
+
+
+def test_search_batch_auto_dispatches_on_corpus_size(db, monkeypatch):
+    """search_batch(index_type='auto') is the batch twin of the single
+    search's size dispatch: brute-force results at fixture scale, the
+    sign tier once the corpus passes the (monkeypatched) knee — and the
+    resolved strategy must keep composing with the distributed table
+    path."""
+    from local_vectordb_spark import api as api_mod
+
+    d, *_ = db
+    qids = [0, 4]
+    qs = [(i, QUESTIONS[i]) for i in qids]
+    want = sorted(map(tuple, d.search_batch(queries=qs, index_type="cosine", k=3).collect()))
+    got = sorted(map(tuple, d.search_batch(queries=qs, index_type="auto", k=3).collect()))
+    assert got == want
+
+    monkeypatch.setattr(api_mod, "AUTO_BRUTE_MAX", 0)
+    want_sign = sorted(map(tuple, d.search_batch(queries=qs, index_type="sign", k=3).collect()))
+    got_sign = sorted(map(tuple, d.search_batch(queries=qs, index_type="auto", k=3).collect()))
+    assert got_sign == want_sign
+
+    # auto + table path (max_driver_queries=0 forces it)
+    got_table = sorted(map(tuple, d.search_batch(
+        queries=qs, index_type="auto", k=3, max_driver_queries=0
+    ).collect()))
+    assert got_table == want_sign
