@@ -42,10 +42,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # simple single-shape built-ins unchanged since r7 (events_json_extract,
 # events_tumbling_hour, events_sliding_window, events_sessionize,
 # rollup_revenue, window_top_orders_per_customer, text_quality,
-# text_token_stats, graph_bfs_2hop); they lead the r11 window and
-# remain re-verified locally at three scale factors each round via
-# tools/verify_local.py. (The trained/residual PQ tiers remain
-# rows-only by design and keep their recall invariants in tests.)
+# text_token_stats, graph_bfs_2hop); they lead the r11 window together
+# with the three full-oracle entries ADDED in r10 that have no driver
+# row yet (split_group_aware_lsh, docs_training_manifest_leakage_safe,
+# api_search_batch_auto — all three-scale-verified in
+# VERIFY_LOCAL_r10*). Everything stays re-verified locally at three
+# scale factors each round via tools/verify_local.py. (The
+# trained/residual PQ tiers remain rows-only by design and keep their
+# recall invariants in tests.)
 _PRIORITY = [
     # (a) last driver row r6 — deferred from r9, staleness bound hit
     "string_funcs_parts",
