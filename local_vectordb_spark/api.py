@@ -247,6 +247,14 @@ class VectorDB:
                     and int(entry[1:]) <= nxt - self.keep_versions
                 ):
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                # persisted IVF artifacts ride the same retention as
+                # the table versions they index
+                if (
+                    entry.startswith("_ivf_v")
+                    and entry[6:].isdigit()
+                    and int(entry[6:]) <= nxt - self.keep_versions
+                ):
+                    shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
         finally:
             os.close(lock_fd)  # closing the fd releases the flock
 
@@ -710,12 +718,51 @@ class VectorDB:
                 # release the stale version's cached blocks before
                 # rebuilding, or write-heavy sessions accumulate them
                 self._ivf[1].unpersist()
-            chunks = self.table("chunks")
-            n = chunks.count()
-            k_clusters = max(2, min(16, n // 4))
-            _, centroids, assignments = ivf.ivf_build(
-                chunks, n_clusters=k_clusters, id_col="id"
-            )
+            if disk_v >= 0:
+                centroids, assignments = self._ivf_stored(disk_v)
+            else:  # never-written store: nothing to train or persist
+                chunks = self.table("chunks")
+                _, centroids, assignments = ivf.ivf_build(
+                    chunks, n_clusters=2, id_col="id"
+                )
             self._ivf = (centroids, assignments.cache())
             self._ivf_version = disk_v
         return self._ivf
+
+    def _ivf_stored(self, version: int):
+        """PERSISTED IVF index (r10): centroids (json) + assignments
+        (parquet) live beside the table data as `_ivf_v{version}` and
+        are built AT MOST ONCE PER TABLE VERSION across every process
+        sharing the store — train-once/serve-many, where the in-memory
+        cache alone retrained KMeans per process per version (at 100 TB
+        an index build is a batch job, never a per-reader side effect).
+        Built from the pinned `v{version}` snapshot, not the live
+        pointer, so a concurrent commit can't mislabel the artifact;
+        materialize_once makes concurrent builders race-safe; GC rides
+        the table-version GC in _write."""
+        import json as _json
+
+        from local_vectordb_spark.session import materialize_once
+
+        path = os.path.join(self._table_dir("chunks"), f"_ivf_v{version}")
+
+        def _build(p: str) -> None:
+            chunks = self.table("chunks", version=version)
+            n = chunks.count()
+            k_clusters = max(2, min(16, n // 4))
+            _, cents, assigns = ivf.ivf_build(
+                chunks, n_clusters=k_clusters, id_col="id"
+            )
+            assigns.write.mode("overwrite").parquet(
+                os.path.join(p, "assignments")
+            )
+            with open(os.path.join(p, "centroids.json"), "w") as f:
+                _json.dump(cents, f)
+            with open(os.path.join(p, "_SUCCESS"), "w"):
+                pass
+
+        materialize_once(path, _build)
+        with open(os.path.join(path, "centroids.json")) as f:
+            centroids = _json.load(f)
+        assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
+        return centroids, assignments

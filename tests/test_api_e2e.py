@@ -711,3 +711,60 @@ def test_search_batch_auto_dispatches_on_corpus_size(db, monkeypatch):
         queries=qs, index_type="auto", k=3, max_driver_queries=0
     ).collect()))
     assert got_table == want_sign
+
+
+def test_ivf_index_persisted_and_reused_across_instances(spark, tmp_path):
+    """r10: the IVF index is a stored artifact per table version —
+    instance B searching the same store at the same version must REUSE
+    instance A's persisted centroids+assignments (zero KMeans retrains:
+    train-once/serve-many), and a new commit must version a new
+    artifact while GC drops the old one with its table version."""
+    import os
+
+    from local_vectordb_spark.operators import ivf as ivf_mod
+
+    a = VectorDB(spark, str(tmp_path))
+    lib = str(uuid.uuid4())
+    a.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    doc = str(uuid.uuid4())
+    a.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    a.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, q, None, doc) for q in QUESTIONS],
+        SCHEMAS["chunks"]))
+    a.search(QUESTIONS[0], index_type="ivf", k=3).collect()
+    v = a._current_version("chunks")
+    art = os.path.join(a._table_dir("chunks"), f"_ivf_v{v}")
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
+
+    calls = []
+    orig = ivf_mod.ivf_build
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    b = VectorDB(spark, a.root)
+    try:
+        ivf_mod.ivf_build = counting
+        hits = b.search(QUESTIONS[2], index_type="ivf", k=3).collect()
+    finally:
+        ivf_mod.ivf_build = orig
+    assert not calls, "second instance retrained instead of reusing"
+    assert max(hits, key=lambda r: r.score).content == QUESTIONS[2]
+
+    # a new commit versions a new artifact; old one GC'd with its table
+    b.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, "new row", None, doc)],
+        SCHEMAS["chunks"]))
+    b.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, "newer row", None, doc)],
+        SCHEMAS["chunks"]))
+    b.search(QUESTIONS[1], index_type="ivf", k=3).collect()
+    v2 = b._current_version("chunks")
+    assert v2 > v
+    assert os.path.exists(
+        os.path.join(b._table_dir("chunks"), f"_ivf_v{v2}", "_SUCCESS")
+    )
+    assert not os.path.exists(art)  # rode the keep_versions GC
