@@ -247,10 +247,10 @@ class VectorDB:
                     and int(entry[1:]) <= nxt - self.keep_versions
                 ):
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
-                # persisted IVF artifacts ride the same retention as
-                # the table versions they index
+                # persisted index artifacts (IVF, NSW graph) ride the
+                # same retention as the table versions they index
                 if (
-                    entry.startswith("_ivf_v")
+                    (entry.startswith("_ivf_v") or entry.startswith("_nsw_v"))
                     and entry[6:].isdigit()
                     and int(entry[6:]) <= nxt - self.keep_versions
                 ):
@@ -470,6 +470,7 @@ class VectorDB:
         )
         chunks = self._chunks_for_search(metadata)
         fetch = max(5 * k, 50) if diversify else k
+        disk_v = self._current_version("chunks")
 
         if index_type == "hybrid":
             from local_vectordb_spark.functions.text import tokens, normalize_text
@@ -521,15 +522,33 @@ class VectorDB:
                 )
             )
             scored = knn.knn_brute_force(cand, qvec, k=fetch, id_col="id")
-        else:  # nsw -> LSH strategy swap (SURVEY §4: traversal is
-            # sequential/driver-bound; LSH gives the same capability).
-            # approxNearestNeighbors ranks by L2; rescore the k
-            # survivors by cosine so all strategies share score units.
-            from local_vectordb_spark.operators.ann import lsh_search
+        elif index_type == "nsw" and metadata is None and disk_v >= 0:
+            # TRUE NSW shape (r10): fixed-hop beam search over the
+            # PERSISTED kNN graph (`_nsw_v{version}` beside the table
+            # data — the reference keeps its NSW index on the
+            # collection across requests, src/models/collection.py:251;
+            # here the graph is a stored artifact built at most once
+            # per table version across processes, and each search pays
+            # only the traversal: per hop, a broadcast of a ≤beam
+            # frontier against the edge table).
+            from local_vectordb_spark.operators import ann
 
-            cand_ids = lsh_search(chunks, qvec, k=fetch, id_col="id").select("id")
-            candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
-            scored = knn.knn_brute_force(candidates, qvec, k=fetch, id_col="id")
+            edges = self._graph_stored(disk_v)
+            scored = ann.graph_beam_search(
+                edges,
+                knn.score_all(chunks, qvec, id_col="id"),
+                k=fetch, beam=8, hops=3, id_col="id",
+            )
+        else:  # nsw + metadata filter (or a never-written store):
+            # pre-filter + EXACT scan. The stored graph indexes the
+            # UNFILTERED corpus — a traversal over a filtered node set
+            # loses connectivity through excluded nodes, and LSH
+            # probing over a small filtered candidate set can
+            # legitimately miss every bucket. The filter has already
+            # shrunk the scan (it pushes into the candidate read), so
+            # exact-over-filtered is both the correct and the cheap
+            # strategy — the same shape the cosine path uses.
+            scored = knn.knn_brute_force(chunks, qvec, k=fetch, id_col="id")
 
         if diversify == "mmr":
             from local_vectordb_spark.operators import rerank
@@ -766,3 +785,50 @@ class VectorDB:
             centroids = _json.load(f)
         assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
         return centroids, assignments
+
+    def _graph_stored(self, version: int) -> DataFrame:
+        """PERSISTED kNN graph for the nsw strategy (r10): (src, dst,
+        score) edges live beside the table data as `_nsw_v{version}`,
+        built at most once per table version across processes, so each
+        nsw search pays ONLY the fixed-hop beam traversal. The graph
+        the reference persists on its collection
+        (src/models/collection.py:251), as a shared stored artifact
+        instead of per-process state. Built with the id-type-agnostic
+        batch form (the corpus as its own query table through
+        knn.knn_batch_table — uuid string ids; the int64-keyed
+        knn_graph family serves the embeddings registry): exact, one
+        corpus scan against the broadcast query matrix, bounded by the
+        same broadcast regime knn_batch_table documents — a
+        corpus past that bound builds its graph with the LSH-bucketed
+        batch tier instead. Rides the same retention GC as the table
+        versions."""
+        from local_vectordb_spark.session import materialize_once
+
+        path = os.path.join(self._table_dir("chunks"), f"_nsw_v{version}")
+
+        def _build(p: str) -> None:
+            chunks = self.table("chunks", version=version)
+            n = chunks.count()
+            if n > 1:
+                qdf = chunks.select(
+                    F.col("id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias("qv"),
+                )
+                topk = knn.knn_batch_table(
+                    chunks, qdf, k=min(8, n - 1) + 1, id_col="id"
+                )
+                edges = topk.filter(F.col("query_id") != F.col("id")).select(
+                    F.col("query_id").alias("src"),
+                    F.col("id").alias("dst"),
+                    "score",
+                )
+            else:  # 0/1-row corpus has no edges; traversal = entry only
+                edges = self.spark.createDataFrame(
+                    [], "src string, dst string, score double"
+                )
+            edges.write.mode("overwrite").parquet(os.path.join(p, "edges"))
+            with open(os.path.join(p, "_SUCCESS"), "w"):
+                pass
+
+        materialize_once(path, _build)
+        return self.spark.read.parquet(os.path.join(path, "edges"))

@@ -768,3 +768,54 @@ def test_ivf_index_persisted_and_reused_across_instances(spark, tmp_path):
         os.path.join(b._table_dir("chunks"), f"_ivf_v{v2}", "_SUCCESS")
     )
     assert not os.path.exists(art)  # rode the keep_versions GC
+
+
+def test_nsw_graph_persisted_and_metadata_filter_falls_back(spark, tmp_path):
+    """r10: the nsw strategy traverses the PERSISTED per-version kNN
+    graph (artifact exists; a second instance reuses it with zero graph
+    builds), while a metadata-filtered nsw search uses the LSH
+    candidate form (the stored graph indexes the unfiltered corpus) and
+    still respects the filter."""
+    import os
+
+    from local_vectordb_spark.operators import knn as knn_mod
+
+    d = VectorDB(spark, str(tmp_path))
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [
+            (str(uuid.uuid4()), {"row": str(i)}, None, None, q, None, doc)
+            for i, q in enumerate(QUESTIONS)
+        ],
+        SCHEMAS["chunks"]))
+
+    hits = d.search(QUESTIONS[3], index_type="nsw", k=3).collect()
+    top = max(hits, key=lambda r: r.score)
+    assert top.content == QUESTIONS[3]
+    v = d._current_version("chunks")
+    art = os.path.join(d._table_dir("chunks"), f"_nsw_v{v}")
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
+
+    calls = []
+    orig = knn_mod.knn_batch_table
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    other = VectorDB(spark, d.root)
+    try:
+        knn_mod.knn_batch_table = counting
+        hits2 = other.search(QUESTIONS[5], index_type="nsw", k=3).collect()
+    finally:
+        knn_mod.knn_batch_table = orig
+    assert not calls, "second instance rebuilt the graph instead of reusing"
+    assert max(hits2, key=lambda r: r.score).content == QUESTIONS[5]
+
+    # filtered nsw: LSH fallback, filter respected
+    got = d.search(QUESTIONS[0], index_type="nsw", k=10, metadata={"row": "4"}).collect()
+    assert len(got) == 1 and got[0].content == QUESTIONS[4]
