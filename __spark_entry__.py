@@ -32,77 +32,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 10 rotation (r9 verdict #3): (a) the 9
-# r6-tier queries deferred from the r9 window (last driver row r6 — at
-# the 3-round staleness bound, they MUST lead this window), then
-# (b) 41 of the 50 queries whose last driver row is r7. Every crud_*,
-# api_*, and knn/ivf/graph mutation entry from the r7 tier stays
-# IN-window because add()/update() FK semantics changed this round
-# (loud rejection, commit 9e86582). The 9 deferred r7-tier queries are
-# simple single-shape built-ins unchanged since r7 (events_json_extract,
-# events_tumbling_hour, events_sliding_window, events_sessionize,
-# rollup_revenue, window_top_orders_per_customer, text_quality,
-# text_token_stats, graph_bfs_2hop); they lead the r11 window together
-# with the three full-oracle entries ADDED in r10 that have no driver
-# row yet (split_group_aware_lsh, docs_training_manifest_leakage_safe,
-# api_search_batch_auto — all three-scale-verified in
-# VERIFY_LOCAL_r10*). Everything stays re-verified locally at three
-# scale factors each round via tools/verify_local.py. (The
+# in registration order. Round 11 rotation (r10 verdict #4): (a) the 3
+# full-oracle entries ADDED in r10 with no driver row yet
+# (split_group_aware_lsh, docs_training_manifest_leakage_safe,
+# api_search_batch_auto — three-scale-verified in VERIFY_LOCAL_r10*),
+# then (b) the 9 r7-stale queries deferred from the r10 window (at the
+# staleness bound — they MUST be in this window), then (c) all 8
+# streaming entries regardless of recency because streaming runtime
+# code CHANGES this round (run_available_now's conf-scope lock and the
+# ingest dead-letter sink were reworked per r10 ADVICE), then (d) 30 of
+# the 47 remaining queries whose last driver row is r8, preferring the
+# ones whose code paths are touched this round (api_search_batch_table
+# rides api.py edits). The 17 deferred r8-tier queries are simple
+# single-shape built-ins untouched since r8 (docs_shuffle_order,
+# docs_zipf_token_freq, docs_quality_quantiles, docs_dedup_family_sizes,
+# orders_percentile_by_priority, part_cube_brand_size,
+# quantiles_order_value, supplier_balance_ntile,
+# sketch_distinct_users_daily, skew_salted_event_counts,
+# events_interarrival, events_partition_pruned_scan,
+# events_retention_cohorts, events_band_clicks_near_errors,
+# events_error_burst_windows, text_bpe_token_stats, text_langid);
+# they lead the r12 window. Everything stays re-verified locally at
+# three scale factors each round via tools/verify_local.py. (The
 # trained/residual PQ tiers remain rows-only by design and keep their
 # recall invariants in tests.)
 _PRIORITY = [
-    # (a) last driver row r6 — deferred from r9, staleness bound hit
-    "string_funcs_parts",
-    "date_funcs_monthly_revenue",
-    "pivot_status_by_priority",
-    "setops_wealthy_nations",
-    "scalar_subquery_premium_parts",
-    "semi_join_deep_discount_orders",
-    "grouping_sets_flag_status",
-    "numeric_stats_lineitem",
-    "window_running_totals",
-    # (b) last driver row r7 — 41 of the 50-query tier
-    "ann_recall_multi",
-    "api_search_batch_cosine",
-    "crud_cascade_delete",
-    "crud_delete",
-    "crud_exists_semi",
-    "crud_fk_orphans",
-    "crud_full_scan",
-    "crud_insert_append",
-    "crud_point_lookup",
-    "crud_reject_duplicates",
-    "crud_truncate",
-    "crud_upsert",
-    "fts_bm25",
-    "graph_add_remove",
-    "graph_beam_search",
-    "graph_beam_search_lsh",
-    "graph_lsh_edge_recall",
-    "hybrid_rrf",
-    "ivf_add_remove_roundtrip",
-    "ivf_batch_search_full_probe",
-    "ivf_pq_multiprobe",
-    "ivf_search_full_probe",
-    "ivf_sign_multiprobe",
-    "ivf_sign_pruned",
-    "knn_batch",
-    "knn_brute_force",
-    "knn_graph",
-    "knn_graph_lsh",
-    "knn_hydrated",
-    "knn_metadata_filter",
-    "knn_mmr_diversified",
-    "knn_pq_adc_deep",
-    "knn_pq_batch",
-    "knn_pq_stored",
-    "knn_sq8",
-    "lsh_search_md5_multi",
+    # (a) added in r10, full oracle, no driver row yet
+    "split_group_aware_lsh",
+    "docs_training_manifest_leakage_safe",
+    "api_search_batch_auto",
+    # (b) last driver row r7 — deferred from r10, staleness bound hit
+    "events_json_extract",
+    "events_tumbling_hour",
+    "events_sliding_window",
+    "events_sessionize",
+    "rollup_revenue",
+    "window_top_orders_per_customer",
+    "text_quality",
+    "text_token_stats",
+    "graph_bfs_2hop",
+    # (c) streaming runtime code changed this round (r10 ADVICE items)
+    "stream_tumbling_hour",
+    "stream_sliding_window",
+    "stream_sessionize",
+    "stream_dedup_exact",
     "stream_dedup_fingerprint",
+    "stream_view_purchase_attribution",
+    "stream_strip_boilerplate",
     "stream_then_ivf_search",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
+    # (d) last driver row r8 — 30 of the 47-query tier
+    "api_search_batch_table",
+    "chunk_documents",
+    "dedup_lsh_bucket_audit",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_md5_capped",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "embed_hashed",
+    "embed_hashed_md5",
+    "embed_letter_knn",
+    "embed_pool_by_label",
+    "events_asof_last_view",
+    "events_session_funnel",
+    "ivf_batch_search",
+    "ivf_search",
+    "ivf_search_pruned",
+    "knn_pq_batch_stored",
+    "knn_sign_batch",
+    "knn_sign_batch_pruned",
+    "lsh_bucket_pairs",
+    "lsh_search",
+    "mm_frame_sample",
+    "mm_media_meta",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "split_train_val_test",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnow",
+    "text_pii_scrub_audit",
+    "text_repetition_stats",
 ]
 
 

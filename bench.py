@@ -125,17 +125,41 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Truncation-proof output (r10 verdict #3): the driver keeps only
+    # the LAST 2000 bytes of stdout, and the one-line contract record
+    # outgrew that in r10 ("parsed": null — the head of the line was
+    # cut, losing the headline total). Emit three lines, least
+    # important first, so the tail window always covers the end:
+    #   1. the full 4-decimal record (head may be cut from the tail;
+    #      the complete copy is also written to BENCH_FULL_LAST.json),
+    #   2. the per-query map rounded to 2 dp, compact separators,
+    #   3. a SHORT final line with the parseable headline total.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL_LAST.json"), "w"
+    ) as f:
+        json.dump(record, f)
+    print(json.dumps(record))
+    print(json.dumps(
+        {n: round(t, 2) for n, t in timings.items()}, separators=(",", ":")
+    ))
+    print(json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "full_record": "BENCH_FULL_LAST.json",
+        }
+    ))
 
 
 if __name__ == "__main__":
