@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from local_vectordb_spark.operators import crud
 from local_vectordb_spark.sources.json_records import CHUNK_SCHEMA
@@ -76,6 +75,21 @@ def run_chunk_upsert_stream(
     return spark.read.parquet(table_path)
 
 
+def dead_letter(
+    rejected: DataFrame, rejects_dir: str, batch_id: int, call: str
+) -> None:
+    """Idempotent per-micro-batch dead-letter write: rejects land under
+    ``<rejects_dir>/batch_id=N/call=<add|update>`` with mode=overwrite,
+    so a foreachBatch RETRY of the same batch_id (at-least-once
+    side-effect semantics) replaces its own earlier attempt instead of
+    appending duplicate dead-letter rows (r10 ADVICE). ``batch_id`` and
+    ``call`` surface as partition columns on read."""
+    if rejected.limit(1).count():
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(rejects_dir, f"batch_id={batch_id}", f"call={call}")
+        )
+
+
 def run_chunk_upsert_stream_into_db(
     spark: SparkSession,
     src_dir: str,
@@ -97,8 +111,17 @@ def run_chunk_upsert_stream_into_db(
 
     Rows the store rejects (missing parent document — add()/update()
     return them tagged since the r9 FK fix) are never silently lost:
-    each batch's rejects append to ``<checkpoint_dir>/_rejects`` with
-    the batch id — the dead-letter path of a production ingest.
+    each batch's rejects land under
+    ``<checkpoint_dir>/_rejects/batch_id=N`` — the dead-letter path of
+    a production ingest. The sink is IDEMPOTENT per micro-batch (r10
+    ADVICE): foreachBatch offers at-least-once side-effect semantics,
+    so a retried batch re-runs _dead_letter with the SAME batch_id; an
+    overwrite of that batch's own partition directory replaces the
+    earlier attempt's rows instead of duplicating them (the plain-
+    parquet form of dynamic-partition-overwrite). Within one batch the
+    two store calls (add for new ids, update for existing) write
+    disjoint reject sets, so they overwrite per-CALL subdirectories of
+    the batch partition.
     """
     rejects_dir = os.path.join(checkpoint_dir, "_rejects")
     stream = (
@@ -107,21 +130,17 @@ def run_chunk_upsert_stream_into_db(
         .json(src_dir)
     )
 
-    def _dead_letter(rejected: DataFrame, batch_id: int) -> None:
-        if rejected.limit(1).count():
-            rejected.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(rejects_dir)
-
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates(["id"])
         existing = db.table("chunks").select("id")
         new_rows = batch.join(existing, "id", "left_anti")
         upd_rows = batch.join(existing, "id", "left_semi")
         if new_rows.limit(1).count():
-            _dead_letter(db.add("chunks", new_rows), batch_id)
+            dead_letter(db.add("chunks", new_rows), rejects_dir, batch_id, "add")
         if upd_rows.limit(1).count():
-            _dead_letter(db.update("chunks", upd_rows), batch_id)
+            dead_letter(
+                db.update("chunks", upd_rows), rejects_dir, batch_id, "update"
+            )
 
     q = (
         stream.writeStream.foreachBatch(upsert_batch)

@@ -137,33 +137,36 @@ def run_available_now(
 
     spark = sdf.sparkSession
     key = "spark.sql.shuffle.partitions"
-    _CONF_SCOPE_LOCK.acquire()
-    old = spark.conf.get(key)
-    if shuffle_partitions is not None:
-        spark.conf.set(key, str(shuffle_partitions))
-    try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(timeout_sec):
-                raise TimeoutError(
-                    f"stream {query_name} still running after {timeout_sec}s"
-                )
-            if progress_sink is not None:
-                for p in q.recentProgress:
-                    progress_sink.append(
-                        _json.loads(p.json) if hasattr(p, "json") else p
-                    )
-        finally:
-            if q.isActive:
-                q.stop()
-    finally:
+    # the context manager covers conf.get/set too (r10 ADVICE): a
+    # transient py4j failure inside the scoped window must still
+    # release the lock, or every later run_available_now call in the
+    # process deadlocks
+    with _CONF_SCOPE_LOCK:
+        old = spark.conf.get(key)
         if shuffle_partitions is not None:
-            spark.conf.set(key, old)
-        _CONF_SCOPE_LOCK.release()
+            spark.conf.set(key, str(shuffle_partitions))
+        try:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(timeout_sec):
+                    raise TimeoutError(
+                        f"stream {query_name} still running after {timeout_sec}s"
+                    )
+                if progress_sink is not None:
+                    for p in q.recentProgress:
+                        progress_sink.append(
+                            _json.loads(p.json) if hasattr(p, "json") else p
+                        )
+            finally:
+                if q.isActive:
+                    q.stop()
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set(key, old)
     return spark.table(query_name)

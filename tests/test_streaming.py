@@ -592,3 +592,37 @@ def test_chunk_upsert_stream_dead_letters_fk_rejects(spark, tmp_path):
     assert [(r.id, r.reject_reason) for r in rejects] == [
         ("orphan", "missing_parent")
     ]
+
+
+def test_dead_letter_sink_is_idempotent_per_batch(spark, tmp_path):
+    """foreachBatch side effects are at-least-once: a RETRIED
+    micro-batch re-runs the dead-letter write with the same batch_id.
+    The sink overwrites that batch's own partition, so the retry
+    replaces the first attempt's rows instead of appending duplicates
+    (r10 ADVICE); a different batch_id lands beside it untouched."""
+    import os
+
+    from local_vectordb_spark.streaming.ingest import dead_letter
+
+    rejects_dir = str(tmp_path / "_rejects")
+    rejected = spark.createDataFrame(
+        [("orphan", "missing_parent")], "id string, reject_reason string"
+    )
+    dead_letter(rejected, rejects_dir, batch_id=3, call="add")
+    dead_letter(rejected, rejects_dir, batch_id=3, call="add")  # retry
+    dead_letter(
+        spark.createDataFrame(
+            [("orphan2", "missing_parent")], "id string, reject_reason string"
+        ),
+        rejects_dir,
+        batch_id=4,
+        call="add",
+    )
+    rows = spark.read.parquet(rejects_dir).collect()
+    assert sorted((r.id, int(r.batch_id)) for r in rows) == [
+        ("orphan", 3),
+        ("orphan2", 4),
+    ]
+    # empty reject sets write nothing — no zero-row partition litter
+    dead_letter(rejected.limit(0), rejects_dir, batch_id=5, call="add")
+    assert not os.path.isdir(os.path.join(rejects_dir, "batch_id=5"))
