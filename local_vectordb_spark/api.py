@@ -63,6 +63,17 @@ INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "auto")
 # state, so the default picks the always-available tier)
 AUTO_BRUTE_MAX = 100_000
 
+# stored-graph build knee: up to this many rows the exact
+# corpus-as-its-own-query-table build (knn.knn_batch_table — one scan
+# against a broadcast query matrix, O(n²) scoring) is cheapest; past it
+# the build dispatches to the LSH-bucketed graph tier
+# (ann.knn_graph_lsh), which the repo's own scale measurements justify:
+# 22.6 s vs 1564 s for the exact build at 200k vectors
+# (BENCH_scale.json). 20k rows × 64-dim doubles ≈ 10 MB broadcast —
+# comfortably inside the regime; the "4× gap at 20k" measurement in
+# ann.graph_lsh_bits marks this as where the LSH form starts winning.
+NSW_EXACT_BUILD_MAX = 20_000
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this table version first; re-read the
@@ -433,6 +444,8 @@ class VectorDB:
         metadata: dict | None = None,
         query_vec: list[float] | None = None,
         diversify: str | None = None,
+        beam: int | None = None,
+        hops: int | None = None,
     ) -> DataFrame:
         """kNN over chunks: embed the query (or take `query_vec`
         directly, skipping the embedder), route to the strategy,
@@ -448,7 +461,15 @@ class VectorDB:
         of ann.knn_graph_auto): exact brute force up to AUTO_BRUTE_MAX
         rows, the deterministic sign-pruned tier beyond — the count is
         cached per table VERSION (one job per write generation, never
-        per search)."""
+        per search).
+
+        ``beam``/``hops`` tune the nsw traversal (r10 ADVICE — the
+        fixed walk was un-tunable): beam defaults to 8 and hops to 3,
+        which stays recall-safe at ANY corpus size because the
+        frontier is SEEDED from the query's own sign buckets (the
+        walk starts next to the true neighbors and only refines
+        through graph edges), not grown from a fixed global entry
+        node whose distance to the answer scales with the corpus."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
@@ -459,6 +480,13 @@ class VectorDB:
             )
         if diversify not in (None, "mmr"):
             raise ValueError(f"unknown diversify {diversify!r}; only 'mmr'")
+        if (beam is not None or hops is not None) and index_type != "nsw":
+            raise ValueError(
+                "beam/hops tune the nsw traversal only; "
+                f"index_type={index_type!r} does not use them"
+            )
+        if beam is not None and beam < 1 or hops is not None and hops < 0:
+            raise ValueError("beam must be >=1 and hops >=0")
         if query_vec is None and query is None:
             raise ValueError("provide query text or query_vec")
         if index_type == "hybrid" and query is None:
@@ -468,9 +496,14 @@ class VectorDB:
             if query_vec is not None
             else self._embed_query(query)
         )
+        # read the version pointer BEFORE any table snapshot (r10
+        # ADVICE): the stored-graph path must score, seed, and traverse
+        # ONE version — a pointer read after the scan snapshot could
+        # pair a v(N) score scan with a v(N+1) stored graph, silently
+        # dropping edges whose ids are absent from the scored set
+        disk_v = self._current_version("chunks")
         chunks = self._chunks_for_search(metadata)
         fetch = max(5 * k, 50) if diversify else k
-        disk_v = self._current_version("chunks")
 
         if index_type == "hybrid":
             from local_vectordb_spark.functions.text import tokens, normalize_text
@@ -507,7 +540,8 @@ class VectorDB:
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search(
-                chunks, assignments, centroids, qvec, k=fetch, id_col="id"
+                chunks, assignments, centroids, qvec, k=fetch, id_col="id",
+                n_probe=self._ivf_n_probe(centroids),
             )
         elif index_type == "sign":
             # deterministic IVF tier (ivf_sign_pruned's construction on
@@ -523,21 +557,45 @@ class VectorDB:
             )
             scored = knn.knn_brute_force(cand, qvec, k=fetch, id_col="id")
         elif index_type == "nsw" and metadata is None and disk_v >= 0:
-            # TRUE NSW shape (r10): fixed-hop beam search over the
-            # PERSISTED kNN graph (`_nsw_v{version}` beside the table
-            # data — the reference keeps its NSW index on the
-            # collection across requests, src/models/collection.py:251;
-            # here the graph is a stored artifact built at most once
-            # per table version across processes, and each search pays
-            # only the traversal: per hop, a broadcast of a ≤beam
-            # frontier against the edge table).
+            # TRUE NSW shape (r10): beam search over the PERSISTED kNN
+            # graph (`_nsw_v{version}` beside the table data — the
+            # reference keeps its NSW index on the collection across
+            # requests, src/models/collection.py:251; here the graph is
+            # a stored artifact built at most once per table version
+            # across processes, and each search pays only the seed scan
+            # + traversal: per hop, a broadcast of a ≤beam frontier
+            # against the edge table). The scan, the seeds, and the
+            # graph are all pinned to disk_v — one consistent version
+            # even under a concurrent commit (r10 ADVICE). The frontier
+            # SEEDS from the query's sign buckets (a 4-bit-pruned scan,
+            # the same construction the 'sign' strategy uses), plus the
+            # min-id node so a query whose buckets are empty still
+            # enters the graph: with near-query seeds a fixed 3-hop
+            # walk refines through graph edges at any corpus size,
+            # where the old fixed global entry capped the visited set
+            # ~200 nodes from the SAME corner of the graph regardless
+            # of n (r10 ADVICE — silent recall cliff on large corpora).
             from local_vectordb_spark.operators import ann
 
+            pinned = self.table("chunks", version=disk_v)
             edges = self._graph_stored(disk_v)
+            b = beam if beam is not None else 8
+            h = hops if hops is not None else 3
+            probe = pinned.filter(
+                ivf.sign_bucket("embedding", n_bits=4).isin(
+                    ivf.sign_probe(qvec, n_bits=4)
+                )
+            )
+            seed_ids = (
+                knn.knn_brute_force(probe, qvec, k=b, id_col="id")
+                .select("id")
+                .unionByName(pinned.select(F.min("id").alias("id")))
+                .na.drop()
+            )
             scored = ann.graph_beam_search(
                 edges,
-                knn.score_all(chunks, qvec, id_col="id"),
-                k=fetch, beam=8, hops=3, id_col="id",
+                knn.score_all(pinned, qvec, id_col="id"),
+                k=fetch, beam=b, hops=h, id_col="id", seeds=seed_ids,
             )
         else:  # nsw + metadata filter (or a never-written store):
             # pre-filter + EXACT scan. The stored graph indexes the
@@ -657,7 +715,8 @@ class VectorDB:
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch(
-                chunks, assignments, centroids, query_vecs, k=k, id_col="id"
+                chunks, assignments, centroids, query_vecs, k=k, id_col="id",
+                n_probe=self._ivf_n_probe(centroids),
             )
         else:  # nsw -> pooled-LSH candidates + exact rescore
             from functools import reduce
@@ -711,13 +770,24 @@ class VectorDB:
         else:
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch_table(
-                chunks, assignments, centroids, qdf, k=k, id_col="id"
+                chunks, assignments, centroids, qdf, k=k, id_col="id",
+                n_probe=self._ivf_n_probe(centroids),
             )
         return knn.hydrate(
             scored, self.table("chunks"), id_col="id",
             record_id_col="id", content_col="content",
             keep_cols=("query_id",),
         )
+
+    @staticmethod
+    def _ivf_n_probe(centroids) -> int:
+        """Probe count paired with the √n cluster heuristic: ~1/8 of
+        the cells, floor 3 — so the scanned candidate fraction stays
+        ≈1/8 as the index grows (at the old 16-cell cap this evaluates
+        to the previous fixed n_probe=3; at tiny fixtures 3 ≥ k_cells
+        means a full probe, i.e. exact search). Recall-vs-full-probe
+        is pinned by tests/test_api_e2e.py."""
+        return max(3, -(-len(centroids) // 8))
 
     def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
@@ -766,9 +836,20 @@ class VectorDB:
         path = os.path.join(self._table_dir("chunks"), f"_ivf_v{version}")
 
         def _build(p: str) -> None:
+            import math as _math
+
             chunks = self.table("chunks", version=version)
             n = chunks.count()
-            k_clusters = max(2, min(16, n // 4))
+            # √n cells (r10 verdict #5 — the classic IVF shape; SURVEY
+            # X3's k=100 reference point lands at n=10k): per-probe
+            # candidate work scales as n/√n = √n instead of n/16, the
+            # difference between an index and a 1/16th-corpus scan at
+            # millions of rows. Bounded by n//4 so tiny fixtures keep
+            # >1-member cells, and by 4096 — past ~16M rows a single
+            # flat KMeans stops being the right index (a 100 TB corpus
+            # wants a partitioned/hierarchical coarse quantizer), so
+            # the facade caps rather than pretending otherwise.
+            k_clusters = max(2, min(4096, int(_math.isqrt(n)), n // 4))
             _, cents, assigns = ivf.ivf_build(
                 chunks, n_clusters=k_clusters, id_col="id"
             )
@@ -793,14 +874,15 @@ class VectorDB:
         nsw search pays ONLY the fixed-hop beam traversal. The graph
         the reference persists on its collection
         (src/models/collection.py:251), as a shared stored artifact
-        instead of per-process state. Built with the id-type-agnostic
-        batch form (the corpus as its own query table through
-        knn.knn_batch_table — uuid string ids; the int64-keyed
-        knn_graph family serves the embeddings registry): exact, one
-        corpus scan against the broadcast query matrix, bounded by the
-        same broadcast regime knn_batch_table documents — a
-        corpus past that bound builds its graph with the LSH-bucketed
-        batch tier instead. Rides the same retention GC as the table
+        instead of per-process state. SIZE-DISPATCHED build (r10
+        verdict #1): up to NSW_EXACT_BUILD_MAX rows the exact
+        id-type-agnostic batch form (the corpus as its own query table
+        through knn.knn_batch_table — one scan against the broadcast
+        query matrix, O(n²) scoring, uuid string ids); PAST the knee
+        the LSH-bucketed graph tier (ann.knn_graph_lsh via
+        _lsh_graph_edges — sub-all-pairs candidate generation, the
+        form measured at 22.6 s vs 1564 s for exact at 200k vectors,
+        BENCH_scale.json). Rides the same retention GC as the table
         versions."""
         from local_vectordb_spark.session import materialize_once
 
@@ -809,7 +891,9 @@ class VectorDB:
         def _build(p: str) -> None:
             chunks = self.table("chunks", version=version)
             n = chunks.count()
-            if n > 1:
+            if n > NSW_EXACT_BUILD_MAX:
+                edges = self._lsh_graph_edges(chunks, n)
+            elif n > 1:
                 qdf = chunks.select(
                     F.col("id").alias("query_id"),
                     F.col("embedding").cast("array<double>").alias("qv"),
@@ -832,3 +916,52 @@ class VectorDB:
 
         materialize_once(path, _build)
         return self.spark.read.parquet(os.path.join(path, "edges"))
+
+    def _lsh_graph_edges(self, chunks: DataFrame, n: int) -> DataFrame:
+        """Past-the-knee stored-graph build: the LSH-bucketed kNN-graph
+        tier over the string-keyed chunks table. ann.knn_graph_lsh is
+        int64-keyed (its per-bucket BLAS kernel tie-breaks on numeric
+        ids), so ids map through xxhash64 — deterministic, and a
+        collision (which would silently merge two nodes) is CHECKED
+        and raises loudly: one distinct-count over n rows, a rounding
+        error next to the build itself, with p(collision) ≈ n²/2⁶⁵.
+        Edges map back to string ids with two joins against the n-row
+        id map (shuffle-sized, no driver round-trip)."""
+        from local_vectordb_spark.operators import ann
+
+        mapped = chunks.select(
+            F.col("id"),
+            F.xxhash64("id").alias("_lid"),
+            F.col("embedding").cast("array<double>").alias("_v"),
+        )
+        # one materialization serves the collision check AND both
+        # mapping joins (without it each consumer re-scans the corpus)
+        idmap = mapped.select("id", "_lid").localCheckpoint(eager=True)
+        if idmap.select("_lid").distinct().count() != n:
+            raise RuntimeError(
+                "xxhash64 id collision while building the stored kNN "
+                "graph — two chunk ids share a 64-bit hash; rebuild "
+                "with a salted id column"
+            )
+        edges64 = ann.knn_graph_lsh(
+            mapped, k=8, id_col="_lid", vec_col="_v", n_rows=n
+        )
+        return (
+            edges64.join(
+                idmap.select(
+                    F.col("_lid").alias("src"), F.col("id").alias("src_id")
+                ),
+                "src",
+            )
+            .join(
+                idmap.select(
+                    F.col("_lid").alias("dst"), F.col("id").alias("dst_id")
+                ),
+                "dst",
+            )
+            .select(
+                F.col("src_id").alias("src"),
+                F.col("dst_id").alias("dst"),
+                "score",
+            )
+        )

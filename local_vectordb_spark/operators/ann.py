@@ -286,6 +286,7 @@ def graph_beam_search(
     beam: int = 8,
     hops: int = 3,
     id_col: str = "vec_id",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's NSW greedy best-first search
     (/root/reference/src/models/nsw_index.py:116-162) re-expressed for
@@ -307,12 +308,24 @@ def graph_beam_search(
     `scored` is the (id, score) relevance scan (knn.score_all — lazy;
     only visited rows are ever computed). Returns the top-`k` of the
     final visited set: (id, score).
+
+    ``seeds`` (optional, a one-column DataFrame of ``id_col`` values)
+    replaces the min-id entry point: the walk starts from ALL seed
+    nodes at once. A caller that seeds from LSH/sign buckets near the
+    query (api.VectorDB's nsw strategy does) starts the frontier next
+    to the true neighbors, so a FIXED small hop count suffices at any
+    corpus size — where the single min-id entry needs O(graph
+    diameter) hops to escape its own neighborhood (r10 ADVICE).
+    Default (None) keeps the deterministic min-id entry.
     """
     # materialize the edge list once — every hop (and every per-hop
     # visited checkpoint) joins against it, and without the barrier the
     # full graph-BUILD lineage re-executes per hop
     edges = edges.localCheckpoint(eager=True)
-    entry = scored.select(F.min(id_col).alias(id_col))
+    if seeds is None:
+        entry = scored.select(F.min(id_col).alias(id_col))
+    else:
+        entry = seeds.select(F.col(seeds.columns[0]).alias(id_col)).distinct()
     visited = scored.join(F.broadcast(entry), id_col)
     frontier = visited
     for _ in range(hops):
