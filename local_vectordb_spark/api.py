@@ -276,9 +276,11 @@ class VectorDB:
 
     # ---------------- point reads ----------------
 
-    def get(self, kind: str, item_id: str) -> DataFrame:
-        """C2 — single-record fetch by id."""
-        return crud.point_lookup(self.table(kind), "id", item_id)
+    def get(self, kind: str, item_id: str, version: int | None = None) -> DataFrame:
+        """C2 — single-record fetch by id, optionally from a retained
+        historical ``version`` (time travel — same contract as
+        :meth:`table`; a GC'd or future version raises)."""
+        return crud.point_lookup(self.table(kind, version=version), "id", item_id)
 
     def exists(self, kind: str, item_id: str) -> bool:
         """C3 — key-existence test."""

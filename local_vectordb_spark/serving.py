@@ -20,7 +20,12 @@ implemented as a thin stdlib adapter over :class:`VectorDB`:
   default limit 100) so a listing collects one page, never the whole
   table — still a demo surface, marked here so nobody mistakes it for
   the 100 TB path. Real deployments serve search from an exported
-  index, not the Spark driver.
+  index, not the Spark driver;
+- GET list/fetch accept ``?version=N`` — a TIME-TRAVEL read of a
+  retained table generation (the facade's versioned store through
+  HTTP): a pre-delete snapshot stays readable until retention GC
+  drops it, after which the route answers 404 with the retention
+  hint.
 
 No FastAPI/uvicorn dependency: ``http.server`` from the stdlib, so the
 adapter runs in the bare test container.
@@ -75,11 +80,13 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------- plumbing -------------
 
-    def _send(self, code: int, payload=None) -> None:
+    def _send(self, code: int, payload=None, headers: dict | None = None) -> None:
         body = b"" if payload is None else json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, str(v))
         self.end_headers()
         if body:
             self.wfile.write(body)
@@ -108,6 +115,19 @@ class _Handler(BaseHTTPRequestHandler):
         if limit < 0 or offset < 0:
             raise ValueError("limit and offset must be non-negative")
         return limit, offset
+
+    def _version_param(self) -> int | None:
+        """Optional ``?version=N`` on GET routes — a TIME-TRAVEL read
+        of a retained table generation (r10 verdict #7: the versioned
+        store existed but HTTP had no way to pin one). Non-integer
+        values answer 400 via the _safely envelope; a GC'd or
+        never-written version answers 404 in _get."""
+        from urllib.parse import parse_qs
+
+        qs = parse_qs(self.path.split("?", 1)[1]) if "?" in self.path else {}
+        if "version" not in qs:
+            return None
+        return int(qs["version"][0])
 
     def _safely(self, fn) -> None:
         """Every verb runs under this envelope: malformed bodies and
@@ -145,16 +165,40 @@ class _Handler(BaseHTTPRequestHandler):
         if kind not in SCHEMAS:
             self._send(404, {"detail": f"unknown collection {kind!r}"})
             return
-        if item is None:
-            # One id-ordered page per request (deterministic across
-            # pages), never a whole-table collect().
-            limit, offset = self._page_params()
-            page = (
-                self.db.table(kind).orderBy("id").offset(offset).limit(limit)
-            )
-            self._send(200, [_row_to_json(r) for r in page.collect()])
+        version = self._version_param()  # malformed value -> 400 via _safely
+        limit, offset = (None, None) if item else self._page_params()  # ditto
+        # the generation actually served, echoed as X-Table-Version so a
+        # client can pin THIS snapshot in later ?version= reads (the
+        # HTTP face of the facade's snapshot-read contract)
+        served_v = self.db._current_version(kind) if version is None else version
+        # pin the read to served_v (one pointer load decides both the
+        # header and the data — no commit can slip between them); a
+        # never-written table (served_v=-1) takes the empty-snapshot
+        # path through table(version=None)
+        pin = served_v if served_v >= 0 else None
+        try:
+            if item is None:
+                # One id-ordered page per request (deterministic across
+                # pages), never a whole-table collect().
+                page = (
+                    self.db.table(kind, version=pin)
+                    .orderBy("id").offset(offset).limit(limit)
+                )
+                self._send(
+                    200,
+                    [_row_to_json(r) for r in page.collect()],
+                    headers={"X-Table-Version": served_v},
+                )
+                return
+            rows = self.db.get(kind, item, version=pin).collect()
+        except ValueError as e:
+            if version is None:
+                raise  # not a version read — let _safely answer 400
+            # table() raises on a GC'd / never-written / future version
+            # — a missing RESOURCE, not a malformed request: 404, with
+            # the retention hint in the detail
+            self._send(404, {"detail": str(e)})
             return
-        rows = self.db.get(kind, item).collect()
         if not rows:
             self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
             return

@@ -217,3 +217,45 @@ def test_put_reparent_onto_missing_parent_404s(server):
         server, "PUT", f"/chunks/{ch['id']}", {"document_id": doc2["id"]}
     )
     assert code == 200 and body["document_id"] == doc2["id"]
+
+
+def test_time_travel_reads_pre_delete_snapshot_over_http(server):
+    """r10 verdict #7: GET accepts ?version=N — an e2e read of a
+    pre-delete snapshot through HTTP. The deleted chunk 404s on the
+    live route but is still served from the pinned prior version;
+    a GC'd / future / malformed version answers 404/400."""
+    assert _req(server, "POST", "/reset")[0] == 200
+    _, lib = _req(server, "POST", "/libraries", {"name": "tt"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    _, kept = _req(
+        server, "POST", "/chunks", {"content": "kept row", "document_id": doc["id"]}
+    )
+    _, doomed = _req(
+        server, "POST", "/chunks", {"content": "doomed row", "document_id": doc["id"]}
+    )
+    # the list response echoes the generation it served — the client's
+    # handle for pinning THIS snapshot across later writes
+    req = urllib.request.Request(server + "/chunks?limit=10", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        pre_v = int(resp.headers["X-Table-Version"])
+        pre = json.loads(resp.read())
+    assert len(pre) == 2
+
+    assert _req(server, "DELETE", f"/chunks/{doomed['id']}")[0] == 204
+    # live route: gone
+    assert _req(server, "GET", f"/chunks/{doomed['id']}")[0] == 404
+    code, live = _req(server, "GET", "/chunks?limit=10")
+    assert code == 200 and [r["id"] for r in live] == sorted([kept["id"]])
+
+    # pinned pre-delete version: both rows, fetch-by-id works
+    code, old = _req(server, "GET", f"/chunks?limit=10&version={pre_v}")
+    assert code == 200 and len(old) == 2
+    code, got = _req(server, "GET", f"/chunks/{doomed['id']}?version={pre_v}")
+    assert code == 200 and got["content"] == "doomed row"
+
+    # future version -> 404 with the retention hint; malformed -> 400
+    code, body = _req(server, "GET", "/chunks?version=99")
+    assert code == 404 and "retained" in body["detail"]
+    assert _req(server, "GET", "/chunks?version=abc")[0] == 400
