@@ -284,6 +284,10 @@ class _Handler(BaseHTTPRequestHandler):
                 index_type=index_type,
                 k=int(body.get("limit", 5)),
                 metadata=body.get("metadata") or None,
+                # nsw traversal knobs (r10 ADVICE) — validated by
+                # search(): passing them with a non-nsw index answers 400
+                beam=None if body.get("beam") is None else int(body["beam"]),
+                hops=None if body.get("hops") is None else int(body["hops"]),
             ).collect()
         except ValueError as e:
             self._send(400, {"detail": str(e)})

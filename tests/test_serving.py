@@ -259,3 +259,29 @@ def test_time_travel_reads_pre_delete_snapshot_over_http(server):
     code, body = _req(server, "GET", "/chunks?version=99")
     assert code == 404 and "retained" in body["detail"]
     assert _req(server, "GET", "/chunks?version=abc")[0] == 400
+
+
+def test_query_route_nsw_knobs(server):
+    """POST /query passes beam/hops through to the nsw traversal; a
+    non-nsw index with the knobs answers 400 (search() validates)."""
+    assert _req(server, "POST", "/reset")[0] == 200
+    _, lib = _req(server, "POST", "/libraries", {"name": "knobs"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    for q in QUESTIONS:
+        assert _req(
+            server, "POST", "/chunks", {"content": q, "document_id": doc["id"]}
+        )[0] == 201
+
+    code, res = _req(server, "POST", "/query", {
+        "text": QUESTIONS[2], "index_type": "nsw", "limit": 2,
+        "beam": 4, "hops": 1,
+    })
+    assert code == 200
+    assert res["results"][0]["content"] == QUESTIONS[2]
+
+    code, body = _req(server, "POST", "/query", {
+        "text": QUESTIONS[2], "index_type": "cosine", "beam": 4,
+    })
+    assert code == 400 and "nsw" in body["detail"]
