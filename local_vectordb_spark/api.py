@@ -805,10 +805,6 @@ class VectorDB:
         for later differently-filtered ones."""
         disk_v = self._current_version("chunks")
         if self._ivf is None or self._ivf_version != disk_v:
-            if self._ivf is not None:
-                # release the stale version's cached blocks before
-                # rebuilding, or write-heavy sessions accumulate them
-                self._ivf[1].unpersist()
             if disk_v >= 0:
                 centroids, assignments = self._ivf_stored(disk_v)
             else:  # never-written store: nothing to train or persist
@@ -816,7 +812,14 @@ class VectorDB:
                 _, centroids, assignments = ivf.ivf_build(
                     chunks, n_clusters=2, id_col="id"
                 )
-            self._ivf = (centroids, assignments.cache())
+            # the stored assignments are deliberately NOT .cache()d: a
+            # cached scan materializes EVERY cell and hides the file
+            # source from Catalyst, so the probe filter degrades to an
+            # in-memory row filter; the un-cached read keeps the
+            # cluster_id partition layout visible and each probe scans
+            # only its cells' directories (tests/test_plans.py pins
+            # PartitionFilters in the search plan)
+            self._ivf = (centroids, assignments)
             self._ivf_version = disk_v
         return self._ivf
 
@@ -855,7 +858,13 @@ class VectorDB:
             _, cents, assigns = ivf.ivf_build(
                 chunks, n_clusters=k_clusters, id_col="id"
             )
-            assigns.write.mode("overwrite").parquet(
+            # PARTITION the stored assignments by cell: ivf_search's
+            # probe filter (cluster_id isin [...]) then prunes whole
+            # directories at the scan — a probe reads n_probe/k of the
+            # index FILES, not a full scan filtered row-by-row (the
+            # plan-level difference between an index and a table;
+            # pinned by tests/test_plans.py)
+            assigns.write.mode("overwrite").partitionBy("cluster_id").parquet(
                 os.path.join(p, "assignments")
             )
             with open(os.path.join(p, "centroids.json"), "w") as f:

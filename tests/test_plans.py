@@ -528,3 +528,31 @@ def test_lsh_star_edges_linear_plan(spark, sf_dir):
     # banded relation is being self-joined (the quadratic bucket-pair
     # shape this form exists to avoid)
     assert "Join" not in plan
+
+
+def test_facade_stored_ivf_probe_is_partition_pruned(spark, tmp_path):
+    """r11: the facade's PERSISTED IVF assignments are written
+    partitioned by cluster_id, so the ivf strategy's probe filter
+    prunes whole partition directories at the scan — the stored index
+    behaves like an index at the plan level, not a filtered table."""
+    import uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path))
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, f"chunk text number {i}", None, doc)
+         for i in range(64)],
+        SCHEMAS["chunks"]))
+
+    hits = d.search("chunk text number 7", index_type="ivf", k=5)
+    plan = plans.plan_string(hits)
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert hits.collect()[0].content == "chunk text number 7"
