@@ -35,32 +35,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # in registration order. Round 11 rotation (r10 verdict #4): (a) the 3
 # full-oracle entries ADDED in r10 with no driver row yet
 # (split_group_aware_lsh, docs_training_manifest_leakage_safe,
-# api_search_batch_auto — three-scale-verified in VERIFY_LOCAL_r10*),
-# then (b) the 9 r7-stale queries deferred from the r10 window (at the
-# staleness bound — they MUST be in this window), then (c) all 8
-# streaming entries regardless of recency because streaming runtime
-# code CHANGES this round (run_available_now's conf-scope lock and the
-# ingest dead-letter sink were reworked per r10 ADVICE), then (d) 30 of
-# the 47 remaining queries whose last driver row is r8, preferring the
-# ones whose code paths are touched this round (api_search_batch_table
-# rides api.py edits). The 17 deferred r8-tier queries are simple
-# single-shape built-ins untouched since r8 (docs_shuffle_order,
-# docs_zipf_token_freq, docs_quality_quantiles, docs_dedup_family_sizes,
+# api_search_batch_auto — three-scale-verified in VERIFY_LOCAL_r10*)
+# plus the r11-NEW api_search_nsw (the facade's stored-graph ANN path,
+# fully oracled), then (b) the 9 r7-stale queries deferred from the
+# r10 window (at the staleness bound — they MUST be in this window),
+# then (c) all 8 streaming entries regardless of recency because
+# streaming runtime code CHANGES this round (run_available_now's
+# conf-scope lock and the ingest dead-letter sink were reworked per
+# r10 ADVICE), then (d) 29 of the 47 remaining queries whose last
+# driver row is r8, preferring the ones whose code paths are touched
+# this round (api_search_batch_table rides api.py edits). The 18
+# deferred r8-tier queries are simple single-shape built-ins untouched
+# since r8 (docs_shuffle_order, docs_zipf_token_freq,
+# docs_quality_quantiles, docs_dedup_family_sizes,
 # orders_percentile_by_priority, part_cube_brand_size,
 # quantiles_order_value, supplier_balance_ntile,
 # sketch_distinct_users_daily, skew_salted_event_counts,
 # events_interarrival, events_partition_pruned_scan,
 # events_retention_cohorts, events_band_clicks_near_errors,
-# events_error_burst_windows, text_bpe_token_stats, text_langid);
-# they lead the r12 window. Everything stays re-verified locally at
-# three scale factors each round via tools/verify_local.py. (The
+# events_error_burst_windows, text_bpe_token_stats, text_langid,
+# text_repetition_stats); they lead the r12 window. Everything stays
+# re-verified locally at three scale factors each round via
+# tools/verify_local.py. (The
 # trained/residual PQ tiers remain rows-only by design and keep their
 # recall invariants in tests.)
 _PRIORITY = [
-    # (a) added in r10, full oracle, no driver row yet
+    # (a) added in r10/r11, full oracle, no driver row yet
     "split_group_aware_lsh",
     "docs_training_manifest_leakage_safe",
     "api_search_batch_auto",
+    "api_search_nsw",  # r11-new: the facade ANN path, fully oracled
     # (b) last driver row r7 — deferred from r10, staleness bound hit
     "events_json_extract",
     "events_tumbling_hour",
@@ -110,7 +114,6 @@ _PRIORITY = [
     "text_fingerprint_rolling",
     "text_fingerprint_winnow",
     "text_pii_scrub_audit",
-    "text_repetition_stats",
 ]
 
 

@@ -19,6 +19,13 @@ ORACLE_SQL: dict[str, str] = {}
 
 K = 10
 
+# ivf.sign_bucket(n_bits=4) as DuckDB SQL (1-indexed lists) — shared by
+# the sign-pruned search oracles and the facade-nsw seeding oracle
+_SIGN_BUCKET_SQL = """CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END
+             + CASE WHEN {v}[2] >= 0 THEN 4 ELSE 0 END
+             + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END
+             + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END"""
+
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
@@ -333,6 +340,100 @@ def api_search_batch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search_batch(
         query_vecs=_query_vecs(sf_dir, max_vec_id=8), index_type="auto", k=K
     )
+
+
+def _api_nsw_oracle_sql() -> str:
+    """Oracle for api_search_nsw: the facade's ENTIRE nsw path unrolled
+    into DuckDB SQL — stored-graph build (top-8 neighbours per node
+    over the staged corpus, the exact tier `_graph_stored` selects at
+    fixture sizes), sign-bucket frontier seeding (the query's 4-bit
+    bucket + its Hamming-1 flips, top-beam by score, plus the min-id
+    fallback node), the 3-hop beam-8 traversal, and hydration. Chunk
+    ids in the staged store are STRINGIFIED vec_ids, so every facade
+    tie-break is LEXICOGRAPHIC — each ORDER BY casts to VARCHAR to
+    match. The graph CTE ranks top-9 INCLUDING self then drops self
+    edges, replicating knn_batch_table(k=min(8,n-1)+1) + the
+    src!=dst filter exactly (under score-1.0 ties the two forms can
+    differ, so the oracle mirrors the construction, not the intent)."""
+    sign_e = _SIGN_BUCKET_SQL.format(v="e.embedding")
+    sign_q = _SIGN_BUCKET_SQL.format(v="q.qv")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    pair AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings a JOIN embeddings b ON true
+    ),
+    g AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (
+                 PARTITION BY src
+                 ORDER BY score DESC, CAST(dst AS VARCHAR) ASC
+               ) AS rn
+        FROM pair
+      ) WHERE rn <= 9 AND src != dst
+    ),
+    qb AS (SELECT ({sign_q}) AS b FROM q),
+    seeds AS (
+      SELECT vec_id FROM (
+        SELECT r.vec_id FROM rel r
+        JOIN embeddings e ON r.vec_id = e.vec_id
+        CROSS JOIN qb
+        WHERE ({sign_e})
+              IN (qb.b, xor(qb.b, 1), xor(qb.b, 2), xor(qb.b, 4), xor(qb.b, 8))
+        ORDER BY r.score DESC, CAST(r.vec_id AS VARCHAR) ASC
+        LIMIT 8
+      )
+      UNION
+      SELECT vec_id FROM (
+        SELECT vec_id FROM embeddings
+        ORDER BY CAST(vec_id AS VARCHAR) ASC LIMIT 1
+      )
+    ),
+    v0 AS (SELECT r.vec_id, r.score FROM rel r JOIN seeds USING (vec_id)),
+    n1 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN v0 ON g.src = v0.vec_id),
+    v1 AS (SELECT * FROM v0
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n1 USING (vec_id)),
+    f1 AS (SELECT * FROM v1
+           ORDER BY score DESC, CAST(vec_id AS VARCHAR) ASC LIMIT 8),
+    n2 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN f1 ON g.src = f1.vec_id),
+    v2 AS (SELECT * FROM v1
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n2 USING (vec_id)),
+    f2 AS (SELECT * FROM v2
+           ORDER BY score DESC, CAST(vec_id AS VARCHAR) ASC LIMIT 8),
+    n3 AS (SELECT DISTINCT g.dst AS vec_id FROM g JOIN f2 ON g.src = f2.vec_id),
+    v3 AS (SELECT * FROM v2
+           UNION SELECT r.vec_id, r.score FROM rel r JOIN n3 USING (vec_id)),
+    topk AS (SELECT vec_id, score FROM v3
+             ORDER BY score DESC, CAST(vec_id AS VARCHAR) ASC LIMIT {K})
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """
+
+
+@register("api_search_nsw", _api_nsw_oracle_sql())
+def api_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5+Q7 through the facade, FULL-ORACLE (r11): the nsw strategy
+    end to end — persisted per-version kNN graph (`_nsw_v{{N}}`, built
+    at most once per version by `_graph_stored`; exact tier at fixture
+    sizes, the LSH tier past NSW_EXACT_BUILD_MAX), sign-bucket frontier
+    seeding, fixed 3-hop beam-8 traversal, hydration. Every stage is a
+    pure deterministic expression at fixture scale, so the ENTIRE
+    stored-ANN serving path — the reference's NSW index on its
+    collection (src/models/collection.py:251, nsw_index.py:116-162) —
+    is value-checked against DuckDB, which neither the reference (its
+    entry point is an arbitrary dict key) nor a greedy data-dependent
+    walk could be. The LSH-built large-corpus twin is pinned by
+    tests/test_api_e2e.py and measured in BENCH_scale.json
+    (facade_nsw_stored)."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="nsw", k=K)
 
 
 @register(
@@ -2002,12 +2103,6 @@ def _sign_layout_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return P.read_partitioned(spark, materialize_once(path, _write))
-
-
-_SIGN_BUCKET_SQL = """CASE WHEN {v}[1] >= 0 THEN 8 ELSE 0 END
-             + CASE WHEN {v}[2] >= 0 THEN 4 ELSE 0 END
-             + CASE WHEN {v}[3] >= 0 THEN 2 ELSE 0 END
-             + CASE WHEN {v}[4] >= 0 THEN 1 ELSE 0 END"""
 
 
 @register(
