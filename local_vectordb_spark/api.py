@@ -44,6 +44,7 @@ anti-pattern).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,13 +259,11 @@ class VectorDB:
                     and int(entry[1:]) <= nxt - self.keep_versions
                 ):
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
-                # persisted index artifacts (IVF, NSW graph) ride the
-                # same retention as the table versions they index
-                if (
-                    (entry.startswith("_ivf_v") or entry.startswith("_nsw_v"))
-                    and entry[6:].isdigit()
-                    and int(entry[6:]) <= nxt - self.keep_versions
-                ):
+                # persisted index artifacts (IVF, NSW graph, sign
+                # layout) ride the same retention as the table
+                # versions they index
+                m = re.match(r"_(?:ivf|nsw|sign)_v(\d+)$", entry)
+                if m and int(m.group(1)) <= nxt - self.keep_versions:
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
         finally:
             os.close(lock_fd)  # closing the fd releases the flock
@@ -546,17 +545,27 @@ class VectorDB:
                 n_probe=self._ivf_n_probe(centroids),
             )
         elif index_type == "sign":
-            # deterministic IVF tier (ivf_sign_pruned's construction on
-            # the live table): bucket = axis-sign bits, a pure
-            # expression of the vector — no trained state, nothing to
-            # invalidate on write, and the result is reproducible in
+            # deterministic IVF tier (ivf_sign_pruned's construction):
+            # bucket = axis-sign bits, a pure expression of the vector
+            # — no trained state, and the result is reproducible in
             # any engine, which makes e2e flows over this strategy
-            # hash-checkable where the KMeans tier is rows-only
-            cand = chunks.filter(
-                ivf.sign_bucket("embedding", n_bits=4).isin(
-                    ivf.sign_probe(qvec, n_bits=4)
+            # hash-checkable where the KMeans tier is rows-only. An
+            # unfiltered search on a written store serves from the
+            # PERSISTED bucket-partitioned layout (`_sign_v{N}`), so
+            # the probe prunes partition DIRECTORIES instead of
+            # filtering rows — the 100 TB difference, since `auto`
+            # routes here past the brute knee. A metadata-filtered (or
+            # never-written) search keeps the expression form: the
+            # metadata column lives in the base table, not the layout.
+            probes = ivf.sign_probe(qvec, n_bits=4)
+            if metadata is None and disk_v >= 0:
+                cand = self._sign_stored(disk_v).filter(
+                    F.col("bucket").isin(probes)
                 )
-            )
+            else:
+                cand = chunks.filter(
+                    ivf.sign_bucket("embedding", n_bits=4).isin(probes)
+                )
             scored = knn.knn_brute_force(cand, qvec, k=fetch, id_col="id")
         elif index_type == "nsw" and metadata is None and disk_v >= 0:
             # TRUE NSW shape (r10): beam search over the PERSISTED kNN
@@ -713,7 +722,7 @@ class VectorDB:
                 [(int(i), [float(x) for x in v]) for i, v in query_vecs],
                 "query_id long, qv array<double>",
             )
-            scored = ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
+            scored = self._sign_batch(chunks, qdf, k, metadata)
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch(
@@ -768,7 +777,7 @@ class VectorDB:
         if index_type == "cosine":
             scored = knn.knn_batch_table(chunks, qdf, k=k, id_col="id")
         elif index_type == "sign":
-            scored = ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
+            scored = self._sign_batch(chunks, qdf, k, metadata)
         else:
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch_table(
@@ -790,6 +799,24 @@ class VectorDB:
         means a full probe, i.e. exact search). Recall-vs-full-probe
         is pinned by tests/test_api_e2e.py."""
         return max(3, -(-len(centroids) // 8))
+
+    def _sign_batch(
+        self, chunks: DataFrame, qdf: DataFrame, k: int, metadata: dict | None
+    ) -> DataFrame:
+        """Shared sign-strategy batch scoring: the persisted
+        bucket-partitioned layout with its stored `bucket` column when
+        the search is unfiltered on a written store (the probe join
+        then triggers dynamic partition pruning — see
+        ivf.sign_search_batch_table's bucket_col note), else the
+        bucket-expression form over the (possibly metadata-filtered)
+        base table."""
+        disk_v = self._current_version("chunks")
+        if metadata is None and disk_v >= 0:
+            return ivf.sign_search_batch_table(
+                self._sign_stored(disk_v), qdf, k=k, id_col="id",
+                bucket_col="bucket",
+            )
+        return ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
 
     def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
@@ -877,6 +904,37 @@ class VectorDB:
             centroids = _json.load(f)
         assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
         return centroids, assignments
+
+    def _sign_stored(self, version: int) -> DataFrame:
+        """PERSISTED sign-bucket layout (r11): (id, embedding) written
+        hive-partitioned by the 4-bit sign bucket as `_sign_v{version}`
+        beside the table data — the physical form that turns the sign
+        strategy's probe from a full-table row filter into PARTITION
+        PRUNING (the scan reads ~(n_bits+1)/2^n_bits of the FILES; the
+        plan shows PartitionFilters, pinned in tests/test_plans.py).
+        This is the layout the `auto` strategy serves past
+        AUTO_BRUTE_MAX, i.e. the 100 TB default path. Same contract as
+        the other stored artifacts: built at most once per table
+        version across processes (materialize_once), pinned to the
+        `v{version}` snapshot, GC'd with its version."""
+        from local_vectordb_spark.session import materialize_once
+
+        path = os.path.join(self._table_dir("chunks"), f"_sign_v{version}")
+
+        def _build(p: str) -> None:
+            chunks = self.table("chunks", version=version)
+            chunks.select(
+                "id",
+                "embedding",
+                ivf.sign_bucket("embedding", n_bits=4).alias("bucket"),
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(p, "layout")
+            )
+            with open(os.path.join(p, "_SUCCESS"), "w"):
+                pass
+
+        materialize_once(path, _build)
+        return self.spark.read.parquet(os.path.join(path, "layout"))
 
     def _graph_stored(self, version: int) -> DataFrame:
         """PERSISTED kNN graph for the nsw strategy (r10): (src, dst,

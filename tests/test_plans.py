@@ -556,3 +556,43 @@ def test_facade_stored_ivf_probe_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
     assert hits.collect()[0].content == "chunk text number 7"
+
+
+def test_facade_sign_probe_is_partition_pruned(spark, tmp_path):
+    """r11: the facade's sign strategy (the `auto` default past the
+    brute knee) serves from the persisted `_sign_v{N}` bucket-
+    partitioned layout, so the Hamming-1 probe prunes whole partition
+    directories — and a metadata-filtered search falls back to the
+    expression form over the base table (the layout has no metadata)."""
+    import uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path))
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i:03d}", {"par": str(i % 2)}, None, None,
+          f"sign layout row {i}", None, doc) for i in range(48)],
+        SCHEMAS["chunks"]))
+
+    hits = d.search("sign layout row 9", index_type="sign", k=5)
+    plan = plans.plan_string(hits)
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    assert hits.collect()[0].content == "sign layout row 9"
+
+    # metadata filter -> expression form, filter respected
+    got = d.search("sign layout row 9", index_type="sign", k=48,
+                   metadata={"par": "1"}).collect()
+    assert got and all(int(r.content.rsplit(" ", 1)[1]) % 2 == 1 for r in got)
+
+    # batch twin over the stored layout agrees with itself end to end
+    qv = [float(x) for x in
+          d.table("chunks").filter("id = 'c007'").first().embedding]
+    batch = d.search_batch(query_vecs=[(0, qv)], index_type="sign", k=5)
+    assert batch.collect()[0].content == "sign layout row 7"
