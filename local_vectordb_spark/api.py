@@ -415,8 +415,10 @@ class VectorDB:
         )
         return [float(x) for x in row.v]
 
-    def _chunks_for_search(self, metadata: dict | None) -> DataFrame:
-        chunks = self.table("chunks")
+    def _chunks_for_search(
+        self, metadata: dict | None, version: int | None = None
+    ) -> DataFrame:
+        chunks = self.table("chunks", version=version)
         if metadata:  # Q8 — declared-but-unimplemented in the reference
             for key, val in metadata.items():
                 chunks = chunks.filter(F.col("metadata")[key] == str(val))
@@ -497,13 +499,16 @@ class VectorDB:
             if query_vec is not None
             else self._embed_query(query)
         )
-        # read the version pointer BEFORE any table snapshot (r10
-        # ADVICE): the stored-graph path must score, seed, and traverse
-        # ONE version — a pointer read after the scan snapshot could
-        # pair a v(N) score scan with a v(N+1) stored graph, silently
-        # dropping edges whose ids are absent from the scored set
+        # ONE pointer read pins the whole search (r10 ADVICE, widened
+        # in r11): the scan, any stored artifact (graph / sign layout),
+        # and the closing hydration all read version disk_v — a
+        # concurrent commit mid-plan can no longer pair a v(N) scan
+        # with a v(N+1) artifact (dropped edges / missing seeds) or
+        # hydrate against rows the scan never scored. keep_versions>=2
+        # keeps the pinned snapshot readable across one such commit.
         disk_v = self._current_version("chunks")
-        chunks = self._chunks_for_search(metadata)
+        pin = disk_v if disk_v >= 0 else None
+        chunks = self._chunks_for_search(metadata, version=pin)
         fetch = max(5 * k, 50) if diversify else k
 
         if index_type == "hybrid":
@@ -588,7 +593,7 @@ class VectorDB:
             # of n (r10 ADVICE — silent recall cliff on large corpora).
             from local_vectordb_spark.operators import ann
 
-            pinned = self.table("chunks", version=disk_v)
+            pinned = chunks  # metadata is None here: the pinned table
             edges = self._graph_stored(disk_v)
             b = beam if beam is not None else 8
             h = hops if hops is not None else 3
@@ -623,7 +628,10 @@ class VectorDB:
             from local_vectordb_spark.operators import rerank
 
             cand = F.broadcast(scored).join(
-                self._chunks_for_search(None).select("id", "embedding"), "id"
+                self._chunks_for_search(None, version=pin).select(
+                    "id", "embedding"
+                ),
+                "id",
             )
             scored = (
                 rerank.mmr_rerank(
@@ -633,7 +641,7 @@ class VectorDB:
                 .drop("mmr_rank")
             )
         return knn.hydrate(
-            scored, self.table("chunks"), id_col="id",
+            scored, self.table("chunks", version=pin), id_col="id",
             record_id_col="id", content_col="content",
         )
 
@@ -710,7 +718,11 @@ class VectorDB:
                 "query_id", self.embedder(F.col("t")).alias("v")
             ).collect()
             query_vecs = [(r.query_id, [float(x) for x in r.v]) for r in rows]
-        chunks = self._chunks_for_search(metadata)
+        # one pointer read pins scan, stored layout, and hydration to
+        # the same version — see search()
+        disk_v = self._current_version("chunks")
+        pin = disk_v if disk_v >= 0 else None
+        chunks = self._chunks_for_search(metadata, version=pin)
 
         if index_type == "cosine":
             scored = knn.knn_batch(chunks, query_vecs, k=k, id_col="id")
@@ -722,7 +734,7 @@ class VectorDB:
                 [(int(i), [float(x) for x in v]) for i, v in query_vecs],
                 "query_id long, qv array<double>",
             )
-            scored = self._sign_batch(chunks, qdf, k, metadata)
+            scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
         elif index_type == "ivf":
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch(
@@ -742,7 +754,7 @@ class VectorDB:
             candidates = chunks.join(F.broadcast(cand_ids), "id", "left_semi")
             scored = knn.knn_batch(candidates, query_vecs, k=k, id_col="id")
         return knn.hydrate(
-            scored, self.table("chunks"), id_col="id",
+            scored, self.table("chunks", version=pin), id_col="id",
             record_id_col="id", content_col="content",
             keep_cols=("query_id",),
         )
@@ -773,11 +785,13 @@ class VectorDB:
             qdf = self.spark.createDataFrame(
                 [(int(i), t) for i, t in queries], "query_id long, t string"
             ).select("query_id", self.embedder(F.col("t")).alias("qv"))
-        chunks = self._chunks_for_search(metadata)
+        disk_v = self._current_version("chunks")
+        pin = disk_v if disk_v >= 0 else None
+        chunks = self._chunks_for_search(metadata, version=pin)
         if index_type == "cosine":
             scored = knn.knn_batch_table(chunks, qdf, k=k, id_col="id")
         elif index_type == "sign":
-            scored = self._sign_batch(chunks, qdf, k, metadata)
+            scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
         else:
             centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search_batch_table(
@@ -785,7 +799,7 @@ class VectorDB:
                 n_probe=self._ivf_n_probe(centroids),
             )
         return knn.hydrate(
-            scored, self.table("chunks"), id_col="id",
+            scored, self.table("chunks", version=pin), id_col="id",
             record_id_col="id", content_col="content",
             keep_cols=("query_id",),
         )
@@ -801,7 +815,12 @@ class VectorDB:
         return max(3, -(-len(centroids) // 8))
 
     def _sign_batch(
-        self, chunks: DataFrame, qdf: DataFrame, k: int, metadata: dict | None
+        self,
+        chunks: DataFrame,
+        qdf: DataFrame,
+        k: int,
+        metadata: dict | None,
+        disk_v: int,
     ) -> DataFrame:
         """Shared sign-strategy batch scoring: the persisted
         bucket-partitioned layout with its stored `bucket` column when
@@ -809,8 +828,8 @@ class VectorDB:
         then triggers dynamic partition pruning — see
         ivf.sign_search_batch_table's bucket_col note), else the
         bucket-expression form over the (possibly metadata-filtered)
-        base table."""
-        disk_v = self._current_version("chunks")
+        base table. ``disk_v`` is the caller's single pointer read, so
+        layout and scan stay on one version."""
         if metadata is None and disk_v >= 0:
             return ivf.sign_search_batch_table(
                 self._sign_stored(disk_v), qdf, k=k, id_col="id",
