@@ -437,6 +437,42 @@ def api_search_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_search_sign",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    ),
+    topk AS (
+      SELECT c.vec_id,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM cand c CROSS JOIN q
+      ORDER BY score DESC, CAST(c.vec_id AS VARCHAR) ASC
+      LIMIT {K}
+    )
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade's sign strategy end to end, FULL-ORACLE (r11) — and
+    since `auto` routes HERE past AUTO_BRUTE_MAX, this is the default
+    large-corpus serving path value-checked: the search reads the
+    PERSISTED bucket-partitioned layout (`_sign_v{{N}}`,
+    api.VectorDB._sign_stored — the probe prunes partition
+    directories, pinned in tests/test_plans.py), scores the Hamming-1
+    candidate set exactly, and hydrates. The oracle reproduces the
+    candidate set and top-k with the staged store's STRING-id
+    tie-break."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
+
+
+@register(
     "api_search_batch_table",
     f"""
     WITH q AS (

@@ -951,3 +951,62 @@ def test_search_beam_hops_knobs(spark, tmp_path):
     assert max(hits, key=lambda r: r.score).content == QUESTIONS[6]
     hits = d.search(QUESTIONS[6], index_type="nsw", k=3, beam=16, hops=4).collect()
     assert max(hits, key=lambda r: r.score).content == QUESTIONS[6]
+
+
+def test_sign_layout_persisted_reused_and_gcd(spark, tmp_path):
+    """r11: the sign strategy's bucket-partitioned layout is a
+    per-version stored artifact with the same lifecycle as the IVF and
+    NSW ones — built once (a second instance serves with zero layout
+    builds), re-versioned on commit, GC'd with its table version."""
+    import os
+
+    from local_vectordb_spark import api as api_mod
+
+    d = VectorDB(spark, str(tmp_path))
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, q, None, doc) for q in QUESTIONS],
+        SCHEMAS["chunks"]))
+
+    hits = d.search(QUESTIONS[8], index_type="sign", k=3).collect()
+    assert max(hits, key=lambda r: r.score).content == QUESTIONS[8]
+    v = d._current_version("chunks")
+    art = os.path.join(d._table_dir("chunks"), f"_sign_v{v}")
+    assert os.path.exists(os.path.join(art, "_SUCCESS"))
+
+    builds = []
+    orig = api_mod.VectorDB._sign_stored
+
+    def counting_build(self, version):
+        # count only cold BUILDS: reuse hits materialize_once's
+        # already-built path, which never calls the _build closure —
+        # so spy one level down, on whether the artifact pre-existed
+        builds.append(not os.path.exists(
+            os.path.join(self._table_dir("chunks"), f"_sign_v{version}", "_SUCCESS")
+        ))
+        return orig(self, version)
+
+    other = VectorDB(spark, d.root)
+    try:
+        api_mod.VectorDB._sign_stored = counting_build
+        hits2 = other.search(QUESTIONS[5], index_type="sign", k=3).collect()
+    finally:
+        api_mod.VectorDB._sign_stored = orig
+    assert builds == [False], "second instance rebuilt the sign layout"
+    assert max(hits2, key=lambda r: r.score).content == QUESTIONS[5]
+
+    # two commits roll the retention window past v; artifact GC'd with it
+    for txt in ("new row", "newer row"):
+        d.add("chunks", spark.createDataFrame(
+            [(str(uuid.uuid4()), {}, None, None, txt, None, doc)],
+            SCHEMAS["chunks"]))
+    d.search("new row", index_type="sign", k=3).collect()
+    v2 = d._current_version("chunks")
+    assert v2 > v
+    assert os.path.exists(
+        os.path.join(d._table_dir("chunks"), f"_sign_v{v2}", "_SUCCESS"))
+    assert not os.path.exists(art)  # rode the keep_versions GC
