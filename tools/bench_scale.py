@@ -184,6 +184,25 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
         finally:
             ann_mod.knn_graph_lsh = orig_lsh
             knn_mod.knn_batch_table = orig_exact
+
+        # recall@10 vs the exact scan at 200k vectors — the r10 ADVICE
+        # flagged fixed-hop nsw as a silent recall cliff on large
+        # corpora; the sign-seeded frontier is the fix, and this is its
+        # measured evidence at the XL tier (3 deterministic queries
+        # spread across the id range; 100-deep planted families mean
+        # the true top-10 shares the query's buckets)
+        ordered = emb.orderBy("vec_id").select("embedding")
+        probe_rows = [
+            ordered.limit(pos).tail(1)[0] for pos in (1, 100_000, 190_000)
+        ]
+        recalls = []
+        for r in probe_rows:
+            pv = [float(x) for x in r.embedding]
+            nsw_ids = {h.id for h in
+                       other.search(query_vec=pv, index_type="nsw", k=10).collect()}
+            exact_ids = {h.id for h in
+                         other.search(query_vec=pv, index_type="cosine", k=10).collect()}
+            recalls.append(len(nsw_ids & exact_ids) / 10.0)
         edges = spark.read.parquet(os.path.join(
             db._table_dir("chunks"),
             f"_nsw_v{db._current_version('chunks')}", "edges")).count()
@@ -195,15 +214,19 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
             "rebuilds_on_second_instance": len(builds),
             "stored_edges": edges,
             "rows": [n1, n2],
+            "recall_at_10_vs_exact": recalls,
             "within_budget": build_and_search_sec < BUDGET_S,
             "note": "past NSW_EXACT_BUILD_MAX the stored graph builds "
                     "with the LSH tier (r10 verdict #1); the second "
                     "instance must traverse the persisted artifact with "
-                    "zero builder invocations",
+                    "zero builder invocations; recall measured with the "
+                    "sign-seeded frontier (r10 ADVICE fix) at 3 spread "
+                    "query positions",
         }
         print(f"sf10 facade nsw stored: build+search "
               f"{build_and_search_sec:.2f}s, serve {serve_sec:.2f}s, "
-              f"rebuilds {len(builds)}, edges {edges}", flush=True)
+              f"rebuilds {len(builds)}, edges {edges}, "
+              f"recall@10 {recalls}", flush=True)
         assert not builds, f"second instance invoked a builder: {builds}"
         return row
     finally:
