@@ -597,10 +597,11 @@ class VectorDB:
             edges = self._graph_stored(disk_v)
             b = beam if beam is not None else 8
             h = hops if hops is not None else 3
-            probe = pinned.filter(
-                ivf.sign_bucket("embedding", n_bits=4).isin(
-                    ivf.sign_probe(qvec, n_bits=4)
-                )
+            # the seed scan reads the bucket-PARTITIONED sign layout
+            # (same version), so probing costs 5/16 of the layout's
+            # FILES — not a full-table scan with a row filter
+            probe = self._sign_stored(disk_v).filter(
+                F.col("bucket").isin(ivf.sign_probe(qvec, n_bits=4))
             )
             seed_ids = (
                 knn.knn_brute_force(probe, qvec, k=b, id_col="id")
