@@ -1010,3 +1010,18 @@ def test_sign_layout_persisted_reused_and_gcd(spark, tmp_path):
     assert os.path.exists(
         os.path.join(d._table_dir("chunks"), f"_sign_v{v2}", "_SUCCESS"))
     assert not os.path.exists(art)  # rode the keep_versions GC
+
+
+def test_lsh_graph_edges_collision_check_raises(spark, tmp_path):
+    """The stored-graph LSH build maps string ids through xxhash64; a
+    hash collision would silently merge two nodes, so the build checks
+    distinct-hash count against the row count and raises loudly.
+    Forced here with two rows sharing an id (same id -> same hash,
+    2 rows, 1 distinct)."""
+    d = VectorDB(spark, str(tmp_path))
+    dup = spark.createDataFrame(
+        [("same-id", [0.1, 0.2]), ("same-id", [0.3, 0.4])],
+        "id string, embedding array<float>",
+    )
+    with pytest.raises(RuntimeError, match="collision"):
+        d._lsh_graph_edges(dup, n=2)
