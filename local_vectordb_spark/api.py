@@ -472,7 +472,12 @@ class VectorDB:
         frontier is SEEDED from the query's own sign buckets (the
         walk starts next to the true neighbors and only refines
         through graph edges), not grown from a fixed global entry
-        node whose distance to the answer scales with the corpus."""
+        node whose distance to the answer scales with the corpus.
+        They apply ONLY to the stored-graph path: an nsw search that
+        carries a metadata filter (or hits a never-written store)
+        answers with an exact scan instead of a traversal, and
+        supplying beam/hops there raises rather than silently doing
+        nothing (r11 ADVICE)."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
@@ -622,7 +627,18 @@ class VectorDB:
             # legitimately miss every bucket. The filter has already
             # shrunk the scan (it pushes into the candidate read), so
             # exact-over-filtered is both the correct and the cheap
-            # strategy — the same shape the cosine path uses.
+            # strategy — the same shape the cosine path uses. beam/hops
+            # tune the stored-graph traversal this branch does NOT run,
+            # so supplying them here is a contradiction the caller must
+            # hear about (r11 ADVICE: silently ignoring the knobs told
+            # a tuning caller nothing), not a setting to drop.
+            if beam is not None or hops is not None:
+                raise ValueError(
+                    "beam/hops tune the stored-graph nsw traversal, which "
+                    "a metadata-filtered (or never-written) nsw search "
+                    "does not use — it answers with an exact scan over "
+                    "the filtered candidates; drop beam/hops here"
+                )
             scored = knn.knn_brute_force(chunks, qvec, k=fetch, id_col="id")
 
         if diversify == "mmr":

@@ -166,6 +166,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"detail": f"unknown collection {kind!r}"})
             return
         version = self._version_param()  # malformed value -> 400 via _safely
+        if version is not None and version < 0:
+            # table() rejects negative versions; mapping them to the
+            # live-snapshot pin=None path (reserved for never-written
+            # tables) would serve data that DRIFTS across commits to a
+            # client that believes it pinned a snapshot (r11 ADVICE)
+            self._send(404, {"detail": f"version {version} never existed"})
+            return
         limit, offset = (None, None) if item else self._page_params()  # ditto
         # the generation actually served, echoed as X-Table-Version so a
         # client can pin THIS snapshot in later ?version= reads (the
@@ -202,7 +209,10 @@ class _Handler(BaseHTTPRequestHandler):
         if not rows:
             self._send(404, {"detail": f"{kind[:-1]} {item} not found"})
             return
-        self._send(200, _row_to_json(rows[0]))
+        # same snapshot-pinning echo as the list route (r11 ADVICE: the
+        # header is the documented handle — an item fetch needs it too)
+        self._send(200, _row_to_json(rows[0]),
+                   headers={"X-Table-Version": served_v})
 
     def _post(self) -> None:
         kind, _ = self._route()

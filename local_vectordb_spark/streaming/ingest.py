@@ -75,15 +75,35 @@ def run_chunk_upsert_stream(
     return spark.read.parquet(table_path)
 
 
+def clear_dead_letter_batch(rejects_dir: str, batch_id: int) -> None:
+    """Drop EVERYTHING a previous attempt of micro-batch ``batch_id``
+    dead-lettered, at the START of the batch (r11 ADVICE): per-call
+    overwrite alone is only idempotent while the retry rejects the
+    same rows under the same call — a retry whose reject set became
+    empty (first attempt partially committed before failing) or whose
+    rows reclassified add→update never rewrites the stale
+    subdirectory, so the earlier attempt's rows survive under the same
+    batch_id. Clearing the whole ``batch_id=N`` partition first makes
+    the invariant unconditional: after any attempt, the partition
+    holds exactly THAT attempt's rejects."""
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(rejects_dir, f"batch_id={batch_id}"), ignore_errors=True
+    )
+
+
 def dead_letter(
     rejected: DataFrame, rejects_dir: str, batch_id: int, call: str
 ) -> None:
-    """Idempotent per-micro-batch dead-letter write: rejects land under
-    ``<rejects_dir>/batch_id=N/call=<add|update>`` with mode=overwrite,
-    so a foreachBatch RETRY of the same batch_id (at-least-once
-    side-effect semantics) replaces its own earlier attempt instead of
-    appending duplicate dead-letter rows (r10 ADVICE). ``batch_id`` and
-    ``call`` surface as partition columns on read."""
+    """Per-micro-batch dead-letter write: rejects land under
+    ``<rejects_dir>/batch_id=N/call=<add|update>``; ``batch_id`` and
+    ``call`` surface as partition columns on read. Idempotency under
+    foreachBatch's at-least-once retry is owned by
+    :func:`clear_dead_letter_batch`, which the sink calls FIRST each
+    attempt (r11 ADVICE — the old per-call overwrite left stale rows
+    when a retry's reject set shrank to empty or reclassified); the
+    overwrite here still self-replaces within one attempt."""
     if rejected.limit(1).count():
         rejected.write.mode("overwrite").parquet(
             os.path.join(rejects_dir, f"batch_id={batch_id}", f"call={call}")
@@ -113,15 +133,15 @@ def run_chunk_upsert_stream_into_db(
     return them tagged since the r9 FK fix) are never silently lost:
     each batch's rejects land under
     ``<checkpoint_dir>/_rejects/batch_id=N`` — the dead-letter path of
-    a production ingest. The sink is IDEMPOTENT per micro-batch (r10
-    ADVICE): foreachBatch offers at-least-once side-effect semantics,
-    so a retried batch re-runs _dead_letter with the SAME batch_id; an
-    overwrite of that batch's own partition directory replaces the
-    earlier attempt's rows instead of duplicating them (the plain-
-    parquet form of dynamic-partition-overwrite). Within one batch the
-    two store calls (add for new ids, update for existing) write
-    disjoint reject sets, so they overwrite per-CALL subdirectories of
-    the batch partition.
+    a production ingest. The sink is IDEMPOTENT per micro-batch:
+    foreachBatch offers at-least-once side-effect semantics, so a
+    retried batch re-runs with the SAME batch_id; each attempt CLEARS
+    the whole ``batch_id=N`` partition before writing (r11 ADVICE —
+    per-call overwrite alone left the first attempt's rows behind
+    whenever a retry's reject set shrank to empty or reclassified
+    add→update after a partial commit), then writes per-CALL
+    subdirectories, so the partition always holds exactly the LAST
+    attempt's rejects.
     """
     rejects_dir = os.path.join(checkpoint_dir, "_rejects")
     stream = (
@@ -131,6 +151,11 @@ def run_chunk_upsert_stream_into_db(
     )
 
     def upsert_batch(batch: DataFrame, batch_id: int) -> None:
+        # idempotency first (r11 ADVICE): a RETRY of this batch_id must
+        # end up with exactly this attempt's rejects — including the
+        # case where the retry rejects NOTHING because the first
+        # attempt partially committed before dying
+        clear_dead_letter_batch(rejects_dir, batch_id)
         batch = batch.dropDuplicates(["id"])
         existing = db.table("chunks").select("id")
         new_rows = batch.join(existing, "id", "left_anti")

@@ -952,6 +952,20 @@ def test_search_beam_hops_knobs(spark, tmp_path):
     hits = d.search(QUESTIONS[6], index_type="nsw", k=3, beam=16, hops=4).collect()
     assert max(hits, key=lambda r: r.score).content == QUESTIONS[6]
 
+    # r11 ADVICE: a metadata-filtered nsw search answers with an exact
+    # scan, not a traversal — beam/hops there must raise loudly, not
+    # silently do nothing to a caller who thinks they are tuning it
+    with pytest.raises(ValueError, match="metadata-filtered"):
+        d.search(QUESTIONS[0], index_type="nsw", beam=4,
+                 metadata={"row": "1"})
+    with pytest.raises(ValueError, match="metadata-filtered"):
+        d.search(QUESTIONS[0], index_type="nsw", hops=2,
+                 metadata={"row": "1"})
+    # same contract on a never-written store (no graph artifact exists)
+    empty = VectorDB(spark, str(tmp_path / "never_written"))
+    with pytest.raises(ValueError, match="never-written"):
+        empty.search(query_vec=[0.1] * 8, index_type="nsw", beam=4)
+
 
 def test_sign_layout_persisted_reused_and_gcd(spark, tmp_path):
     """r11: the sign strategy's bucket-partitioned layout is a

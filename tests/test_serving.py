@@ -249,16 +249,32 @@ def test_time_travel_reads_pre_delete_snapshot_over_http(server):
     code, live = _req(server, "GET", "/chunks?limit=10")
     assert code == 200 and [r["id"] for r in live] == sorted([kept["id"]])
 
-    # pinned pre-delete version: both rows, fetch-by-id works
+    # pinned pre-delete version: both rows, fetch-by-id works — and the
+    # item 200 carries the same snapshot-pinning echo as the list route
+    # (r11 ADVICE: the header was documented as the client's handle but
+    # only the list route sent it)
     code, old = _req(server, "GET", f"/chunks?limit=10&version={pre_v}")
     assert code == 200 and len(old) == 2
-    code, got = _req(server, "GET", f"/chunks/{doomed['id']}?version={pre_v}")
-    assert code == 200 and got["content"] == "doomed row"
+    req = urllib.request.Request(
+        server + f"/chunks/{doomed['id']}?version={pre_v}", method="GET"
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert int(resp.headers["X-Table-Version"]) == pre_v
+        got = json.loads(resp.read())
+    assert got["content"] == "doomed row"
 
     # future version -> 404 with the retention hint; malformed -> 400
     code, body = _req(server, "GET", "/chunks?version=99")
     assert code == 404 and "retained" in body["detail"]
     assert _req(server, "GET", "/chunks?version=abc")[0] == 400
+    # negative version -> 404, NOT a silent live read: pin=None is the
+    # never-written-table path, and a client pinning version=-1 would
+    # otherwise read data that drifts across commits (r11 ADVICE)
+    code, body = _req(server, "GET", "/chunks?version=-1")
+    assert code == 404 and "never existed" in body["detail"]
+    assert _req(
+        server, "GET", f"/chunks/{doomed['id']}?version=-1"
+    )[0] == 404
 
 
 def test_query_route_nsw_knobs(server):

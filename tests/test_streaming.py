@@ -626,3 +626,47 @@ def test_dead_letter_sink_is_idempotent_per_batch(spark, tmp_path):
     # empty reject sets write nothing — no zero-row partition litter
     dead_letter(rejected.limit(0), rejects_dir, batch_id=5, call="add")
     assert not os.path.isdir(os.path.join(rejects_dir, "batch_id=5"))
+
+
+def test_dead_letter_retry_clears_stale_attempt(spark, tmp_path):
+    """r11 ADVICE: per-call overwrite alone is NOT idempotent when a
+    retry's reject set changes shape — a retry that rejects nothing
+    (first attempt partially committed) or reclassifies add→update
+    never rewrites the stale subdirectory. The sink clears the whole
+    batch_id partition at the start of each attempt, so the partition
+    always reflects exactly the LAST attempt."""
+    import os
+
+    from local_vectordb_spark.streaming.ingest import (
+        clear_dead_letter_batch,
+        dead_letter,
+    )
+
+    rejects_dir = str(tmp_path / "_rejects")
+    rejected = spark.createDataFrame(
+        [("orphan", "missing_parent")], "id string, reject_reason string"
+    )
+    # attempt 1 of batch 7 rejects a row under call=add; batch 8's
+    # rows must survive batch 7's retry untouched
+    clear_dead_letter_batch(rejects_dir, 7)
+    dead_letter(rejected, rejects_dir, batch_id=7, call="add")
+    clear_dead_letter_batch(rejects_dir, 8)
+    dead_letter(rejected, rejects_dir, batch_id=8, call="add")
+
+    # retry of batch 7 reclassifies: the row now rejects under
+    # call=update — the stale call=add rows must NOT linger beside it
+    clear_dead_letter_batch(rejects_dir, 7)
+    dead_letter(rejected, rejects_dir, batch_id=7, call="update")
+    rows = spark.read.parquet(rejects_dir).collect()
+    assert sorted((r.id, int(r.batch_id), r.call) for r in rows) == [
+        ("orphan", 7, "update"),
+        ("orphan", 8, "add"),
+    ]
+
+    # second retry rejects NOTHING (the partial-commit case): the
+    # partition must end empty, not frozen at the previous attempt
+    clear_dead_letter_batch(rejects_dir, 7)
+    dead_letter(rejected.limit(0), rejects_dir, batch_id=7, call="add")
+    assert not os.path.isdir(os.path.join(rejects_dir, "batch_id=7"))
+    rows = spark.read.parquet(rejects_dir).collect()
+    assert [(r.id, int(r.batch_id)) for r in rows] == [("orphan", 8)]
