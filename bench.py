@@ -52,7 +52,17 @@ HEADLINE = [
     "ivf_pq_trained",  # r7: fully-trained FAISS-shaped composition
     "ivf_pq_residual",  # r8: residual-encoded IndexIVFPQ fidelity tier
     "graph_beam_search_lsh",  # r7: NSW with no quadratic stage anywhere
-    "graph_beam_search_stored",  # r8: traverse-only over the stored graph
+    "graph_beam_search_stored",  # r8: traverse-only over the stored graph —
+    # the HEADLINE representative of the NSW family since r12 (r11
+    # verdict #2, option a): the fused build+traverse form
+    # (graph_beam_search) pays a long cold tail (exact graph build +
+    # localCheckpoint barriers re-JIT per session) that the driver's
+    # best-of-2 sampled mid-warm-up three rounds running (2.85/3.83/
+    # 7.38 s vs a 2.16 s warm pin); it now lives in BENCH_scale.json
+    # as the build-cost diagnostic it actually is, while the stored
+    # twin times the deployment shape a serving system runs per query
+    "api_search_nsw",  # r12: the facade's stored-graph ANN serving path
+    "api_search_sign",  # r12: the auto strategy's past-the-knee default
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",
@@ -71,7 +81,6 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_last_view",
     "events_session_funnel",  # r5: ordered-funnel conditional agg
-    "graph_beam_search",  # r5: NSW traversal as distributed beam search
     # streaming engine
     "stream_tumbling_hour",
     "stream_strip_boilerplate",  # r8: stream-static anti-join strip
@@ -125,31 +134,42 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # ambient load (r11 verdict #7): three of r11's four >2x driver
+    # artifact readings were pure machine load, and each cost a
+    # re-measure cycle — recording 1/5/15-min loadavg beside the
+    # timings lets the reader separate load from regression in-place
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     record = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg": loadavg,
     }
     # Truncation-proof output (r10 verdict #3): the driver keeps only
     # the LAST 2000 bytes of stdout, and the one-line contract record
     # outgrew that in r10 ("parsed": null — the head of the line was
-    # cut, losing the headline total). Emit three lines, least
-    # important first, so the tail window always covers the end:
+    # cut, losing the headline total). Emit lines least important
+    # first, so the tail window always covers the end:
     #   1. the full 4-decimal record (head may be cut from the tail;
     #      the complete copy is also written to BENCH_FULL_LAST.json),
-    #   2. the per-query map rounded to 2 dp, compact separators,
-    #   3. a SHORT final line with the parseable headline total.
+    #   2-3. the per-query map rounded to 2 dp, compact separators,
+    #      SPLIT across two lines (r11 verdict #3: at 67 queries one
+    #      map line alone is ~1800 B — it would push the parseable
+    #      final line's head out of the 2000 B tail window),
+    #   4. a SHORT final line with the parseable headline total.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_FULL_LAST.json"), "w"
     ) as f:
         json.dump(record, f)
     print(json.dumps(record))
-    print(json.dumps(
-        {n: round(t, 2) for n, t in timings.items()}, separators=(",", ":")
-    ))
+    names = list(timings)
+    for chunk in (names[: len(names) // 2], names[len(names) // 2:]):
+        print(json.dumps(
+            {n: round(timings[n], 2) for n in chunk}, separators=(",", ":")
+        ))
     print(json.dumps(
         {
             "metric": "headline_queries_total_wall_clock",
@@ -157,6 +177,7 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "loadavg": loadavg,
             "full_record": "BENCH_FULL_LAST.json",
         }
     ))

@@ -75,6 +75,15 @@ AUTO_BRUTE_MAX = 100_000
 # ann.graph_lsh_bits marks this as where the LSH form starts winning.
 NSW_EXACT_BUILD_MAX = 20_000
 
+# Stored-IVF two-level dispatch (r11 verdict #6): at this many KMeans
+# cells (√n rule → ~65k rows) the persisted index adds a supercell
+# level over the cell centroids, and probes route supercell→cell
+# instead of ranking every cell per query. 256 is where the flat
+# k-flop probe starts to dominate a SMALL n_probe's scan work; the
+# structure is what matters — it is the piece that keeps the coarse
+# quantizer usable past the 4096-cell / ~16M-row flat regime.
+IVF_TWO_LEVEL_MIN_CELLS = 256
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this table version first; re-read the
@@ -913,14 +922,34 @@ class VectorDB:
             # candidate work scales as n/√n = √n instead of n/16, the
             # difference between an index and a 1/16th-corpus scan at
             # millions of rows. Bounded by n//4 so tiny fixtures keep
-            # >1-member cells, and by 4096 — past ~16M rows a single
-            # flat KMeans stops being the right index (a 100 TB corpus
-            # wants a partitioned/hierarchical coarse quantizer), so
-            # the facade caps rather than pretending otherwise.
+            # >1-member cells, and by 4096 cells — the bound is the
+            # KMeans TRAIN cost (every iteration scans its input × k
+            # centroids), which ivf_build's sampled fit relieves past
+            # TRAIN_SAMPLE_MAX rows; routing past the flat regime is
+            # handled by the two-level coarse quantizer below (r11
+            # verdict #6), so the cap marks where cells get coarser
+            # than √n, not where the index stops working.
             k_clusters = max(2, min(4096, int(_math.isqrt(n)), n // 4))
             _, cents, assigns = ivf.ivf_build(
-                chunks, n_clusters=k_clusters, id_col="id"
+                chunks, n_clusters=k_clusters, id_col="id", n_rows=n
             )
+            # two-level coarse quantizer past the dispatch (r11 verdict
+            # #6): √k supercells trained over the k cell centroids
+            # (driver-side numpy — the input is index metadata, k×dim),
+            # persisted with the cells; probes then route
+            # supercell→cell in ~(√k + n_super·√k) flops instead of
+            # ranking all k cells per query, driver-side AND in the
+            # distributed batch probe. Below the dispatch the flat
+            # bare-list format is written unchanged (old artifacts and
+            # small stores read identically).
+            if k_clusters >= IVF_TWO_LEVEL_MIN_CELLS:
+                supers, c2s = ivf.train_supercells(
+                    cents, n_super=max(2, int(_math.isqrt(k_clusters)))
+                )
+                cents = {
+                    "cells": cents, "supercells": supers,
+                    "cell_to_super": c2s,
+                }
             # PARTITION the stored assignments by cell: ivf_search's
             # probe filter (cluster_id isin [...]) then prunes whole
             # directories at the scan — a probe reads n_probe/k of the
@@ -937,7 +966,16 @@ class VectorDB:
 
         materialize_once(path, _build)
         with open(os.path.join(path, "centroids.json")) as f:
-            centroids = _json.load(f)
+            data = _json.load(f)
+        # dict = the two-level format; bare list = the flat regime (and
+        # every pre-r12 artifact — both stay readable forever)
+        centroids = (
+            ivf.TwoLevelCentroids(
+                data["cells"], data["supercells"], data["cell_to_super"]
+            )
+            if isinstance(data, dict)
+            else data
+        )
         assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
         return centroids, assignments
 

@@ -32,6 +32,103 @@ from pyspark.sql import functions as F
 DEFAULT_K = 16
 SEED = 42
 
+# Fitting KMeans over every row stops scaling long before probing does:
+# past this many rows the trainer fits on a seeded sample (the FAISS
+# train-on-sample practice) and only the cheap single-pass transform()
+# touches the full corpus. Unreachable at test/bench fixture sizes —
+# the sampled fit is the 100 TB path, not a behavior change below it.
+TRAIN_SAMPLE_MAX = 2_000_000
+
+
+class TwoLevelCentroids(list):
+    """Cell centroids carrying a second coarse level (r11 verdict #6):
+    ``supercells`` are KMeans centroids trained over the CELLS, and
+    ``cell_to_super[i]`` is cell i's supercell. Subclasses list so
+    every flat consumer (len() in the n_probe rule, iteration in
+    oracle twins, indexing) keeps working unchanged; the probe
+    routines dispatch on the type to route supercell→cell instead of
+    ranking all k cells per query. This is the structure that keeps
+    the coarse quantizer usable past the flat regime: routing work per
+    query drops from k to ~(s + n_super·k/s) with s=√k supercells."""
+
+    def __init__(self, cells, supercells, cell_to_super):
+        super().__init__([list(c) for c in cells])
+        self.supercells = [list(c) for c in supercells]
+        self.cell_to_super = [int(x) for x in cell_to_super]
+        if len(self.cell_to_super) != len(self):
+            raise ValueError(
+                f"cell_to_super maps {len(self.cell_to_super)} cells, "
+                f"index has {len(self)}"
+            )
+
+
+def train_supercells(
+    cells: Sequence[Sequence[float]], n_super: int, seed: int = SEED,
+    iters: int = 20,
+) -> tuple[list[list[float]], list[int]]:
+    """Train the second coarse level: Lloyd's over the k cell centroids
+    (k×dim — thousands of points at most, by construction), driver-side
+    and DETERMINISTIC (seeded k-means++ init, fixed iteration cap,
+    empty clusters reseeded to the farthest point). numpy, not a Spark
+    job: the input is the index's own metadata, never corpus-sized.
+    Returns (supercells, cell_to_super)."""
+    import numpy as np
+
+    pts = np.asarray(cells, dtype=np.float64)
+    k = min(int(n_super), len(pts))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding: spread initial supercells over the cell cloud
+    centers = [pts[rng.randint(len(pts))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((pts - c) ** 2).sum(axis=1) for c in centers], axis=0
+        )
+        total = d2.sum()
+        if total <= 0:  # all remaining points coincide with a center
+            centers.append(pts[rng.randint(len(pts))])
+            continue
+        centers.append(pts[np.searchsorted(np.cumsum(d2 / total),
+                                           rng.rand())])
+    cent = np.asarray(centers)
+    for _ in range(iters):
+        d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cent)
+        for j in range(k):
+            members = pts[assign == j]
+            if len(members):
+                new[j] = members.mean(axis=0)
+            else:  # reseed an emptied supercell to the farthest cell
+                new[j] = pts[d2.min(axis=1).argmax()]
+        if np.allclose(new, cent):
+            cent = new
+            break
+        cent = new
+    assign = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(
+        axis=1
+    )
+    return cent.tolist(), assign.tolist()
+
+
+def min_supercells_for(
+    centroids: "TwoLevelCentroids", n_probe: int, s_total: int
+) -> int:
+    """The UNIFORM supercell probe width: start at max(2, ⌈s/4⌉) and
+    widen until even the worst-case choice of that many supercells
+    (the emptiest ones) holds ≥ n_probe member cells — so every query
+    is guaranteed a full n_probe candidate set, and the driver-side
+    and distributed probe forms rank identically (no per-query
+    dynamic widening to reproduce in SQL)."""
+    from collections import Counter
+
+    counts = sorted(
+        Counter(centroids.cell_to_super).get(j, 0) for j in range(s_total)
+    )
+    n_super = max(2, -(-s_total // 4))
+    while n_super < s_total and sum(counts[:n_super]) < n_probe:
+        n_super += 1
+    return min(n_super, s_total)
+
 
 def ivf_build(
     vectors: DataFrame,
@@ -39,20 +136,31 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
+    n_rows: int | None = None,
 ):
     """X3 — train KMeans, return (centroids, assignments DataFrame).
 
     Centroids come back driver-side (n_clusters × dim — small by
     construction, like the reference's in-memory centroid array);
     assignments stay distributed.
-    """
+
+    When the caller knows the corpus size (``n_rows``) and it exceeds
+    TRAIN_SAMPLE_MAX, the FIT runs on a seeded sample sized to that cap
+    (every KMeans iteration is a full pass over its input — fitting a
+    100 TB corpus per iteration is the part of flat IVF that stops
+    scaling first; centroids from a few-million-row sample converge to
+    the same cell structure, the standard train-on-sample practice)
+    while transform() — one cheap pass — still assigns EVERY row."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = vectors.select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feat)
+    fit_on = feat
+    if n_rows is not None and n_rows > TRAIN_SAMPLE_MAX:
+        fit_on = feat.sample(TRAIN_SAMPLE_MAX / n_rows, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_on)
     assignments = model.transform(feat).select(
         F.col(id_col), F.col("prediction").alias("cluster_id")
     )
@@ -60,19 +168,50 @@ def ivf_build(
     return model, centroids, assignments
 
 
+def _l2(a, b):
+    return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, b)))
+
+
 def probe_clusters(
     centroids: Sequence[Sequence[float]], query_vec: Sequence[float], n_probe: int = 3
 ) -> list[int]:
     """Q4 step 1 — nearest n_probe centroids by L2 (the reference's
-    probe metric, ivf_index.py:159-166). Driver-side: k·dim flops."""
-
-    def l2(a, b):
-        return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, b)))
-
+    probe metric, ivf_index.py:159-166). Driver-side: k·dim flops flat;
+    a :class:`TwoLevelCentroids` index routes supercell→cell instead
+    (~s + n_super·k/s flops), transparently to every caller."""
+    if isinstance(centroids, TwoLevelCentroids):
+        return probe_clusters_two_level(centroids, query_vec, n_probe)
     dists = sorted(
-        (l2(c, query_vec), i) for i, c in enumerate(centroids)
+        (_l2(c, query_vec), i) for i, c in enumerate(centroids)
     )
     return [i for _, i in dists[:n_probe]]
+
+
+def probe_clusters_two_level(
+    centroids: TwoLevelCentroids,
+    query_vec: Sequence[float],
+    n_probe: int = 3,
+) -> list[int]:
+    """Two-level coarse probe (r11 verdict #6): rank the s supercells,
+    keep the nearest n_super (a uniform width that guarantees ≥
+    n_probe member cells even for the emptiest supercell choice —
+    min_supercells_for), then rank only THOSE supercells' member
+    cells and keep the nearest n_probe. Same L2-with-index-tiebreak
+    ordering as the flat probe, restricted to the routed members."""
+    s_total = len(centroids.supercells)
+    n_super = min_supercells_for(centroids, n_probe, s_total)
+    near_super = {
+        j for _, j in sorted(
+            (_l2(c, query_vec), j)
+            for j, c in enumerate(centroids.supercells)
+        )[:n_super]
+    }
+    members = sorted(
+        (_l2(centroids[i], query_vec), i)
+        for i, sj in enumerate(centroids.cell_to_super)
+        if sj in near_super
+    )
+    return [i for _, i in members[:n_probe]]
 
 
 def ivf_search(
@@ -311,31 +450,73 @@ def ivf_search_batch_table(
     from local_vectordb_spark.operators.knn import SCORE_DECIMALS
 
     spark = vectors.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster_id int, _cv array<double>",
-    )
+
     # squared L2 ranks identically to L2 and skips the sqrt
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(query_vec_col).cast("array<double>"),
-            F.col("_cv"),
-            lambda x, y: (x - y) * (x - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    def d2_to(col: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(query_vec_col).cast("array<double>"),
+                F.col(col),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     pw = Window.partitionBy(query_id_col).orderBy(
         F.asc("_d2"), F.asc("cluster_id")
     )
-    probes = (
-        queries.select(query_id_col, query_vec_col)
-        .crossJoin(F.broadcast(cent))
-        .select(query_id_col, "cluster_id", d2.alias("_d2"))
-        .withColumn("_rn", F.row_number().over(pw))
-        .filter(F.col("_rn") <= n_probe)
-        .select(query_id_col, "cluster_id")
-    )
+    if isinstance(centroids, TwoLevelCentroids):
+        # two-level probe, fully distributed (r11 verdict #6): queries ×
+        # the s-row supercell table first (keep n_super per query), then
+        # only the routed supercells' member cells are ranked — per
+        # query the broadcast work is s + n_super·k/s rows instead of
+        # k, the same √k saving the driver-side form gets, with the
+        # SAME uniform n_super so both forms rank identically
+        s_total = len(centroids.supercells)
+        n_super = min_supercells_for(centroids, n_probe, s_total)
+        sup = spark.createDataFrame(
+            [(j, [float(x) for x in c])
+             for j, c in enumerate(centroids.supercells)],
+            "super_id int, _cv array<double>",
+        )
+        sw = Window.partitionBy(query_id_col).orderBy(
+            F.asc("_d2"), F.asc("super_id")
+        )
+        routed = (
+            queries.select(query_id_col, query_vec_col)
+            .crossJoin(F.broadcast(sup))
+            .select(query_id_col, query_vec_col, "super_id",
+                    d2_to("_cv").alias("_d2"))
+            .withColumn("_rn", F.row_number().over(sw))
+            .filter(F.col("_rn") <= n_super)
+            .select(query_id_col, query_vec_col, "super_id")
+        )
+        cells = spark.createDataFrame(
+            [(i, int(centroids.cell_to_super[i]), [float(x) for x in c])
+             for i, c in enumerate(centroids)],
+            "cluster_id int, super_id int, _cv array<double>",
+        )
+        probes = (
+            routed.join(F.broadcast(cells), "super_id")
+            .select(query_id_col, "cluster_id", d2_to("_cv").alias("_d2"))
+            .withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") <= n_probe)
+            .select(query_id_col, "cluster_id")
+        )
+    else:
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster_id int, _cv array<double>",
+        )
+        probes = (
+            queries.select(query_id_col, query_vec_col)
+            .crossJoin(F.broadcast(cent))
+            .select(query_id_col, "cluster_id", d2_to("_cv").alias("_d2"))
+            .withColumn("_rn", F.row_number().over(pw))
+            .filter(F.col("_rn") <= n_probe)
+            .select(query_id_col, "cluster_id")
+        )
     cand = assignments.join(F.broadcast(probes), "cluster_id").select(
         query_id_col, id_col
     )

@@ -419,3 +419,87 @@ def test_graph_beam_search_stored_matches_inline(spark, sf_dir):
         for r in q.graph_beam_search_stored(spark, sf_dir).collect()
     ]
     assert stored == inline
+
+
+def test_two_level_supercells_deterministic_and_valid():
+    """train_supercells is seeded Lloyd's over the cell centroids:
+    same input → same output, every cell mapped, and the uniform
+    probe width widens until even the emptiest supercell choice holds
+    n_probe member cells (min_supercells_for's guarantee — it is what
+    lets the driver-side and distributed probes share one n_super)."""
+    cells = [
+        [float(i % 7), float((i * 3) % 5), float(i) / 10.0]
+        for i in range(24)
+    ]
+    s1, m1 = ivf.train_supercells(cells, n_super=5)
+    s2, m2 = ivf.train_supercells(cells, n_super=5)
+    assert s1 == s2 and m1 == m2
+    assert len(s1) == 5 and len(m1) == 24
+    assert set(m1) <= set(range(5))
+
+    tl = ivf.TwoLevelCentroids(cells, s1, m1)
+    assert len(tl) == 24 and list(tl[0]) == cells[0]  # list behavior
+    # n_probe larger than any pair of supercells' members forces the
+    # width up; it is capped at every supercell
+    assert ivf.min_supercells_for(tl, 24, 5) == 5
+    assert 2 <= ivf.min_supercells_for(tl, 3, 5) <= 5
+
+    # mismatched mapping is a loud error, not a silent misroute
+    import pytest
+
+    with pytest.raises(ValueError, match="cell_to_super"):
+        ivf.TwoLevelCentroids(cells, s1, m1[:-1])
+
+
+def test_two_level_probe_routes_and_full_width_is_exact(spark, sf_dir):
+    """probe_clusters on a TwoLevelCentroids index routes
+    supercell→cell: the probed set is a subset of the routed
+    supercells' members ranked by the SAME L2-tiebreak order as the
+    flat probe, and widening the probe to every cell reproduces the
+    flat result exactly (the two-level structure changes routing cost,
+    never the metric)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _qv(spark, sf_dir)
+    _, cells, assignments = ivf.ivf_build(emb, n_clusters=8)
+    supers, c2s = ivf.train_supercells(cells, n_super=3)
+    tl = ivf.TwoLevelCentroids(cells, supers, c2s)
+
+    probed = ivf.probe_clusters(tl, qv, n_probe=3)
+    assert len(probed) == 3
+    routed_supers = {c2s[i] for i in probed}
+    assert len(routed_supers) <= ivf.min_supercells_for(tl, 3, 3)
+    # full width = flat exact order
+    assert ivf.probe_clusters(tl, qv, n_probe=8) == ivf.probe_clusters(
+        list(cells), qv, n_probe=8
+    )
+
+
+def test_two_level_batch_table_matches_driver_probe(spark, sf_dir):
+    """ivf_search_batch_table's distributed two-level probe must rank
+    identically to the driver-side probe_clusters_two_level route: the
+    batch result for each query equals the single-query ivf_search
+    over the same TwoLevelCentroids index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cells, assignments = ivf.ivf_build(emb, n_clusters=8)
+    supers, c2s = ivf.train_supercells(cells, n_super=3)
+    tl = ivf.TwoLevelCentroids(cells, supers, c2s)
+
+    qvecs = [(i, _qv(spark, sf_dir, vid=i)) for i in (0, 5, 11)]
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in qvecs],
+        "query_id long, qv array<double>",
+    )
+    batch = ivf.ivf_search_batch_table(
+        emb, assignments, tl, qdf, k=5, n_probe=3
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.query_id, []).append((r.vec_id, r.score))
+    for qid, qv in qvecs:
+        single = [
+            (r.vec_id, r.score)
+            for r in ivf.ivf_search(
+                emb, assignments, tl, qv, k=5, n_probe=3
+            ).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), f"query {qid} diverged"

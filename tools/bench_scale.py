@@ -190,19 +190,37 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
         # corpora; the sign-seeded frontier is the fix, and this is its
         # measured evidence at the XL tier (3 deterministic queries
         # spread across the id range; 100-deep planted families mean
-        # the true top-10 shares the query's buckets)
+        # the true top-10 shares the query's buckets). r12 (r11 verdict
+        # #4): swept over beam=8/16/32 at hops=3 with per-search serve
+        # seconds, so the beam knob exposed on /query has a documented
+        # recall/latency operating curve, not one point.
         ordered = emb.orderBy("vec_id").select("embedding")
         probe_rows = [
             ordered.limit(pos).tail(1)[0] for pos in (1, 100_000, 190_000)
         ]
-        recalls = []
+        exact_tops = []
         for r in probe_rows:
             pv = [float(x) for x in r.embedding]
-            nsw_ids = {h.id for h in
-                       other.search(query_vec=pv, index_type="nsw", k=10).collect()}
-            exact_ids = {h.id for h in
-                         other.search(query_vec=pv, index_type="cosine", k=10).collect()}
-            recalls.append(len(nsw_ids & exact_ids) / 10.0)
+            exact_tops.append({h.id for h in
+                               other.search(query_vec=pv, index_type="cosine",
+                                            k=10).collect()})
+        recall_curve = {}
+        for b in (8, 16, 32):
+            rc, secs = [], []
+            for r, exact_ids in zip(probe_rows, exact_tops):
+                pv = [float(x) for x in r.embedding]
+                t0 = time.time()
+                nsw_ids = {h.id for h in
+                           other.search(query_vec=pv, index_type="nsw",
+                                        k=10, beam=b, hops=3).collect()}
+                secs.append(round(time.time() - t0, 4))
+                rc.append(len(nsw_ids & exact_ids) / 10.0)
+            recall_curve[f"beam={b}"] = {
+                "hops": 3, "recall_at_10": rc, "serve_sec": secs,
+            }
+            print(f"sf10 facade nsw beam={b}: recall@10 {rc}, "
+                  f"serve {secs}", flush=True)
+        recalls = recall_curve["beam=8"]["recall_at_10"]
         edges = spark.read.parquet(os.path.join(
             db._table_dir("chunks"),
             f"_nsw_v{db._current_version('chunks')}", "edges")).count()
@@ -215,6 +233,7 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
             "stored_edges": edges,
             "rows": [n1, n2],
             "recall_at_10_vs_exact": recalls,
+            "recall_curve": recall_curve,
             "within_budget": build_and_search_sec < BUDGET_S,
             "note": "past NSW_EXACT_BUILD_MAX the stored graph builds "
                     "with the LSH tier (r10 verdict #1); the second "
@@ -233,11 +252,42 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root_dir, ignore_errors=True)
 
 
+def run_fused_beam_diag(spark, qs) -> dict:
+    """The fused build+traverse NSW form as the BUILD-COST DIAGNOSTIC
+    it actually is (r11 verdict #2, settlement option a): since r12 it
+    is out of the bench HEADLINE — three rounds of driver artifacts
+    (2.85/3.83/7.38 s vs a 2.16 s warm pin) sampled its long cold tail
+    (exact graph build + localCheckpoint barriers re-JIT per session),
+    not its plan cost. Here ALL runs are recorded, cold first, so the
+    cold/warm split is the datum instead of the noise. The HEADLINE
+    representative of the family is graph_beam_search_stored, the
+    per-query deployment shape."""
+    runs = []
+    for _ in range(5):
+        t0 = time.time()
+        qs["graph_beam_search"](
+            spark, "/root/testdata/sf0.1"
+        ).write.mode("overwrite").format("noop").save()
+        runs.append(round(time.time() - t0, 4))
+    print(f"sf0.1 graph_beam_search fused diagnostic runs: {runs}",
+          flush=True)
+    return {
+        "query": "graph_beam_search",
+        "sf": 0.1,
+        "runs_sec_in_order": runs,
+        "note": "fused build+traverse form, retired from HEADLINE in "
+                "r12 (r11 verdict #2 option a): the first-run cost is "
+                "the exact graph build + per-session JIT the stored "
+                "artifact amortizes away; graph_beam_search_stored is "
+                "the HEADLINE representative",
+    }
+
+
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        root, "BENCH_scale.json"
-    )
+    args = [a for a in sys.argv[1:] if a != "--nsw-only"]
+    nsw_only = "--nsw-only" in sys.argv[1:]
+    out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
     dir10 = os.path.join(root, ".scale", "sf1.0")
     dir100 = os.path.join(root, ".scale", "sf10")
     for d in (dir10, dir100):
@@ -248,6 +298,22 @@ def main() -> int:
     spark = get_spark("bench_scale")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
+
+    if nsw_only:
+        # refresh ONLY the facade-NSW row (with its r12 beam sweep) and
+        # the fused-form diagnostic, merged into the existing record —
+        # the stress tiers are expensive and unchanged code keeps their
+        # committed numbers valid
+        with open(out_json) as f:
+            result = json.loads(f.read())
+        result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
+        result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
+            spark, qs
+        )
+        with open(out_json, "w") as f:
+            f.write(json.dumps(result) + "\n")
+        print(json.dumps(result["facade_nsw_stored"]))
+        return 0
 
     t10, r10, ok10 = run_tier(spark, qs, dir10, STRESS)
     t100, r100, ok100 = run_tier(spark, qs, dir100, STRESS_XL)
@@ -282,6 +348,9 @@ def main() -> int:
     # a SECOND VectorDB instance then serves from the artifact with
     # ZERO builder invocations — build-once/serve-many, measured.
     result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
+    result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
+        spark, qs
+    )
 
     # write the budget-gated result FIRST: the unbudgeted reference
     # below can kill the JVM (it exists to show the quadratic tier's
