@@ -43,6 +43,7 @@ HEADLINE = [
     "knn_pq_stored",  # r6: stored-codes deployment shape (codes-only scan)
     # r7 recall tiers (verdict #1): each family's >=0.9-recall form
     "ivf_sign_multiprobe",
+    "ivf_sign_two_level",  # r12: two-level-routed pruned search, oracle-exact
     "lsh_search_md5_multi",
     "knn_pq_adc_deep",
     "knn_pq_trained",

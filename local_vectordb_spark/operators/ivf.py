@@ -343,6 +343,29 @@ def sign_probe(
     return out
 
 
+def sign_probe_two_level(
+    query_vec: Sequence[float], n_bits: int = 4, super_bits: int = 2,
+    n_probe: int = 3,
+) -> list[int]:
+    """Deterministic two-level probe — the value-checkable twin of
+    :func:`probe_clusters_two_level` (r12): route to the query's
+    SUPERCELL (the top ``super_bits`` of its sign bucket), rank that
+    supercell's 2^(n_bits-super_bits) member buckets by Hamming
+    distance to the query's own bucket (ties by ascending bucket id),
+    keep the nearest ``n_probe``. Same route→rank-members→keep-n_probe
+    shape as the trained-centroid form, with bit arithmetic standing
+    in for KMeans — so a SQL oracle reproduces the exact candidate
+    set where the trained tier is seed-dependent."""
+    qb = sign_probe(query_vec, n_bits=n_bits, max_hamming=0)[0]
+    low_mask = (1 << (n_bits - super_bits)) - 1
+    base = qb & ~low_mask
+    ranked = sorted(
+        (bin((qb & low_mask) ^ m).count("1"), base | m)
+        for m in range(low_mask + 1)
+    )
+    return [b for _, b in ranked[:n_probe]]
+
+
 def sign_ball(bucket_col, n_bits: int = 4, max_hamming: int = 1):
     """Array of every bucket within Hamming ``max_hamming`` of a
     bucket COLUMN — the expression twin of `sign_probe`, usable on a

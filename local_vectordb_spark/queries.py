@@ -2215,6 +2215,45 @@ def ivf_sign_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_sign_two_level",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 1), xor(qb.b, 2))
+    )
+    SELECT c.vec_id,
+           ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+    FROM cand c CROSS JOIN q
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT {K}
+    """,
+)
+def ivf_sign_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level routed pruned search, oracle-EXACT (r12, the
+    deterministic twin of the stored index's two-level coarse
+    quantizer — api.py `_ivf_stored` past IVF_TWO_LEVEL_MIN_CELLS,
+    which is KMeans-trained and therefore rows-only): route to the
+    query's SUPERCELL (the top 2 sign bits), rank the supercell's 4
+    member buckets by Hamming distance, probe the nearest 3
+    (ivf.sign_probe_two_level). Reads 3 of 16 partition DIRECTORIES —
+    tighter than ivf_sign_pruned's flat Hamming-1 probe (5/16)
+    because the route discards the two cross-supercell Hamming-1
+    neighbours: the recall/scan trade two-level routing makes, here
+    with the exact candidate set reproduced by the SQL oracle. The
+    trained form's correctness rides the parity + recall-floor tests
+    (tests/test_ann.py, tests/test_api_e2e.py); this entry makes the
+    routing SHAPE itself hash-checkable per round."""
+    qv = _query_vecs(sf_dir)[0][1]
+    probed = ivf.sign_probe_two_level(qv, n_bits=4, super_bits=2, n_probe=3)
+    cand = _sign_layout_for(spark, sf_dir).filter(F.col("bucket").isin(probed))
+    return knn.knn_brute_force(cand, qv, k=K)
+
+
+@register(
     "knn_sign_batch",
     f"""
     WITH q AS (

@@ -169,6 +169,32 @@ def test_ivf_sign_pruned_reads_only_probed_buckets(spark, sf_dir):
     assert seen <= probed
 
 
+def test_ivf_sign_two_level_prunes_to_three_routed_buckets(spark, sf_dir):
+    """r12: the two-level-routed twin reads only 3 of 16 partition
+    directories — the query's own bucket and the two Hamming-1
+    neighbours INSIDE its supercell; the cross-supercell Hamming-1
+    neighbours the flat probe reads (5/16) are discarded by the
+    route, which is exactly the scan-vs-recall trade two-level
+    routing makes. The probe set is a strict subset of the flat one."""
+    from local_vectordb_spark import queries as q
+    from local_vectordb_spark.operators import ivf
+
+    df = q.SPARK_QUERIES["ivf_sign_two_level"](spark, sf_dir)
+    plan = plans.plan_string(df)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "bucket" in plan[idx : idx + 300]
+    qv = q._query_vecs(sf_dir)[0][1]
+    routed = set(ivf.sign_probe_two_level(qv, n_bits=4, super_bits=2,
+                                          n_probe=3))
+    flat = set(ivf.sign_probe(qv, n_bits=4))
+    assert len(routed) == 3
+    assert routed < flat  # own bucket + the 2 in-supercell H1 flips
+    own = ivf.sign_probe(qv, n_bits=4, max_hamming=0)[0]
+    assert routed == {own, own ^ 1, own ^ 2}
+    assert {b >> 2 for b in routed} == {own >> 2}  # one supercell
+
+
 def test_beam_search_final_plan_and_hop_shape(spark, sf_dir):
     """The beam search's per-hop materialization barriers mean the
     FINAL plan is a top-k over the (tiny) checkpointed visited set —
