@@ -87,8 +87,13 @@ def train_supercells(
         if total <= 0:  # all remaining points coincide with a center
             centers.append(pts[rng.randint(len(pts))])
             continue
-        centers.append(pts[np.searchsorted(np.cumsum(d2 / total),
-                                           rng.rand())])
+        # min() guards the float edge where cumsum[-1] rounds below the
+        # draw and searchsorted answers len(pts)
+        idx = min(
+            int(np.searchsorted(np.cumsum(d2 / total), rng.rand())),
+            len(pts) - 1,
+        )
+        centers.append(pts[idx])
     cent = np.asarray(centers)
     for _ in range(iters):
         d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
