@@ -176,7 +176,12 @@ class _Handler(BaseHTTPRequestHandler):
         limit, offset = (None, None) if item else self._page_params()  # ditto
         # the generation actually served, echoed as X-Table-Version so a
         # client can pin THIS snapshot in later ?version= reads (the
-        # HTTP face of the facade's snapshot-read contract)
+        # HTTP face of the facade's snapshot-read contract). A
+        # never-written table echoes -1: "no committed version exists"
+        # — deliberately NOT pinnable (pinning -1 answers 404 above),
+        # because by the next read a version 0 may exist and "the empty
+        # pre-write snapshot" is not a retained generation
+
         served_v = self.db._current_version(kind) if version is None else version
         # pin the read to served_v (one pointer load decides both the
         # header and the data — no commit can slip between them); a
@@ -214,7 +219,24 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, _row_to_json(rows[0]),
                    headers={"X-Table-Version": served_v})
 
+    def _reject_version_on_write(self) -> bool:
+        """``?version=N`` is a READ pin; a write can only target the
+        live head. Silently ignoring it on a write verb would let a
+        client believe it mutated (or deleted from) a historical
+        snapshot — answer 400 instead (r12: the same
+        loud-over-silent contract as beam/hops on the non-traversal
+        search path)."""
+        if self._version_param() is not None:
+            self._send(400, {
+                "detail": "version applies to GET reads only; writes "
+                          "target the live table head"
+            })
+            return True
+        return False
+
     def _post(self) -> None:
+        if self._reject_version_on_write():
+            return
         kind, _ = self._route()
         if kind == "reset":
             with _WRITE_LOCK:
@@ -241,6 +263,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(201, _row_to_json(self.db.get(kind, item_id).collect()[0]))
 
     def _put(self) -> None:
+        if self._reject_version_on_write():
+            return
         kind, item = self._route()
         if kind not in SCHEMAS or item is None:
             self._send(404, {"detail": "unknown route"})
@@ -263,6 +287,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(200, _row_to_json(self.db.get(kind, item).collect()[0]))
 
     def _delete(self) -> None:
+        if self._reject_version_on_write():
+            return
         kind, item = self._route()
         if kind not in SCHEMAS or item is None:
             self._send(404, {"detail": "unknown route"})

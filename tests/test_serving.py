@@ -276,6 +276,18 @@ def test_time_travel_reads_pre_delete_snapshot_over_http(server):
         server, "GET", f"/chunks/{doomed['id']}?version=-1"
     )[0] == 404
 
+    # version is a READ pin: a write verb carrying it answers 400
+    # instead of silently mutating the live head under a client that
+    # believes it targeted a snapshot (r12)
+    code, body = _req(server, "POST", "/chunks?version=0",
+                      {"content": "x", "document_id": doc["id"]})
+    assert code == 400 and "GET reads only" in body["detail"]
+    assert _req(server, "PUT", f"/chunks/{kept['id']}?version={pre_v}",
+                {"content": "y"})[0] == 400
+    assert _req(server, "DELETE", f"/chunks/{kept['id']}?version=0")[0] == 400
+    # the kept row survived the rejected write verbs
+    assert _req(server, "GET", f"/chunks/{kept['id']}")[0] == 200
+
 
 def test_query_route_nsw_knobs(server):
     """POST /query passes beam/hops through to the nsw traversal; a
