@@ -118,48 +118,150 @@ def run_tier(spark, qs, sf_dir: str, names: list[str]) -> tuple[dict, dict, bool
     return timings, rows, ok
 
 
+def _seed_xl_db(spark, sf_dir: str, root_dir: str):
+    """Seed a VectorDB at ``root_dir`` with the XL embeddings as chunks
+    (pre-embedded — add() skips the embedder for non-null vectors).
+    Returns (db, embeddings DataFrame, seed seconds)."""
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.session import load_table
+
+    db = VectorDB(spark, root_dir)
+    ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+    db.add("libraries", spark.createDataFrame(
+        [("lib1",)], "id string").select(
+        "id", F.create_map().cast("map<string,string>").alias("metadata"),
+        ts.alias("created_at"), ts.alias("updated_at"),
+        F.lit("xl").alias("name")))
+    db.add("documents", spark.createDataFrame(
+        [("d1",)], "id string").select(
+        "id", F.create_map().cast("map<string,string>").alias("metadata"),
+        ts.alias("created_at"), ts.alias("updated_at"),
+        F.lit("doc").alias("name"), F.lit("lib1").alias("library_id")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    db.add("chunks", emb.select(
+        F.concat(F.lit("c"), F.col("vec_id")).alias("id"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        ts.alias("created_at"), ts.alias("updated_at"),
+        F.concat(F.lit("chunk "), F.col("vec_id")).alias("content"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.lit("d1").alias("document_id")))
+    return db, emb, round(time.time() - t0, 4)
+
+
+def run_facade_ivf_xl(spark, sf_dir: str) -> dict:
+    """r12 (r11 verdict #6, measured past the prototype): at 200k
+    vectors the √n rule gives 447 KMeans cells — past
+    IVF_TWO_LEVEL_MIN_CELLS, so the stored index carries the supercell
+    level and every probe routes supercell→cell. Times the FIRST ivf
+    search (pays the sampled-fit KMeans train + supercell train +
+    partitioned write) and a SECOND-instance search (must reuse the
+    artifact: ivf_build spied and asserted un-invoked), and reports
+    recall@10 vs the exact scan at 3 spread query positions."""
+    import shutil
+    import tempfile
+
+    from local_vectordb_spark.operators import ivf as ivf_mod
+
+    root_dir = tempfile.mkdtemp(prefix="lvdb_xl_ivf_")
+    try:
+        db, emb, seed_sec = _seed_xl_db(spark, sf_dir, root_dir)
+        qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        t0 = time.time()
+        n1 = db.search(query_vec=qv, index_type="ivf", k=10).count()
+        build_and_search_sec = round(time.time() - t0, 4)
+
+        centroids, _ = db._ivf_index()
+        assert isinstance(centroids, ivf_mod.TwoLevelCentroids), (
+            "447 cells must engage the two-level dispatch"
+        )
+        n_probe = db._ivf_n_probe(centroids)
+        n_super = ivf_mod.min_supercells_for(
+            centroids, n_probe, len(centroids.supercells)
+        )
+
+        builds = []
+        orig_build = ivf_mod.ivf_build
+
+        def spy_build(*a, **kw):
+            builds.append(1)
+            return orig_build(*a, **kw)
+
+        from local_vectordb_spark.api import VectorDB
+
+        ivf_mod.ivf_build = spy_build
+        try:
+            other = VectorDB(spark, root_dir)
+            t0 = time.time()
+            n2 = other.search(query_vec=qv, index_type="ivf", k=10).count()
+            serve_sec = round(time.time() - t0, 4)
+        finally:
+            ivf_mod.ivf_build = orig_build
+
+        ordered = emb.orderBy("vec_id").select("embedding")
+        recalls, serve = [], []
+        for pos in (1, 100_000, 190_000):
+            pv = [float(x) for x in ordered.limit(pos).tail(1)[0].embedding]
+            t0 = time.time()
+            ivf_ids = {h.id for h in
+                       other.search(query_vec=pv, index_type="ivf",
+                                    k=10).collect()}
+            serve.append(round(time.time() - t0, 4))
+            exact_ids = {h.id for h in
+                         other.search(query_vec=pv, index_type="cosine",
+                                      k=10).collect()}
+            recalls.append(len(ivf_ids & exact_ids) / 10.0)
+        row = {
+            "corpus_vectors": 200_000,
+            "seed_write_sec": seed_sec,
+            "first_search_build_plus_probe_sec": build_and_search_sec,
+            "second_instance_serve_sec": serve_sec,
+            "retrains_on_second_instance": len(builds),
+            "two_level": True,
+            "n_cells": len(centroids),
+            "n_supercells": len(centroids.supercells),
+            "n_probe": n_probe,
+            "n_super_probe": n_super,
+            "rows": [n1, n2],
+            "recall_at_10_vs_exact": recalls,
+            "serve_sec_per_query": serve,
+            "within_budget": build_and_search_sec < BUDGET_S,
+            "note": "447 cells > IVF_TWO_LEVEL_MIN_CELLS engages the "
+                    "supercell level (r11 verdict #6): probes route "
+                    "supercell->cell over the cluster_id-partitioned "
+                    "assignments; the second instance serves with zero "
+                    "KMeans retrains",
+        }
+        print(f"sf10 facade ivf stored (two-level): build+probe "
+              f"{build_and_search_sec:.2f}s, serve {serve_sec:.2f}s, "
+              f"cells {len(centroids)}, supers "
+              f"{len(centroids.supercells)}, n_probe {n_probe}, "
+              f"n_super {n_super}, recall@10 {recalls}", flush=True)
+        assert not builds, "second instance retrained the IVF index"
+        return row
+    finally:
+        shutil.rmtree(root_dir, ignore_errors=True)
+
+
 def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
     """Build-once/serve-many proof for the facade's stored NSW graph at
     200k vectors (r10 verdict #1): seed a VectorDB with the XL
-    embeddings (pre-embedded — add() skips the embedder for non-null
-    vectors), time the FIRST nsw search (pays the size-dispatched LSH
+    embeddings, time the FIRST nsw search (pays the size-dispatched LSH
     graph build + the traversal) and a SECOND-instance search (must be
     traverse-only: both builder entry points are spied and asserted
     un-invoked)."""
     import shutil
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from local_vectordb_spark.api import VectorDB
     from local_vectordb_spark.operators import ann as ann_mod
     from local_vectordb_spark.operators import knn as knn_mod
-    from local_vectordb_spark.session import load_table
 
     root_dir = tempfile.mkdtemp(prefix="lvdb_xl_nsw_")
     try:
-        db = VectorDB(spark, root_dir)
-        ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
-        db.add("libraries", spark.createDataFrame(
-            [("lib1",)], "id string").select(
-            "id", F.create_map().cast("map<string,string>").alias("metadata"),
-            ts.alias("created_at"), ts.alias("updated_at"),
-            F.lit("xl").alias("name")))
-        db.add("documents", spark.createDataFrame(
-            [("d1",)], "id string").select(
-            "id", F.create_map().cast("map<string,string>").alias("metadata"),
-            ts.alias("created_at"), ts.alias("updated_at"),
-            F.lit("doc").alias("name"), F.lit("lib1").alias("library_id")))
-        emb = load_table(spark, sf_dir, "embeddings")
-        t0 = time.time()
-        db.add("chunks", emb.select(
-            F.concat(F.lit("c"), F.col("vec_id")).alias("id"),
-            F.create_map().cast("map<string,string>").alias("metadata"),
-            ts.alias("created_at"), ts.alias("updated_at"),
-            F.concat(F.lit("chunk "), F.col("vec_id")).alias("content"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
-            F.lit("d1").alias("document_id")))
-        seed_sec = round(time.time() - t0, 4)
+        db, emb, seed_sec = _seed_xl_db(spark, sf_dir, root_dir)
 
         # deterministic query: the lowest-id stored vector (XL vec_ids
         # are family-encoded, not dense)
@@ -285,8 +387,9 @@ def run_fused_beam_diag(spark, qs) -> dict:
 
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    args = [a for a in sys.argv[1:] if a != "--nsw-only"]
-    nsw_only = "--nsw-only" in sys.argv[1:]
+    flags = {"--nsw-only", "--facade-only", "--ivf-only"}
+    args = [a for a in sys.argv[1:] if a not in flags]
+    picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
     dir10 = os.path.join(root, ".scale", "sf1.0")
     dir100 = os.path.join(root, ".scale", "sf10")
@@ -299,20 +402,23 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
-    if nsw_only:
-        # refresh ONLY the facade-NSW row (with its r12 beam sweep) and
-        # the fused-form diagnostic, merged into the existing record —
-        # the stress tiers are expensive and unchanged code keeps their
-        # committed numbers valid
+    if picked:
+        # refresh ONLY the facade artifact rows (and the fused-form
+        # diagnostic), merged into the existing record — the stress
+        # tiers are expensive and unchanged code keeps their committed
+        # numbers valid. --ivf-only / --nsw-only refresh one row;
+        # --facade-only refreshes both.
         with open(out_json) as f:
             result = json.loads(f.read())
-        result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
-        result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
-            spark, qs
-        )
+        if picked & {"--ivf-only", "--facade-only"}:
+            result["facade_ivf_stored"] = run_facade_ivf_xl(spark, dir100)
+        if picked & {"--nsw-only", "--facade-only"}:
+            result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
+            result["graph_beam_search_fused_diagnostic"] = (
+                run_fused_beam_diag(spark, qs)
+            )
         with open(out_json, "w") as f:
             f.write(json.dumps(result) + "\n")
-        print(json.dumps(result["facade_nsw_stored"]))
         return 0
 
     t10, r10, ok10 = run_tier(spark, qs, dir10, STRESS)
@@ -348,6 +454,7 @@ def main() -> int:
     # a SECOND VectorDB instance then serves from the artifact with
     # ZERO builder invocations — build-once/serve-many, measured.
     result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
+    result["facade_ivf_stored"] = run_facade_ivf_xl(spark, dir100)
     result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
         spark, qs
     )
