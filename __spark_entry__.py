@@ -41,15 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # fallback per r11 ADVICE; two-level coarse quantizer in _ivf_stored
 # per r11 verdict #6) and stream_then_ivf_search, which rides BOTH
 # the reworked ingest dead-letter sink (r11 ADVICE) and the facade
-# IVF path, plus the r12-NEW full-oracle ivf_sign_two_level (the
-# deterministic twin of the two-level coarse quantizer — a new entry
-# should get its driver row in its own round, the lesson of
-# api_search_sign's r11 deferral); (c) 23 of the 45 remaining queries
-# whose last driver row is r9 — the alphabetically-first 23, a
-# transparent pick — so the 22 deferred (sample_temperature_by_lang,
+# IVF path, plus the r12-NEW full-oracle entries ivf_sign_two_level
+# (the deterministic twin of the two-level coarse quantizer) and
+# api_search_time_travel (version-pinned search) — a new entry should
+# get its driver row in its own round, the lesson of api_search_sign's
+# r11 deferral; (c) 22 of the 45 remaining queries whose last driver
+# row is r9 — the alphabetically-first 22, a transparent pick — so
+# the 23 deferred (pack_token_budget, sample_temperature_by_lang,
 # split_group_aware, text_scrub_denylist, and the 19 r9-tier tpch_q*
 # entries) hit their staleness bound in r13 and lead that window with
-# 28 slots to spare. Everything stays re-verified locally at three
+# 27 slots to spare. Everything stays re-verified locally at three
 # scale factors each round via tools/verify_local.py.
 # (The trained/residual PQ tiers remain rows-only by design and keep
 # their recall invariants in tests.)
@@ -85,8 +86,9 @@ _PRIORITY = [
     "api_search_batch_table",
     "stream_then_ivf_search",
     "ivf_sign_two_level",  # r12-new full oracle: two-level routing twin
-    # (c) last driver row r9 — alphabetically-first 23 of the 45-query
-    # tier (the other 22 hit the bound in r13 and lead that window)
+    "api_search_time_travel",  # r12-new full oracle: pinned-version search
+    # (c) last driver row r9 — alphabetically-first 22 of the 45-query
+    # tier (the other 23 hit the bound in r13 and lead that window)
     "ann_recall_report",
     "anti_join_never_bulk_ordered_parts",
     "crud_time_travel",
@@ -109,7 +111,6 @@ _PRIORITY = [
     "knn_pq_adc",
     "knn_range_search",
     "lsh_search_md5",
-    "pack_token_budget",
 ]
 
 

@@ -116,7 +116,7 @@ class VectorDB:
         self._ivf_version = -1
         self._version = 0
         self._ivf = None
-        self._count_cache: tuple[int, int] | None = None  # (version, n)
+        self._count_cache: dict[int, int] = {}  # version -> row count
 
     # ---------------- storage ----------------
 
@@ -433,7 +433,7 @@ class VectorDB:
                 chunks = chunks.filter(F.col("metadata")[key] == str(val))
         return chunks
 
-    def _chunk_count(self) -> int:
+    def _chunk_count(self, version: int | None = None) -> int:
         """Corpus size for the auto-strategy dispatch, cached per table
         generation — keyed on the ON-DISK version (one tiny pointer-file
         read per search), not the in-process write counter: another
@@ -442,11 +442,15 @@ class VectorDB:
         dispatch on a stale count indefinitely (r8 ADVICE). The count
         job itself still runs once per write generation — dispatch is a
         property of the corpus, not of any per-search filter, hence the
-        UNfiltered table."""
-        v = self._current_version("chunks")
-        if self._count_cache is None or self._count_cache[0] != v:
-            self._count_cache = (v, self.table("chunks").count())
-        return self._count_cache[1]
+        UNfiltered table. A version-pinned search (r12) counts ITS
+        generation; version numbers are never reused, so the cache
+        needs no invalidation beyond its key."""
+        v = self._current_version("chunks") if version is None else version
+        if v not in self._count_cache:
+            self._count_cache[v] = self.table(
+                "chunks", version=version
+            ).count()
+        return self._count_cache[v]
 
     def search(
         self,
@@ -458,11 +462,21 @@ class VectorDB:
         diversify: str | None = None,
         beam: int | None = None,
         hops: int | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """kNN over chunks: embed the query (or take `query_vec`
         directly, skipping the embedder), route to the strategy,
         hydrate content. Returns (id, score, content) — the
         FullSearchResult shape (src/models/search.py:17-31).
+
+        ``version`` (r12) pins the WHOLE search — scan, stored
+        artifacts, hydration, and the auto dispatch's corpus count —
+        to a retained historical generation: time-travel SEARCH, the
+        natural extension of the versioned store (every index artifact
+        is already per-version). A GC'd / future / negative version
+        raises like table() does. Writes always target the live head;
+        search_batch stays live-head too (bulk historical jobs compose
+        the registry operators over table(version=N) directly).
 
         index_type="hybrid" fuses BM25 over chunk content with the
         cosine ranking by reciprocal-rank fusion (requires query TEXT
@@ -491,9 +505,19 @@ class VectorDB:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
+        if version is not None:
+            # same contract as table(): negative / GC'd / future raises
+            # up front, never a silent live read (the serving layer's
+            # r11 ADVICE lesson, applied at the API too)
+            self.table("chunks", version=version)
         if index_type == "auto":
+            # dispatch on the size of the corpus actually being
+            # searched: a pinned historical generation dispatches on
+            # ITS count, not the live head's
             index_type = (
-                "cosine" if self._chunk_count() <= AUTO_BRUTE_MAX else "sign"
+                "cosine"
+                if self._chunk_count(version=version) <= AUTO_BRUTE_MAX
+                else "sign"
             )
         if diversify not in (None, "mmr"):
             raise ValueError(f"unknown diversify {diversify!r}; only 'mmr'")
@@ -520,7 +544,14 @@ class VectorDB:
         # with a v(N+1) artifact (dropped edges / missing seeds) or
         # hydrate against rows the scan never scored. keep_versions>=2
         # keeps the pinned snapshot readable across one such commit.
-        disk_v = self._current_version("chunks")
+        # An explicit ``version`` replaces the pointer read entirely
+        # (r12 time-travel search): scan, artifacts, and hydration all
+        # serve the retained generation — its per-version artifacts
+        # are built on demand from the pinned snapshot if that
+        # generation never built them, and ride the same retention GC.
+        disk_v = (
+            self._current_version("chunks") if version is None else version
+        )
         pin = disk_v if disk_v >= 0 else None
         chunks = self._chunks_for_search(metadata, version=pin)
         fetch = max(5 * k, 50) if diversify else k
@@ -558,7 +589,15 @@ class VectorDB:
                 n_candidates=max(50, 5 * fetch), id_col="id",
             )
         elif index_type == "ivf":
-            centroids, assignments = self._ivf_index()
+            # a pinned search reads (or lazily builds) the pinned
+            # generation's OWN stored index — _ivf_index()'s cache is
+            # keyed on the live pointer and would pair a v(N) scan
+            # with the live artifact
+            centroids, assignments = (
+                self._ivf_stored(disk_v)
+                if version is not None
+                else self._ivf_index()
+            )
             scored = ivf.ivf_search(
                 chunks, assignments, centroids, qvec, k=fetch, id_col="id",
                 n_probe=self._ivf_n_probe(centroids),

@@ -472,6 +472,73 @@ def api_search_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
 
 
+_TT_SEARCH_CACHE: dict = {}
+
+
+def _tt_search_store(spark: SparkSession, sf_dir: str):
+    """A staged VectorDB whose LIVE head has DELETED every 7th vector
+    (including vec 0, the standard query's own nearest match), with the
+    pre-delete generation retained — the fixture for time-travel
+    search. Built once per (process, sf_dir); repeat invocations time
+    the PINNED search, the deployment steady state."""
+    if sf_dir in _TT_SEARCH_CACHE:
+        return _TT_SEARCH_CACHE[sf_dir]
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    db = VectorDB(spark, _tmp_store_dir("lvdb_ttq_"))
+    db.add(
+        "libraries",
+        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+    )
+    db.add(
+        "documents",
+        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    db.add(
+        "chunks",
+        emb.join(docs, emb.vec_id == docs.doc_id).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.col("text").alias("content"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.lit("d0").alias("document_id"),
+        ),
+    )
+    v0 = db._current_version("chunks")
+    db.delete(
+        "chunks",
+        emb.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").cast("string").alias("id")
+        ),
+    )
+    _TT_SEARCH_CACHE[sf_dir] = (db, v0)
+    return db, v0
+
+
+@register("api_search_time_travel", ORACLE_SQL["api_search_cosine"])
+def api_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel SEARCH through the facade (r12): search(version=v0)
+    over a store whose live head has deleted every 7th vector —
+    including vec 0, the query's own nearest match — must reproduce
+    the FULL-corpus top-k exactly (it shares api_search_cosine's
+    oracle verbatim). A silently-ignored version pin would serve the
+    post-delete corpus and hash-mismatch; a deleted-then-hydrated row
+    would drop from the result. This is the versioned store's whole
+    point made queryable: scan, stored artifacts, and hydration all
+    pinned to one retained generation (api.VectorDB.search
+    ``version=``; the HTTP face is POST /query {{"version": N}})."""
+    db, v0 = _tt_search_store(spark, sf_dir)
+    return db.search(
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K,
+        version=v0,
+    )
+
+
 @register(
     "api_search_batch_table",
     f"""

@@ -228,8 +228,9 @@ class _Handler(BaseHTTPRequestHandler):
         search path)."""
         if self._version_param() is not None:
             self._send(400, {
-                "detail": "version applies to GET reads only; writes "
-                          "target the live table head"
+                "detail": "the version query parameter applies to GET "
+                          "reads only (POST /query takes it in the "
+                          "body); writes target the live table head"
             })
             return True
         return False
@@ -314,6 +315,22 @@ class _Handler(BaseHTTPRequestHandler):
         if index_type not in INDEX_TYPES:
             self._send(400, {"detail": f"unknown index {index_type!r}"})
             return
+        # time-travel SEARCH (r12): body {"version": N} pins the scan,
+        # the stored index artifacts, and the auto dispatch's count to
+        # a retained generation — the /query face of GET's ?version=N.
+        # A LIVE query is pinned to one pointer read taken HERE, so the
+        # X-Table-Version echo below names exactly the generation the
+        # search served (search()'s own internal read could race a
+        # concurrent commit against a second read for the header).
+        version = None if body.get("version") is None else int(body["version"])
+        if version is not None and version < 0:
+            # same contract as GET: never a silent live read under a
+            # client that believes it pinned a snapshot (r11 ADVICE)
+            self._send(404, {"detail": f"version {version} never existed"})
+            return
+        live_v = self.db._current_version("chunks")
+        served_v = version if version is not None else live_v
+        pin = served_v if served_v >= 0 else None  # -1: never-written
         try:
             hits = self.db.search(
                 query=body.get("text"),
@@ -324,10 +341,18 @@ class _Handler(BaseHTTPRequestHandler):
                 # search(): passing them with a non-nsw index answers 400
                 beam=None if body.get("beam") is None else int(body["beam"]),
                 hops=None if body.get("hops") is None else int(body["hops"]),
+                version=pin,
             ).collect()
         except ValueError as e:
+            # a GC'd / future / negative version is a missing RESOURCE
+            # like on the GET routes; other ValueErrors are bad requests
+            if version is not None and "not available" in str(e):
+                self._send(404, {"detail": str(e)})
+                return
             self._send(400, {"detail": str(e)})
             return
+        # echo the generation served, like the GET routes: the client's
+        # handle for re-pinning THIS snapshot in later queries
         self._send(
             200,
             {
@@ -336,6 +361,7 @@ class _Handler(BaseHTTPRequestHandler):
                     for r in hits
                 ]
             },
+            headers={"X-Table-Version": served_v},
         )
 
 

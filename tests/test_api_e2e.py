@@ -551,6 +551,57 @@ def test_auto_strategy_dispatches_on_corpus_size(db, monkeypatch):
     assert not calls
 
 
+def test_time_travel_search_pins_scan_artifacts_and_dispatch(spark, tmp_path):
+    """r12: search(version=N) is time-travel SEARCH — the scan, the
+    per-version stored index artifacts (built on demand from the
+    pinned snapshot if that generation never built them), and the
+    hydration all serve the retained generation. A deleted chunk is
+    findable at its pre-delete version through EVERY strategy that has
+    a stored artifact (cosine, ivf, nsw, sign), invisible live; bad
+    versions raise like table()."""
+    import os
+
+    d = VectorDB(spark, str(tmp_path), keep_versions=4)
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, q, None, doc)
+         for i, q in enumerate(QUESTIONS)],
+        SCHEMAS["chunks"]))
+    pre_v = d._current_version("chunks")
+    doomed = QUESTIONS[3]
+
+    d.delete("chunks", spark.createDataFrame([("c3",)], "id string"))
+    # live: gone
+    live_hits = d.search(doomed, k=3).collect()
+    assert all(r.content != doomed for r in live_hits)
+    # pinned: back, top-1, via the plain scan AND every stored-artifact
+    # strategy (each builds its per-version artifact on demand)
+    for strat in ("cosine", "ivf", "nsw", "sign"):
+        hits = d.search(doomed, index_type=strat, k=3, version=pre_v).collect()
+        assert max(hits, key=lambda r: r.score).content == doomed, strat
+    for art in (f"_ivf_v{pre_v}", f"_nsw_v{pre_v}", f"_sign_v{pre_v}"):
+        assert os.path.exists(
+            os.path.join(d._table_dir("chunks"), art, "_SUCCESS")
+        ), art
+
+    # auto dispatch counts the PINNED generation, and the pinned count
+    # cache is keyed by version (no invalidation churn)
+    assert d._chunk_count(version=pre_v) == len(QUESTIONS)
+    assert d._chunk_count() == len(QUESTIONS) - 1
+    hits = d.search(doomed, index_type="auto", k=3, version=pre_v).collect()
+    assert max(hits, key=lambda r: r.score).content == doomed
+
+    # bad versions raise like table(): negative, future, GC'd
+    with pytest.raises(ValueError, match="not available"):
+        d.search(doomed, k=3, version=-1)
+    with pytest.raises(ValueError, match="not available"):
+        d.search(doomed, k=3, version=pre_v + 99)
+
+
 def test_time_travel_reads_retained_version_and_rejects_gcd(spark, tmp_path):
     """table(kind, version=N) reads a retained historical generation
     (the versioned layout exists precisely for snapshot pinning);

@@ -288,6 +288,29 @@ def test_time_travel_reads_pre_delete_snapshot_over_http(server):
     # the kept row survived the rejected write verbs
     assert _req(server, "GET", f"/chunks/{kept['id']}")[0] == 200
 
+    # time-travel SEARCH over HTTP (r12): /query with body version=N
+    # serves the pinned snapshot — the deleted row is findable at its
+    # pre-delete generation and invisible live; the response echoes
+    # the generation served; bad pins answer 404
+    code, res = _req(server, "POST", "/query",
+                     {"text": "doomed row", "limit": 2})
+    assert code == 200
+    assert all(r["content"] != "doomed row" for r in res["results"])
+    req = urllib.request.Request(
+        server + "/query", method="POST",
+        data=json.dumps({"text": "doomed row", "limit": 2,
+                         "version": pre_v}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert int(resp.headers["X-Table-Version"]) == pre_v
+        res = json.loads(resp.read())
+    assert res["results"][0]["content"] == "doomed row"
+    assert _req(server, "POST", "/query",
+                {"text": "x", "version": -1})[0] == 404
+    assert _req(server, "POST", "/query",
+                {"text": "x", "version": 99})[0] == 404
+
 
 def test_query_route_nsw_knobs(server):
     """POST /query passes beam/hops through to the nsw traversal; a
