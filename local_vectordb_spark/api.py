@@ -475,8 +475,8 @@ class VectorDB:
         natural extension of the versioned store (every index artifact
         is already per-version). A GC'd / future / negative version
         raises like table() does. Writes always target the live head;
-        search_batch stays live-head too (bulk historical jobs compose
-        the registry operators over table(version=N) directly).
+        search_batch takes the same ``version`` pin for bulk
+        historical jobs.
 
         index_type="hybrid" fuses BM25 over chunk content with the
         cosine ranking by reciprocal-rank fusion (requires query TEXT
@@ -718,6 +718,7 @@ class VectorDB:
         metadata: dict | None = None,
         query_vecs: list[tuple[int, list[float]]] | None = None,
         max_driver_queries: int = 1024,
+        version: int | None = None,
     ) -> DataFrame:
         """Bulk kNN — a SET of queries against chunks in one job per
         strategy (SURVEY §7 hard part (a): search framed as batch, the
@@ -745,11 +746,21 @@ class VectorDB:
         knn_batch_table); past that, pre-shard the query set and loop,
         or join it shuffled. nsw caps at the driver bound — its pooled
         LSH candidate generation is per-query driver work by
-        construction; large sets should use cosine/ivf."""
+        construction; large sets should use cosine/ivf.
+
+        ``version`` (r12) pins the batch to a retained generation,
+        same contract as search(): scan, stored artifacts, hydration,
+        and the auto dispatch's count all serve that snapshot — the
+        bulk face of time-travel search (re-scoring an old corpus
+        generation against today's query set is exactly a training-
+        data backfill job)."""
         if index_type not in INDEX_TYPES:
             raise ValueError(
                 f"index {index_type!r} not configured; choose from {INDEX_TYPES}"
             )
+        if version is not None:
+            # negative / GC'd / future raises up front, like table()
+            self.table("chunks", version=version)
         if index_type in ("hybrid", "pq"):
             # refuse UP FRONT, before any embedding job runs: hybrid
             # needs per-query BM25 term sets and pq a per-query ADC
@@ -767,14 +778,17 @@ class VectorDB:
             # both targets support the distributed table path, so auto
             # composes with any batch size
             index_type = (
-                "cosine" if self._chunk_count() <= AUTO_BRUTE_MAX else "sign"
+                "cosine"
+                if self._chunk_count(version=version) <= AUTO_BRUTE_MAX
+                else "sign"
             )
         if query_vecs is None and not queries:
             raise ValueError("provide queries or query_vecs")
         n_queries = len(queries) if query_vecs is None else len(query_vecs)
         if n_queries > max_driver_queries:
             return self._search_batch_table(
-                queries, index_type, k, metadata, query_vecs
+                queries, index_type, k, metadata, query_vecs,
+                version=version,
             )
         if query_vecs is None:
             rows = self.spark.createDataFrame(
@@ -784,8 +798,11 @@ class VectorDB:
             ).collect()
             query_vecs = [(r.query_id, [float(x) for x in r.v]) for r in rows]
         # one pointer read pins scan, stored layout, and hydration to
-        # the same version — see search()
-        disk_v = self._current_version("chunks")
+        # the same version — see search(); an explicit version replaces
+        # the read (r12 time-travel batch)
+        disk_v = (
+            self._current_version("chunks") if version is None else version
+        )
         pin = disk_v if disk_v >= 0 else None
         chunks = self._chunks_for_search(metadata, version=pin)
 
@@ -801,7 +818,13 @@ class VectorDB:
             )
             scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
         elif index_type == "ivf":
-            centroids, assignments = self._ivf_index()
+            # a pinned batch reads the pinned generation's own stored
+            # index (built on demand) — see search()'s ivf branch
+            centroids, assignments = (
+                self._ivf_stored(disk_v)
+                if version is not None
+                else self._ivf_index()
+            )
             scored = ivf.ivf_search_batch(
                 chunks, assignments, centroids, query_vecs, k=k, id_col="id",
                 n_probe=self._ivf_n_probe(centroids),
@@ -831,10 +854,12 @@ class VectorDB:
         k: int,
         metadata: dict | None,
         query_vecs,
+        version: int | None = None,
     ) -> DataFrame:
         """Large-set batch search: the query set becomes a DataFrame,
         embedding runs distributed, and scoring joins a broadcast query
-        table — no per-query driver state at any point."""
+        table — no per-query driver state at any point. ``version``
+        pins the whole job to a retained generation (r12)."""
         if index_type not in ("cosine", "ivf", "sign"):
             raise ValueError(
                 f"index {index_type!r} does not scale past max_driver_queries "
@@ -850,7 +875,9 @@ class VectorDB:
             qdf = self.spark.createDataFrame(
                 [(int(i), t) for i, t in queries], "query_id long, t string"
             ).select("query_id", self.embedder(F.col("t")).alias("qv"))
-        disk_v = self._current_version("chunks")
+        disk_v = (
+            self._current_version("chunks") if version is None else version
+        )
         pin = disk_v if disk_v >= 0 else None
         chunks = self._chunks_for_search(metadata, version=pin)
         if index_type == "cosine":
@@ -858,7 +885,11 @@ class VectorDB:
         elif index_type == "sign":
             scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
         else:
-            centroids, assignments = self._ivf_index()
+            centroids, assignments = (
+                self._ivf_stored(disk_v)
+                if version is not None
+                else self._ivf_index()
+            )
             scored = ivf.ivf_search_batch_table(
                 chunks, assignments, centroids, qdf, k=k, id_col="id",
                 n_probe=self._ivf_n_probe(centroids),

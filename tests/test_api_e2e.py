@@ -601,6 +601,21 @@ def test_time_travel_search_pins_scan_artifacts_and_dispatch(spark, tmp_path):
     with pytest.raises(ValueError, match="not available"):
         d.search(doomed, k=3, version=pre_v + 99)
 
+    # batch takes the same pin, on BOTH the driver path and the
+    # distributed table path (max_driver_queries=0 forces the latter)
+    for mdq in (1024, 0):
+        got = d.search_batch(
+            queries=[(7, doomed)], k=3, version=pre_v,
+            max_driver_queries=mdq,
+        ).collect()
+        best = max((r for r in got if r.query_id == 7),
+                   key=lambda r: r.score)
+        assert best.content == doomed, f"max_driver_queries={mdq}"
+    live_batch = d.search_batch(queries=[(7, doomed)], k=3).collect()
+    assert all(r.content != doomed for r in live_batch)
+    with pytest.raises(ValueError, match="not available"):
+        d.search_batch(queries=[(7, doomed)], k=3, version=-1)
+
 
 def test_time_travel_reads_retained_version_and_rejects_gcd(spark, tmp_path):
     """table(kind, version=N) reads a retained historical generation
