@@ -32,85 +32,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 12 rotation (r11 verdict #1): (a)
-# api_search_sign — r11-new full oracle with no driver row yet (it
-# value-checks the `auto` strategy's past-the-knee default path) —
-# plus the 18 queries whose last driver row is r8, at the staleness
-# bound: they MUST be in this window; (b) the facade entries, because
-# api.py changes this round (beam/hops loud-fail on the exact
-# fallback per r11 ADVICE; two-level coarse quantizer in _ivf_stored
-# per r11 verdict #6) and stream_then_ivf_search, which rides BOTH
-# the reworked ingest dead-letter sink (r11 ADVICE) and the facade
-# IVF path, plus the r12-NEW full-oracle entries ivf_sign_two_level
-# (the deterministic twin of the two-level coarse quantizer) and
-# api_search_time_travel (version-pinned search) — a new entry should
-# get its driver row in its own round, the lesson of api_search_sign's
-# r11 deferral; (c) 22 of the 45 remaining queries whose last driver
-# row is r9 — the alphabetically-first 22, a transparent pick — so
-# the 23 deferred (pack_token_budget, sample_temperature_by_lang,
-# split_group_aware, text_scrub_denylist, and the 19 r9-tier tpch_q*
-# entries) hit their staleness bound in r13 and lead that window with
-# 27 slots to spare. Everything stays re-verified locally at three
-# scale factors each round via tools/verify_local.py.
-# (The trained/residual PQ tiers remain rows-only by design and keep
-# their recall invariants in tests.)
+# in registration order. Round 13 rotation (r12 verdict #1): (a) the
+# 23 queries whose last driver row is r9 — at the staleness bound,
+# they MUST lead this window: pack_token_budget,
+# sample_temperature_by_lang, split_group_aware, text_scrub_denylist,
+# and the 19 r9-tier tpch_q* entries (the relational suite's first
+# driver row in four rounds); (b) the api.py-riding entries, because
+# api.py changes again in r13 (the _chunk_count pinned-snapshot fix
+# and the ivf memo-on-pinned-live fix, both r12 ADVICE, plus the
+# size-aware nsw default beam, r12 verdict #5) — every api_search_*
+# facade entry plus stream_then_ivf_search, which rides the facade
+# IVF path; (c) the alphabetically-first 18 of the 47 queries whose
+# last driver row is r10 — a transparent pick that pre-drains the r10
+# tier before all 47 hit the staleness bound at once in r14 (the
+# remaining 29 lead that window). Everything stays re-verified
+# locally at three scale factors each round via
+# tools/verify_local.py. (The trained/residual PQ tiers remain
+# rows-only by design and keep their recall invariants in tests.)
 _PRIORITY = [
-    # (a) staleness-bound mandate (r11 verdict #1)
-    "api_search_sign",  # r11-new full oracle, never driver-checked
-    "docs_shuffle_order",
-    "docs_zipf_token_freq",
-    "docs_quality_quantiles",
-    "docs_dedup_family_sizes",
-    "orders_percentile_by_priority",
-    "part_cube_brand_size",
-    "quantiles_order_value",
-    "supplier_balance_ntile",
-    "sketch_distinct_users_daily",
-    "skew_salted_event_counts",
-    "events_interarrival",
-    "events_partition_pruned_scan",
-    "events_retention_cohorts",
-    "events_band_clicks_near_errors",
-    "events_error_burst_windows",
-    "text_bpe_token_stats",
-    "text_langid",
-    "text_repetition_stats",
-    # (b) code paths changed in r12: api.py (search validation,
-    # two-level coarse quantizer) and streaming/ingest.py (dead-letter
-    # clear-first idempotency)
+    # (a) staleness-bound mandate (r12 verdict #1): last driver row r9
+    "pack_token_budget",
+    "sample_temperature_by_lang",
+    "split_group_aware",
+    "text_scrub_denylist",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_late_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_latency_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_rich_customers",
+    # (b) code paths changed in r13: api.py (_chunk_count counts the
+    # keyed snapshot; ivf serves the memo on a pinned-live search;
+    # size-aware nsw default beam)
     "api_search_nsw",
     "api_search_auto",
     "api_search_cosine",
+    "api_search_sign",
+    "api_search_time_travel",
     "api_search_batch_auto",
     "api_search_batch_cosine",
     "api_search_batch_table",
     "stream_then_ivf_search",
-    "ivf_sign_two_level",  # r12-new full oracle: two-level routing twin
-    "api_search_time_travel",  # r12-new full oracle: pinned-version search
-    # (c) last driver row r9 — alphabetically-first 22 of the 45-query
-    # tier (the other 23 hit the bound in r13 and lead that window)
-    "ann_recall_report",
-    "anti_join_never_bulk_ordered_parts",
-    "crud_time_travel",
-    "decontam_ngram_overlap",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_keep_best_per_family",
-    "dedup_lines_boilerplate",
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_md5",
-    "docs_training_manifest",
-    "embedding_stats",
-    "graph_beam_search_stored",
-    "ivf_pq_search",
-    "knn_graph_auto",
-    "knn_graph_broadcast",
-    "knn_pq_adc",
-    "knn_range_search",
-    "lsh_search_md5",
+    # (c) last driver row r10 — alphabetically-first 18 of the
+    # 47-query tier (the remaining 29 hit the bound in r14 and lead
+    # that window)
+    "ann_recall_multi",
+    "crud_cascade_delete",
+    "crud_delete",
+    "crud_exists_semi",
+    "crud_fk_orphans",
+    "crud_full_scan",
+    "crud_insert_append",
+    "crud_point_lookup",
+    "crud_reject_duplicates",
+    "crud_truncate",
+    "crud_upsert",
+    "date_funcs_monthly_revenue",
+    "fts_bm25",
+    "graph_add_remove",
+    "graph_beam_search",
+    "graph_beam_search_lsh",
+    "graph_lsh_edge_recall",
+    "grouping_sets_flag_status",
 ]
 
 

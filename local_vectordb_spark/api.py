@@ -84,6 +84,17 @@ NSW_EXACT_BUILD_MAX = 20_000
 # quantizer usable past the 4096-cell / ~16M-row flat regime.
 IVF_TWO_LEVEL_MIN_CELLS = 256
 
+# nsw default-beam knee (r12 verdict #5): the XL recall curve
+# (BENCH_scale.json recall_curve, 200k vectors) measured recall@10 =
+# 0.8 at beam=8 but 1.0 at beam=16 AND 32 with no latency cost
+# (~3.5-4.0 s either way — traversal time is dominated by the per-hop
+# broadcast joins, not the frontier width). Below the knee beam=8 is
+# already exact on every fixture this repo measures, so the default
+# dispatches on the corpus size of the generation being searched:
+# 8 below NSW_BEAM_KNEE rows, 16 at/above. An explicit ``beam=``
+# always wins — this only moves the DEFAULT off the measured cliff.
+NSW_BEAM_KNEE = 100_000
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this table version first; re-read the
@@ -444,11 +455,16 @@ class VectorDB:
         property of the corpus, not of any per-search filter, hence the
         UNfiltered table. A version-pinned search (r12) counts ITS
         generation; version numbers are never reused, so the cache
-        needs no invalidation beyond its key."""
+        needs no invalidation beyond its key — which is also why the
+        count must be taken from the SNAPSHOT the key names (r12
+        ADVICE): counting via version=None here re-reads the pointer,
+        and a commit landing between the two reads would store the
+        NEWER generation's count under key v permanently, poisoning
+        every later search(version=v) dispatch."""
         v = self._current_version("chunks") if version is None else version
         if v not in self._count_cache:
             self._count_cache[v] = self.table(
-                "chunks", version=version
+                "chunks", version=v if v >= 0 else None
             ).count()
         return self._count_cache[v]
 
@@ -490,8 +506,10 @@ class VectorDB:
         per search).
 
         ``beam``/``hops`` tune the nsw traversal (r10 ADVICE — the
-        fixed walk was un-tunable): beam defaults to 8 and hops to 3,
-        which stays recall-safe at ANY corpus size because the
+        fixed walk was un-tunable): beam defaults to 8 below
+        NSW_BEAM_KNEE rows and 16 at/above (the measured XL recall
+        knee, r12 verdict #5), hops to 3, which stays recall-safe
+        at ANY corpus size because the
         frontier is SEEDED from the query's own sign buckets (the
         walk starts next to the true neighbors and only refines
         through graph edges), not grown from a fixed global entry
@@ -589,15 +607,22 @@ class VectorDB:
                 n_candidates=max(50, 5 * fetch), id_col="id",
             )
         elif index_type == "ivf":
-            # a pinned search reads (or lazily builds) the pinned
-            # generation's OWN stored index — _ivf_index()'s cache is
-            # keyed on the live pointer and would pair a v(N) scan
-            # with the live artifact
-            centroids, assignments = (
-                self._ivf_stored(disk_v)
-                if version is not None
-                else self._ivf_index()
-            )
+            # serve from the in-memory memo whenever it holds the
+            # generation THIS search scans — including a pinned search
+            # whose pin IS the memoized version (r12 ADVICE: the
+            # serving layer always pins, and routing every such query
+            # through _ivf_stored re-read centroids.json per request,
+            # bypassing the hot-path cache). The memo is matched on
+            # disk_v directly rather than via _ivf_index(), whose own
+            # pointer re-read could rebuild for a HEAD that moved past
+            # the pin; only a genuinely historical pin (or a cold /
+            # stale memo on the live path) goes to disk.
+            if self._ivf is not None and self._ivf_version == disk_v:
+                centroids, assignments = self._ivf
+            elif version is not None:
+                centroids, assignments = self._ivf_stored(disk_v)
+            else:
+                centroids, assignments = self._ivf_index()
             scored = ivf.ivf_search(
                 chunks, assignments, centroids, qvec, k=fetch, id_col="id",
                 n_probe=self._ivf_n_probe(centroids),
@@ -648,7 +673,17 @@ class VectorDB:
 
             pinned = chunks  # metadata is None here: the pinned table
             edges = self._graph_stored(disk_v)
-            b = beam if beam is not None else 8
+            # size-aware default beam (r12 verdict #5): the measured
+            # XL knee — beam=8 reads recall@10 0.8 at 200k vectors,
+            # beam=16 reads 1.0 at no latency cost — would otherwise
+            # live only in BASELINE.md prose. Count keyed on disk_v
+            # (already cached per generation for the auto dispatch);
+            # explicit beam= always wins.
+            b = (
+                beam
+                if beam is not None
+                else (8 if self._chunk_count(version=disk_v) < NSW_BEAM_KNEE else 16)
+            )
             h = hops if hops is not None else 3
             # the seed scan reads the bucket-PARTITIONED sign layout
             # (same version), so probing costs 5/16 of the layout's

@@ -322,7 +322,19 @@ class _Handler(BaseHTTPRequestHandler):
         # X-Table-Version echo below names exactly the generation the
         # search served (search()'s own internal read could race a
         # concurrent commit against a second read for the header).
-        version = None if body.get("version") is None else int(body["version"])
+        # strict parse like the GET routes (r12 ADVICE): int() would
+        # silently truncate a float pin (3.7 -> 3) or coerce a boolean
+        # (true -> 1) and serve a DIFFERENT generation than the client
+        # asked for — a malformed pin is a 400, never a reinterpreted one
+        raw_version = body.get("version")
+        if raw_version is not None and (
+            isinstance(raw_version, bool) or not isinstance(raw_version, int)
+        ):
+            self._send(
+                400, {"detail": f"version must be an integer, got {raw_version!r}"}
+            )
+            return
+        version = raw_version
         if version is not None and version < 0:
             # same contract as GET: never a silent live read under a
             # client that believes it pinned a snapshot (r11 ADVICE)

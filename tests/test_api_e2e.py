@@ -1167,3 +1167,112 @@ def test_lsh_graph_edges_collision_check_raises(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="collision"):
         d._lsh_graph_edges(dup, n=2)
+
+
+def _seed_store(spark, path, texts=None):
+    """One library -> one document -> one chunk per text: the minimal
+    parent chain the FK validation requires, used by the r13 tests."""
+    d = VectorDB(spark, str(path))
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    chunk_ids = [str(uuid.uuid4()) for _ in (texts or QUESTIONS)]
+    d.add("chunks", spark.createDataFrame(
+        [(cid, {}, None, None, t, None, doc)
+         for cid, t in zip(chunk_ids, texts or QUESTIONS)],
+        SCHEMAS["chunks"]))
+    return d, doc, chunk_ids
+
+
+def test_nsw_default_beam_dispatches_on_corpus_size(spark, tmp_path, monkeypatch):
+    """r12 verdict #5: the measured XL recall knee (beam=8 reads
+    recall@10 0.8 at 200k vectors, beam=16 reads 1.0 at no latency
+    cost — BENCH_scale.json recall_curve) must set the DEFAULT, not
+    live only in BASELINE.md prose. Below NSW_BEAM_KNEE the default
+    stays 8 (every fixture-scale oracle unrolls that walk); at/above
+    it dispatches to 16; an explicit beam= always wins."""
+    import local_vectordb_spark.api as api_mod
+    from local_vectordb_spark.operators import ann as ann_mod
+
+    d, _, _ = _seed_store(spark, tmp_path)
+
+    seen: list[int] = []
+    orig = ann_mod.graph_beam_search
+
+    def spy(*a, **k):
+        seen.append(k["beam"])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ann_mod, "graph_beam_search", spy)
+
+    hits = d.search(QUESTIONS[6], index_type="nsw", k=3).collect()
+    assert seen[-1] == 8  # 10-row corpus: below the knee
+    assert max(hits, key=lambda r: r.score).content == QUESTIONS[6]
+
+    # past the (lowered) knee the same call dispatches beam=16
+    monkeypatch.setattr(api_mod, "NSW_BEAM_KNEE", 5)
+    hits = d.search(QUESTIONS[6], index_type="nsw", k=3).collect()
+    assert seen[-1] == 16
+    assert max(hits, key=lambda r: r.score).content == QUESTIONS[6]
+
+    # explicit beam wins in either regime
+    d.search(QUESTIONS[6], index_type="nsw", k=3, beam=4).collect()
+    assert seen[-1] == 4
+
+
+def test_chunk_count_pinned_version_counts_that_snapshot(spark, tmp_path):
+    """r12 ADVICE: _chunk_count(version=v) must count generation v's
+    OWN snapshot. The old body counted via version=None — a second
+    pointer read — so a commit landing between the key read and the
+    count stored the newer generation's count under key v permanently
+    (versions are never reused, the cache never heals). Cold-cache
+    pinned counts expose the bug without needing the race."""
+    d, _, chunk_ids = _seed_store(spark, tmp_path)
+    v0 = d._current_version("chunks")
+    d.delete("chunks", spark.createDataFrame(
+        [(cid,) for cid in chunk_ids[:3]], "id string"))
+    v1 = d._current_version("chunks")
+    assert v1 > v0
+
+    fresh = VectorDB(spark, str(tmp_path))  # cold count cache
+    assert fresh._chunk_count(version=v0) == len(chunk_ids)
+    assert fresh._chunk_count() == len(chunk_ids) - 3
+    # each key holds ITS generation's count
+    assert fresh._count_cache[v0] == len(chunk_ids)
+    assert fresh._count_cache[v1] == len(chunk_ids) - 3
+
+
+def test_live_pinned_ivf_search_serves_from_memo(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: the serving layer pins every /query to one live
+    pointer read, so search(version=<live>) on the ivf path must serve
+    from the in-memory per-version memo like an unpinned search — not
+    re-read centroids.json per request. Only a pin the memo does not
+    hold goes to _ivf_stored."""
+    d, _, _ = _seed_store(spark, tmp_path)
+    live = d._current_version("chunks")
+
+    warm = d.search(QUESTIONS[2], index_type="ivf", k=3).collect()
+    assert d._ivf_version == live  # memo holds the live generation
+
+    calls: list[int] = []
+    orig_stored = d._ivf_stored
+
+    def spy(version):
+        calls.append(version)
+        return orig_stored(version)
+
+    monkeypatch.setattr(d, "_ivf_stored", spy)
+
+    pinned = d.search(QUESTIONS[2], index_type="ivf", k=3, version=live).collect()
+    assert calls == []  # memo hit: no disk read
+    assert [(r.id, r.score) for r in pinned] == [(r.id, r.score) for r in warm]
+
+    # a pin the memo does NOT hold still reads the stored artifact
+    d.add("chunks", spark.createDataFrame(
+        [(str(uuid.uuid4()), {}, None, None, "a brand new row", None,
+          d.table("chunks").first().document_id)], SCHEMAS["chunks"]))
+    new_live = d._current_version("chunks")
+    d.search(QUESTIONS[2], index_type="ivf", k=3, version=new_live).collect()
+    assert calls == [new_live]

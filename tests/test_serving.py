@@ -336,3 +336,33 @@ def test_query_route_nsw_knobs(server):
         "text": QUESTIONS[2], "index_type": "cosine", "beam": 4,
     })
     assert code == 400 and "nsw" in body["detail"]
+
+
+def test_query_version_must_be_json_integer(server):
+    """r12 ADVICE: int(body['version']) silently truncated a float pin
+    (3.7 -> 3) and coerced booleans (true -> 1), so a malformed pin
+    could serve a DIFFERENT generation than the client asked for. A
+    non-integer JSON version answers 400 like the GET routes' strict
+    parse; a real integer pin still works."""
+    assert _req(server, "POST", "/reset")[0] == 200
+    _, lib = _req(server, "POST", "/libraries", {"name": "strict"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    assert _req(
+        server, "POST", "/chunks", {"content": "pinned row", "document_id": doc["id"]}
+    )[0] == 201
+
+    for bad in (3.7, True, False, "0", [0]):
+        code, body = _req(
+            server, "POST", "/query", {"text": "pinned row", "version": bad}
+        )
+        assert code == 400 and "integer" in body["detail"], bad
+
+    req = urllib.request.Request(server + "/chunks?limit=1", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        live_v = int(resp.headers["X-Table-Version"])
+    code, res = _req(
+        server, "POST", "/query", {"text": "pinned row", "version": live_v}
+    )
+    assert code == 200 and res["results"][0]["content"] == "pinned row"

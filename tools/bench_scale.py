@@ -408,8 +408,13 @@ def main() -> int:
         # tiers are expensive and unchanged code keeps their committed
         # numbers valid. --ivf-only / --nsw-only refresh one row;
         # --facade-only refreshes both.
-        with open(out_json) as f:
-            result = json.loads(f.read())
+        # a fresh checkout (or custom output path) has no record yet —
+        # seed an empty one instead of crashing the merge (r12 ADVICE)
+        try:
+            with open(out_json) as f:
+                result = json.loads(f.read())
+        except FileNotFoundError:
+            result = {}
         if picked & {"--ivf-only", "--facade-only"}:
             result["facade_ivf_stored"] = run_facade_ivf_xl(spark, dir100)
         if picked & {"--nsw-only", "--facade-only"}:
