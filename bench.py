@@ -155,7 +155,12 @@ def main() -> None:
     # cut, losing the headline total). Emit lines least important
     # first, so the tail window always covers the end:
     #   1. the full 4-decimal record (head may be cut from the tail;
-    #      the complete copy is also written to BENCH_FULL_LAST.json),
+    #      the complete copy is also written to BENCH_FULL_LAST.json —
+    #      a gitignored SCRATCH pointer since r13, because the
+    #      driver's own post-commit bench run rewrites it and dirtied
+    #      the tree every round (r12 verdict #6); each round's closing
+    #      full record is committed as the round-stamped
+    #      BENCH_FULL_r{N}.json instead),
     #   2-3. the per-query map rounded to 2 dp, compact separators,
     #      SPLIT across two lines (r11 verdict #3: at 67 queries one
     #      map line alone is ~1800 B — it would push the parseable
