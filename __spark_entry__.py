@@ -86,8 +86,11 @@ _PRIORITY = [
     "api_search_batch_cosine",
     "api_search_batch_table",
     "stream_then_ivf_search",
-    # (c) last driver row r10 — alphabetically-first 18 of the
-    # 47-query tier (the remaining 29 hit the bound in r14 and lead
+    "api_search_sign_incremental",  # r13-NEW full oracle: incremental
+    # index maintenance (delta-chain sign layout) — a new entry gets
+    # its driver row in its own round
+    # (c) last driver row r10 — alphabetically-first 17 of the
+    # 47-query tier (the remaining 30 hit the bound in r14 and lead
     # that window)
     "ann_recall_multi",
     "crud_cascade_delete",
@@ -106,7 +109,6 @@ _PRIORITY = [
     "graph_beam_search",
     "graph_beam_search_lsh",
     "graph_lsh_edge_recall",
-    "grouping_sets_flag_status",
 ]
 
 

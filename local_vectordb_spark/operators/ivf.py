@@ -173,6 +173,48 @@ def ivf_build(
     return model, centroids, assignments
 
 
+def assign_cells(
+    df: DataFrame,
+    cells: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-cell assignment for a batch of rows under FROZEN
+    centroids — the incremental-maintenance twin of
+    ``KMeans.transform`` (r13): a write's delta rows are assigned to
+    the EXISTING cell structure without retraining, so index
+    maintenance costs |delta|·k flops instead of a KMeans fit.
+    Distributed: rows × the broadcast k-row cell table, squared-L2
+    argmin, ties to the lower cell id (``probe_clusters``'s ordering,
+    so a recomputed assignment under the same centroids is
+    reproducible). Returns (id_col, cluster_id)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cells)],
+        "cluster_id int, _cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("_cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d2"), F.asc("cluster_id"))
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(id_col, "cluster_id", d2.alias("_d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+
+
 def _l2(a, b):
     return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, b)))
 

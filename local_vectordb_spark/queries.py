@@ -472,6 +472,134 @@ def api_search_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
 
 
+_INC_SEARCH_CACHE: dict = {}
+
+
+def _inc_search_store(spark: SparkSession, sf_dir: str):
+    """A staged VectorDB whose live sign layout was maintained
+    INCREMENTALLY (r13): seed with vectors 16+, build the layout (one
+    search), then ADD vectors 0-15 — including vec 0, the standard
+    query's own nearest match — and DELETE every 9th of the ORIGINAL
+    corpus. The layout serving the final search therefore holds rows
+    the full build never saw and lacks rows it wrote, all through
+    delta-chain maintenance (api.VectorDB._sign_build_incremental);
+    staging ASSERTS the file-reuse evidence (hard-linked bucket files,
+    st_nlink > 1) so a silent fall-back to a full rebuild fails the
+    entry loudly instead of serving an identical-but-unexercised
+    artifact. Built once per (process, sf_dir)."""
+    if sf_dir in _INC_SEARCH_CACHE:
+        return _INC_SEARCH_CACHE[sf_dir]
+    import os as _os
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    db = VectorDB(spark, _tmp_store_dir("lvdb_inc_"), keep_versions=4)
+    db.add(
+        "libraries",
+        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+    )
+    db.add(
+        "documents",
+        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _chunk_rows(src):
+        return src.join(docs, src.vec_id == docs.doc_id).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.col("text").alias("content"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.lit("d0").alias("document_id"),
+        )
+
+    db.add("chunks", _chunk_rows(emb.filter(F.col("vec_id") >= 16)))
+    db.search(  # builds _sign_v{v0} — the full-build base of the chain
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K
+    ).collect()
+    db.add("chunks", _chunk_rows(emb.filter(F.col("vec_id") < 16)))
+    db.delete(
+        "chunks",
+        emb.filter((F.col("vec_id") % 9 == 0) & (F.col("vec_id") >= 16))
+        .select(F.col("vec_id").cast("string").alias("id")),
+    )
+    db.search(  # builds the FINAL layout through the incremental path
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K
+    ).collect()
+    v = db._current_version("chunks")
+    prov = _os.path.join(
+        db._table_dir("chunks"), f"_sign_v{v}", "provenance.json"
+    )
+    if not _os.path.exists(prov):
+        raise AssertionError(
+            "api_search_sign_incremental: the staged layout carries no "
+            "incremental provenance — the build fell back to a full "
+            "rebuild, so the incremental path is NOT what this entry "
+            "would measure"
+        )
+    import json as _json
+
+    with open(prov) as f:
+        rec = _json.load(f)
+    if rec["chain_commits"] != 2:
+        raise AssertionError(
+            f"api_search_sign_incremental: expected the 2-commit chain "
+            f"(add 0-15, delete every 9th), provenance says {rec}"
+        )
+    _INC_SEARCH_CACHE[sf_dir] = db
+    return db
+
+
+@register(
+    "api_search_sign_incremental",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < 16 OR vec_id % 9 <> 0
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM corpus e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    ),
+    topk AS (
+      SELECT c.vec_id,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM cand c CROSS JOIN q
+      ORDER BY score DESC, CAST(c.vec_id AS VARCHAR) ASC
+      LIMIT {K}
+    )
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_sign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """api_search_sign over a layout maintained INCREMENTALLY (r13):
+    the serving store was seeded WITHOUT vectors 0-15, its sign layout
+    built, and then two commits (add 0-15, delete every 9th original
+    row) were folded in through the delta chain — touched buckets
+    rewritten, untouched buckets hard-linked from the previous
+    artifact (api.VectorDB._sign_build_incremental; staging asserts
+    the linkage so a full-rebuild fallback fails loudly). The query is
+    vec 0, which ONLY the incremental path ever wrote into the layout,
+    and the oracle reproduces the final corpus exactly — an
+    incremental build that dropped a row, resurrected a deleted one,
+    or mis-bucketed an upsert hash-mismatches here. The KMeans tier's
+    incremental twin (frozen centroids + drift ledger,
+    _ivf_build_incremental) stays rows-only by nature with its parity
+    and retrain tests in tests/test_incremental.py; this entry makes
+    the MAINTENANCE machinery itself hash-checkable per round."""
+    db = _inc_search_store(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
+
+
 _TT_SEARCH_CACHE: dict = {}
 
 

@@ -1,0 +1,356 @@
+"""Incremental index maintenance (r13): delta-recorded commits,
+delta-chain composition, and the sign/IVF stored-artifact builders
+that rewrite only touched partitions and hard-link the rest.
+
+The invariants under test are the ones that make the feature safe to
+ship: the incremental sign layout is ROW-IDENTICAL to a full rebuild;
+the incremental IVF artifact freezes centroids, tracks drift, and
+retrains past the budget; a broken chain (reset / pre-delta commit)
+falls back to a full build instead of a wrong artifact; untouched
+partitions are hard-linked (same inode), never rewritten."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+import local_vectordb_spark.api as api_mod
+from local_vectordb_spark.api import VectorDB
+from local_vectordb_spark.operators import ivf
+from local_vectordb_spark.operators.incremental import compose_delta_chain
+from local_vectordb_spark.sources.json_records import SCHEMAS
+
+QUESTIONS = [
+    "what is the capital of germany",
+    "how far is it from denver to aspen",
+    "what county is modesto california in",
+    "who was galileo",
+    "what is an atom",
+    "when did hawaii become a state",
+    "how tall is the sears building",
+    "which baseball team did george bush buy into",
+    "what is australia's national flower",
+    "why does the moon turn orange",
+    "what is a rainbow made of",
+    "who wrote the origin of species",
+]
+
+
+def _seed(spark, path, texts, keep_versions=2):
+    # incremental maintenance spans at most the retention window: the
+    # base artifact and every delta in the chain must still be on
+    # disk, so multi-commit chains need keep_versions > chain length
+    d = VectorDB(spark, str(path), keep_versions=keep_versions)
+    d.add("libraries", spark.createDataFrame(
+        [("lib0", {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [("d0", {}, None, None, "d", "lib0")], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, t, None, "d0") for i, t in enumerate(texts)],
+        SCHEMAS["chunks"]))
+    return d
+
+
+def _chunk_rows(texts, start=100):
+    return [
+        (f"c{start + i}", {}, None, None, t, None, "d0")
+        for i, t in enumerate(texts)
+    ]
+
+
+def _layout_rows(spark, store, version):
+    p = os.path.join(store, "chunks", f"_sign_v{version}", "layout")
+    return {
+        (r.id, r.bucket)
+        for r in spark.read.parquet(p).select("id", "bucket").collect()
+    }
+
+
+# ---------- compose_delta_chain (pure frame algebra) ----------
+
+def test_compose_delta_chain_nets_out_intermediate_states(spark):
+    schema = "id string, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+
+    def ups(*rows):
+        return spark.createDataFrame(list(rows), schema)
+
+    # step 0: add a, add b          (b's first touch: no old row)
+    # step 1: update a (old a0 -> new a1), delete b
+    # step 2: add c, add d
+    # step 3: delete d              (added and removed IN-chain: nets out)
+    steps = [
+        (ups(("a", [0.1]), ("b", [0.2])), empty),
+        (ups(("a", [0.9])), ups(("a", [0.1]), ("b", [0.2]))),
+        (ups(("c", [0.3]), ("d", [0.4])), empty),
+        (empty, ups(("d", [0.4]))),
+    ]
+    final, old = compose_delta_chain(steps, key_col="id")
+    got_final = {(r.id, round(r.embedding[0], 3)) for r in final.collect()}
+    # a: present with its LAST value; b: deleted; c: present; d: netted out
+    assert got_final == {("a", 0.9), ("c", 0.3)}
+    # old rows = state at the chain's start: nothing existed before step 0
+    assert old.count() == 0
+
+    # a chain starting mid-history: a existed before (update names its
+    # old row), b existed before (delete names it)
+    final2, old2 = compose_delta_chain(steps[1:], key_col="id")
+    got_old = {(r.id, round(r.embedding[0], 3)) for r in old2.collect()}
+    assert got_old == {("a", 0.1), ("b", 0.2)}
+    got_final2 = {r.id for r in final2.collect()}
+    assert got_final2 == {"a", "c"}
+
+
+# ---------- delta recording on the write path ----------
+
+def test_crud_writes_record_their_delta(spark, tmp_path):
+    d = _seed(spark, tmp_path, QUESTIONS[:6])
+    store = str(tmp_path)
+
+    def delta(v):
+        dd = os.path.join(store, "chunks", f"v{v}", "_delta")
+        assert os.path.exists(os.path.join(dd, "_OK"))
+        u = spark.read.parquet(os.path.join(dd, "upserts"))
+        r = spark.read.parquet(os.path.join(dd, "removes"))
+        return (
+            {x.id for x in u.select("id").collect()},
+            {x.id for x in r.select("id").collect()},
+        )
+
+    v0 = d._current_version("chunks")
+    assert delta(v0) == ({f"c{i}" for i in range(6)}, set())
+
+    # update: both sides carry the id (old row + merged row)
+    d.update("chunks", spark.createDataFrame(
+        [("c1", None, None, None, "fresh content", None, None)],
+        SCHEMAS["chunks"]))
+    assert delta(d._current_version("chunks")) == ({"c1"}, {"c1"})
+
+    # delete: remove side only, with the full old row (embedding kept)
+    d.delete("chunks", spark.createDataFrame([("c2",)], "id string"))
+    v2 = d._current_version("chunks")
+    assert delta(v2) == (set(), {"c2"})
+    dd = os.path.join(store, "chunks", f"v{v2}", "_delta")
+    rem = spark.read.parquet(os.path.join(dd, "removes")).first()
+    assert rem.embedding is not None  # names the partition to rewrite
+
+    # reset records NO delta: the chain breaks loudly-by-construction
+    d.reset()
+    vr = d._current_version("chunks")
+    assert not os.path.exists(
+        os.path.join(store, "chunks", f"v{vr}", "_delta"))
+
+    # ...and the delta dir is invisible to snapshot readers
+    assert d.table("chunks", version=v2).count() == 5
+
+
+# ---------- sign layout: parity + file reuse ----------
+
+def test_sign_incremental_matches_full_build_and_links_files(
+    spark, tmp_path, monkeypatch
+):
+    d = _seed(spark, tmp_path, QUESTIONS[:8], keep_versions=8)
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="sign", k=3).collect()
+    v0 = d._current_version("chunks")
+    prev_layout = os.path.join(store, "chunks", f"_sign_v{v0}", "layout")
+    assert os.path.exists(prev_layout)
+
+    calls = []
+    orig = VectorDB._sign_build_incremental
+
+    def spy(self, *a, **k):
+        calls.append(True)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(VectorDB, "_sign_build_incremental", spy)
+
+    # add two, delete one, update one's content (re-embeds → may move
+    # buckets): three commits, a 3-step chain
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[8:10]), SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c3",)], "id string"))
+    d.update("chunks", spark.createDataFrame(
+        [("c0", None, None, None, QUESTIONS[11], None, None)],
+        SCHEMAS["chunks"]))
+    d.search(QUESTIONS[1], index_type="sign", k=3).collect()
+    v1 = d._current_version("chunks")
+    assert calls, "incremental sign build did not run"
+
+    # parity: the incremental layout holds EXACTLY the rows a full
+    # build over the v1 snapshot would
+    expected = {
+        (r.id, r.bucket)
+        for r in d.table("chunks", version=v1).select(
+            "id", ivf.sign_bucket("embedding", n_bits=4).alias("bucket")
+        ).collect()
+    }
+    got = _layout_rows(spark, store, v1)
+    assert got == expected
+    assert not any(i == "c3" for i, _ in got)
+
+    # file reuse: every bucket directory UNTOUCHED by the delta is
+    # hard-linked from the previous artifact (same inode, no rewrite)
+    touched = {b for i, b in expected if i in {"c100", "c101", "c0"}}
+    old_rows = {(r.id, r.bucket) for r in spark.read.parquet(
+        prev_layout).select("id", "bucket").collect()}
+    touched |= {b for i, b in old_rows if i in {"c3", "c0"}}
+    new_layout = os.path.join(store, "chunks", f"_sign_v{v1}", "layout")
+    linked = rewritten = 0
+    for name in os.listdir(new_layout):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        files = [
+            f for f in os.listdir(os.path.join(new_layout, name))
+            if f.endswith(".parquet")
+        ]
+        inodes = {
+            os.stat(os.path.join(new_layout, name, f)).st_nlink
+            for f in files
+        }
+        if b not in touched and os.path.exists(
+            os.path.join(prev_layout, name)
+        ):
+            assert all(n > 1 for n in inodes), f"bucket {b} was rewritten"
+            linked += 1
+        elif b in touched:
+            rewritten += 1
+    assert linked > 0, "no bucket directory was reused via hard links"
+    assert rewritten > 0
+
+    # provenance names the base generation and the chain length — the
+    # record the registry entry gates on
+    with open(os.path.join(
+            store, "chunks", f"_sign_v{v1}", "provenance.json")) as f:
+        prov = json.load(f)
+    assert prov["base_version"] == v0 and prov["chain_commits"] == 3
+    assert set(prov["buckets_rewritten"]) <= {b for _, b in expected | old_rows}
+
+
+def test_sign_broken_chain_falls_back_to_full_build(spark, tmp_path, monkeypatch):
+    d = _seed(spark, tmp_path, QUESTIONS[:6])
+    d.search(QUESTIONS[0], index_type="sign", k=3).collect()
+
+    calls = []
+    monkeypatch.setattr(
+        VectorDB, "_sign_build_incremental",
+        lambda self, *a, **k: calls.append(True),
+    )
+    # a delta-less commit (any future bulk path) breaks the chain
+    d._write("chunks", d.table("chunks").localCheckpoint(eager=True))
+    d.search(QUESTIONS[1], index_type="sign", k=3).collect()
+    assert not calls, "incremental build ran across a broken chain"
+    v = d._current_version("chunks")
+    assert os.path.exists(os.path.join(
+        str(tmp_path), "chunks", f"_sign_v{v}", "_SUCCESS"))
+
+
+# ---------- IVF: frozen centroids, drift ledger, retrain ----------
+
+def test_ivf_incremental_freezes_centroids_and_tracks_drift(
+    spark, tmp_path, monkeypatch
+):
+    d = _seed(spark, tmp_path, QUESTIONS[:10])
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="ivf", k=3).collect()
+    v0 = d._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_ivf_v{v0}", "centroids.json")) as f:
+        meta0 = json.load(f)
+    assert meta0["n_at_train"] == 10 and meta0["drift"] == 0
+
+    calls = []
+    orig = VectorDB._ivf_build_incremental
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(VectorDB, "_ivf_build_incremental", spy)
+
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows([QUESTIONS[10]]), SCHEMAS["chunks"]))
+    d2 = VectorDB(spark, store)  # fresh instance: forces _ivf_stored
+    hits = d2.search(QUESTIONS[10], index_type="ivf", k=3).collect()
+    assert calls == [True], "incremental IVF build did not run"
+    # the newly-added row is its own nearest neighbour through the
+    # incrementally-maintained index
+    assert max(hits, key=lambda r: r.score).id == "c100"
+
+    v1 = d2._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_ivf_v{v1}", "centroids.json")) as f:
+        meta1 = json.load(f)
+    # centroids FROZEN, training provenance carried, drift = |delta|
+    assert meta1["cells"] == meta0["cells"]
+    assert meta1["n_at_train"] == 10 and meta1["drift"] == 1
+    # assignment invariant: every live row assigned exactly once
+    asg = spark.read.parquet(os.path.join(
+        store, "chunks", f"_ivf_v{v1}", "assignments"))
+    assert asg.count() == 11
+    assert asg.select("id").distinct().count() == 11
+    # the new row's cell is the frozen-centroid argmin
+    new_cell = asg.filter(F.col("id") == "c100").first().cluster_id
+    emb_new = d2.table("chunks").filter(F.col("id") == "c100").first().embedding
+    expect = ivf.probe_clusters(meta1["cells"], list(emb_new), n_probe=1)[0]
+    assert new_cell == expect
+
+
+def test_ivf_retrains_past_drift_budget(spark, tmp_path, monkeypatch):
+    d = _seed(spark, tmp_path, QUESTIONS[:10])
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="ivf", k=3).collect()
+
+    calls = []
+    orig = VectorDB._ivf_build_incremental
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(VectorDB, "_ivf_build_incremental", spy)
+    # 20% of 10 trained rows = 2; a 3-row delta must retrain
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[9:12]), SCHEMAS["chunks"]))
+    d2 = VectorDB(spark, store)
+    d2.search(QUESTIONS[1], index_type="ivf", k=3).collect()
+    assert calls == [False], "drift budget did not force a retrain"
+    v1 = d2._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_ivf_v{v1}", "centroids.json")) as f:
+        meta1 = json.load(f)
+    # a FULL build is a fresh train: ledger reset at the new corpus size
+    assert meta1["n_at_train"] == 13 and meta1["drift"] == 0
+
+
+def test_ivf_incremental_chain_compounds_drift(spark, tmp_path, monkeypatch):
+    """Two small writes between builds: the chain composes both steps
+    and the ledger carries the SUM, so drift cannot be dodged by
+    splitting a big write into small ones."""
+    # budget: 20% of 20 = 4 → two 1-row writes stay incremental
+    # (drift 2), and the ledger shows both
+    d = _seed(spark, tmp_path, QUESTIONS[:10] + [
+        t.upper() for t in QUESTIONS[:10]], keep_versions=8)
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="ivf", k=3).collect()
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows([QUESTIONS[10]], start=200), SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c3",)], "id string"))
+    d2 = VectorDB(spark, store)
+    d2.search(QUESTIONS[2], index_type="ivf", k=3).collect()
+    v = d2._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_ivf_v{v}", "centroids.json")) as f:
+        meta = json.load(f)
+    assert meta["drift"] == 2 and meta["n_at_train"] == 20
+    asg = spark.read.parquet(os.path.join(
+        store, "chunks", f"_ivf_v{v}", "assignments"))
+    assert asg.count() == 20  # 20 seeded + 1 added - 1 deleted
+    assert asg.filter(F.col("id") == "c3").count() == 0
