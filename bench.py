@@ -64,6 +64,7 @@ HEADLINE = [
     # twin times the deployment shape a serving system runs per query
     "api_search_nsw",  # r12: the facade's stored-graph ANN serving path
     "api_search_sign",  # r12: the auto strategy's past-the-knee default
+    "api_search_sign_incremental",  # r13: delta-maintained layout, full oracle
     "api_search_time_travel",  # r12: version-pinned search, full oracle
     "fts_bm25",
     "hybrid_rrf",

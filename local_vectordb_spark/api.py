@@ -418,10 +418,18 @@ class VectorDB:
             crud.insert_append(base, accepted.select(*base.columns)),
             expected_version=base_v,
             # delta (r13): the accepted rows ARE the net change —
-            # duplicates were rejected, so nothing is displaced
+            # duplicates were rejected, so nothing is displaced. The
+            # INITIAL load of a never-written table records none: its
+            # delta would be the whole corpus (doubling the bulk-load
+            # write), and no index artifact can predate the first
+            # commit, so there is nothing a chain could extend.
             delta=(
-                accepted.select(*base.columns),
-                self.spark.createDataFrame([], SCHEMAS[kind]),
+                (
+                    accepted.select(*base.columns),
+                    self.spark.createDataFrame([], SCHEMAS[kind]),
+                )
+                if base_v >= 0
+                else None
             ),
         )
         return rejected
@@ -1104,12 +1112,22 @@ class VectorDB:
                 if not os.path.exists(os.path.join(dd, "_OK")):
                     steps = None
                     break
-                steps.append(
-                    (
-                        self.spark.read.parquet(os.path.join(dd, "upserts")),
-                        self.spark.read.parquet(os.path.join(dd, "removes")),
+                try:
+                    steps.append(
+                        (
+                            self.spark.read.parquet(
+                                os.path.join(dd, "upserts")
+                            ),
+                            self.spark.read.parquet(
+                                os.path.join(dd, "removes")
+                            ),
+                        )
                     )
-                )
+                except AnalysisException:
+                    # lost the delta to the retention GC between the
+                    # marker check and the read — treat as broken
+                    steps = None
+                    break
             if steps:
                 return w, steps
         return None
@@ -1276,6 +1294,18 @@ class VectorDB:
         meta["drift"] = data["drift"] + n_ups + n_olds
         with open(os.path.join(p, "centroids.json"), "w") as f:
             _json.dump(meta, f)
+        # provenance, like the sign builder: the operational record
+        # that this generation's index cost ∝ delta + touched cells
+        with open(os.path.join(p, "provenance.json"), "w") as f:
+            _json.dump(
+                {
+                    "base_version": w,
+                    "chain_commits": len(steps),
+                    "cells_rewritten": sorted(affected),
+                    "cells_total": len(cells),
+                },
+                f,
+            )
         with open(os.path.join(p, "_SUCCESS"), "w"):
             pass
         return True
@@ -1454,11 +1484,29 @@ class VectorDB:
         form measured at 22.6 s vs 1564 s for exact at 200k vectors,
         BENCH_scale.json). Rides the same retention GC as the table
         versions."""
+        import json as _json
+
         from local_vectordb_spark.session import materialize_once
 
         path = os.path.join(self._table_dir("chunks"), f"_nsw_v{version}")
 
         def _build(p: str) -> None:
+            import shutil as _shutil
+
+            # INCREMENTAL first (r13): previous graph + complete delta
+            # chain → per-delta kNN insertion with bidirectional edges,
+            # no corpus-wide graph build. Falls through on a broken
+            # chain, a spent drift budget, an oversized delta, or
+            # losing the previous artifact to the retention GC.
+            inc = self._incremental_base("chunks", version, "nsw")
+            if inc is not None:
+                try:
+                    if self._nsw_build_incremental(p, version, *inc):
+                        return
+                except (FileNotFoundError, AnalysisException):
+                    pass
+                _shutil.rmtree(p, ignore_errors=True)
+
             chunks = self.table("chunks", version=version)
             n = chunks.count()
             if n > NSW_EXACT_BUILD_MAX:
@@ -1481,11 +1529,118 @@ class VectorDB:
                     [], "src string, dst string, score double"
                 )
             edges.write.mode("overwrite").parquet(os.path.join(p, "edges"))
+            # build ledger (r13): a full build is the fresh-graph
+            # datum the incremental inserter extends until drift
+            # (cumulative churn) spends IVF_RETRAIN_FRACTION of it
+            with open(os.path.join(p, "meta.json"), "w") as f:
+                _json.dump({"n_at_build": n, "drift": 0}, f)
             with open(os.path.join(p, "_SUCCESS"), "w"):
                 pass
 
         materialize_once(path, _build)
         return self.spark.read.parquet(os.path.join(path, "edges"))
+
+    def _nsw_build_incremental(
+        self, p: str, version: int, w: int, steps
+    ) -> bool:
+        """Incremental `_nsw_v{version}` from `_nsw_v{w}` + the delta
+        chain (r13) — classic NSW insertion, batched: drop every edge
+        touching a net-touched id, compute each net-upserted row's kNN
+        against the pinned snapshot (ONE corpus scan against the
+        broadcast delta matrix — no LSH rebuild, no O(n²)), and insert
+        those edges BIDIRECTIONALLY (forward so the new node can
+        leave, reverse so walks from elsewhere can reach it — the
+        reference's nsw insert shape, src/models/nsw_index.py, done as
+        set algebra instead of per-node mutation). The same drift
+        ledger as the IVF tier forces a true rebuild past
+        IVF_RETRAIN_FRACTION churn: insertion keeps recall but slowly
+        densifies reached nodes, and the rebuild re-balances degree.
+        Deltas past NSW_EXACT_BUILD_MAX rows fall back (their
+        broadcast matrix stops being "small"; at that size the LSH
+        builder is the right tool anyway)."""
+        import json as _json
+
+        from local_vectordb_spark.operators.incremental import (
+            compose_delta_chain,
+        )
+
+        prev_dir = os.path.join(self._table_dir("chunks"), f"_nsw_v{w}")
+        meta_path = os.path.join(prev_dir, "meta.json")
+        if not os.path.exists(meta_path):
+            return False  # pre-r13 artifact: no ledger to extend
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        ups, olds = compose_delta_chain(steps, key_col="id")
+        ups = ups.select("id", "embedding").localCheckpoint(eager=True)
+        olds = olds.select("id").localCheckpoint(eager=True)
+        n_ups, n_olds = ups.count(), olds.count()
+        if n_ups > NSW_EXACT_BUILD_MAX:
+            return False
+        if meta["drift"] + n_ups + n_olds > IVF_RETRAIN_FRACTION * meta[
+            "n_at_build"
+        ]:
+            return False
+
+        chunks = self.table("chunks", version=version)
+        n = chunks.count()
+        touched = ups.select("id").unionByName(olds.select("id")).distinct()
+        prev_edges = self.spark.read.parquet(
+            os.path.join(prev_dir, "edges")
+        )
+        kept = (
+            prev_edges.join(
+                touched.withColumnRenamed("id", "src"), "src", "left_anti"
+            ).join(
+                touched.withColumnRenamed("id", "dst"), "dst", "left_anti"
+            )
+        ).select("src", "dst", "score")
+        if n_ups and n > 1:
+            qdf = ups.select(
+                F.col("id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            )
+            topk = knn.knn_batch_table(
+                chunks, qdf, k=min(8, n - 1) + 1, id_col="id"
+            ).filter(F.col("query_id") != F.col("id"))
+            fwd = topk.select(
+                F.col("query_id").alias("src"),
+                F.col("id").alias("dst"),
+                "score",
+            )
+            rev = topk.select(
+                F.col("id").alias("src"),
+                F.col("query_id").alias("dst"),
+                "score",
+            )
+            # two new nodes that find each other emit the pair twice
+            # (A→B forward and A→B as B's reverse): one edge, one row
+            edges = kept.unionByName(fwd).unionByName(rev).dropDuplicates(
+                ["src", "dst"]
+            )
+        else:
+            edges = kept
+        edges.write.mode("overwrite").parquet(os.path.join(p, "edges"))
+        with open(os.path.join(p, "meta.json"), "w") as f:
+            _json.dump(
+                {
+                    "n_at_build": meta["n_at_build"],
+                    "drift": meta["drift"] + n_ups + n_olds,
+                },
+                f,
+            )
+        with open(os.path.join(p, "provenance.json"), "w") as f:
+            _json.dump(
+                {
+                    "base_version": w,
+                    "chain_commits": len(steps),
+                    "nodes_inserted": n_ups,
+                    "nodes_removed": n_olds,
+                },
+                f,
+            )
+        with open(os.path.join(p, "_SUCCESS"), "w"):
+            pass
+        return True
 
     def _lsh_graph_edges(self, chunks: DataFrame, n: int) -> DataFrame:
         """Past-the-knee stored-graph build: the LSH-bucketed kNN-graph

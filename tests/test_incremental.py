@@ -121,8 +121,16 @@ def test_crud_writes_record_their_delta(spark, tmp_path):
             {x.id for x in r.select("id").collect()},
         )
 
+    # the INITIAL load records no delta: it would be the whole corpus,
+    # and no artifact can predate the first commit
     v0 = d._current_version("chunks")
-    assert delta(v0) == ({f"c{i}" for i in range(6)}, set())
+    assert not os.path.exists(
+        os.path.join(store, "chunks", f"v{v0}", "_delta"))
+
+    # a subsequent add records exactly the accepted rows
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows([QUESTIONS[6]], start=6), SCHEMAS["chunks"]))
+    assert delta(d._current_version("chunks")) == ({"c6"}, set())
 
     # update: both sides carry the id (old row + merged row)
     d.update("chunks", spark.createDataFrame(
@@ -145,7 +153,8 @@ def test_crud_writes_record_their_delta(spark, tmp_path):
         os.path.join(store, "chunks", f"v{vr}", "_delta"))
 
     # ...and the delta dir is invisible to snapshot readers
-    assert d.table("chunks", version=v2).count() == 5
+    # (6 seeded + c6 added - c2 deleted)
+    assert d.table("chunks", version=v2).count() == 6
 
 
 # ---------- sign layout: parity + file reuse ----------
@@ -354,3 +363,87 @@ def test_ivf_incremental_chain_compounds_drift(spark, tmp_path, monkeypatch):
         store, "chunks", f"_ivf_v{v}", "assignments"))
     assert asg.count() == 20  # 20 seeded + 1 added - 1 deleted
     assert asg.filter(F.col("id") == "c3").count() == 0
+
+
+# ---------- NSW graph: batched insertion, drift ledger ----------
+
+def test_nsw_incremental_inserts_bidirectional_edges(
+    spark, tmp_path, monkeypatch
+):
+    # 20 rows → drift budget 4 (20%), so the 3-row delta stays
+    # incremental; keep_versions spans the 2-commit chain
+    d = _seed(spark, tmp_path, QUESTIONS[:10] + [
+        t.upper() for t in QUESTIONS[:10]], keep_versions=8)
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="nsw", k=3).collect()
+    v0 = d._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_nsw_v{v0}", "meta.json")) as f:
+        meta0 = json.load(f)
+    assert meta0 == {"n_at_build": 20, "drift": 0}
+
+    calls = []
+    orig = VectorDB._nsw_build_incremental
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(VectorDB, "_nsw_build_incremental", spy)
+
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows([QUESTIONS[10], QUESTIONS[11]]), SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c4",)], "id string"))
+    hits = d.search(QUESTIONS[10], index_type="nsw", k=3).collect()
+    assert calls == [True], "incremental nsw build did not run"
+    # the inserted node is served through the maintained graph
+    assert max(hits, key=lambda r: r.score).id == "c100"
+
+    v1 = d._current_version("chunks")
+    edges = spark.read.parquet(os.path.join(
+        store, "chunks", f"_nsw_v{v1}", "edges"))
+    rows = edges.collect()
+    # bidirectional insertion: each new node appears as src AND as dst
+    for nid in ("c100", "c101"):
+        assert any(r.src == nid for r in rows), f"{nid} has no out-edges"
+        assert any(r.dst == nid for r in rows), f"{nid} has no in-edges"
+    # the deleted node's edges are gone entirely
+    assert not any(r.src == "c4" or r.dst == "c4" for r in rows)
+    # no duplicate (src, dst) pairs survive the fwd/rev union
+    assert len(rows) == len({(r.src, r.dst) for r in rows})
+    with open(os.path.join(
+            store, "chunks", f"_nsw_v{v1}", "meta.json")) as f:
+        meta1 = json.load(f)
+    assert meta1 == {"n_at_build": 20, "drift": 3}
+    with open(os.path.join(
+            store, "chunks", f"_nsw_v{v1}", "provenance.json")) as f:
+        prov = json.load(f)
+    assert prov["nodes_inserted"] == 2 and prov["nodes_removed"] == 1
+    assert prov["chain_commits"] == 2
+
+
+def test_nsw_rebuilds_past_drift_budget(spark, tmp_path, monkeypatch):
+    d = _seed(spark, tmp_path, QUESTIONS[:10], keep_versions=8)
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="nsw", k=3).collect()
+
+    calls = []
+    orig = VectorDB._nsw_build_incremental
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(VectorDB, "_nsw_build_incremental", spy)
+    # 20% of 10 = 2; a 3-row add must rebuild the graph from scratch
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[9:12]), SCHEMAS["chunks"]))
+    d.search(QUESTIONS[1], index_type="nsw", k=3).collect()
+    assert calls == [False], "drift budget did not force a graph rebuild"
+    v1 = d._current_version("chunks")
+    with open(os.path.join(
+            store, "chunks", f"_nsw_v{v1}", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta == {"n_at_build": 13, "drift": 0}  # fresh ledger

@@ -118,7 +118,7 @@ def run_tier(spark, qs, sf_dir: str, names: list[str]) -> tuple[dict, dict, bool
     return timings, rows, ok
 
 
-def _seed_xl_db(spark, sf_dir: str, root_dir: str):
+def _seed_xl_db(spark, sf_dir: str, root_dir: str, keep_versions: int = 2):
     """Seed a VectorDB at ``root_dir`` with the XL embeddings as chunks
     (pre-embedded — add() skips the embedder for non-null vectors).
     Returns (db, embeddings DataFrame, seed seconds)."""
@@ -127,7 +127,7 @@ def _seed_xl_db(spark, sf_dir: str, root_dir: str):
     from local_vectordb_spark.api import VectorDB
     from local_vectordb_spark.session import load_table
 
-    db = VectorDB(spark, root_dir)
+    db = VectorDB(spark, root_dir, keep_versions=keep_versions)
     ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
     db.add("libraries", spark.createDataFrame(
         [("lib1",)], "id string").select(
@@ -240,6 +240,143 @@ def run_facade_ivf_xl(spark, sf_dir: str) -> dict:
               f"{len(centroids.supercells)}, n_probe {n_probe}, "
               f"n_super {n_super}, recall@10 {recalls}", flush=True)
         assert not builds, "second instance retrained the IVF index"
+        return row
+    finally:
+        shutil.rmtree(root_dir, ignore_errors=True)
+
+
+def run_facade_ivf_incremental_xl(spark, sf_dir: str) -> dict:
+    """r13: incremental IVF maintenance measured where it matters — at
+    200k vectors the FULL stored-index build costs a sampled-fit
+    KMeans train + supercell train + a full partitioned write (the
+    ~111 s facade_ivf_stored measures). After a SMALL write (100 adds
+    + 20 deletes = a 120-row delta, far under the 20% drift budget)
+    the next generation's index must instead be maintained through
+    the delta chain: centroids frozen (zero KMeans fits — spied and
+    asserted), only the delta-touched cells rewritten, every other
+    cell directory hard-linked from the previous artifact. Records
+    the full-build vs maintenance-build wall clock, the rewritten/
+    linked cell split from the provenance record, the drift ledger,
+    and proves the added rows are SERVED (an added vector finds
+    itself top-1) with recall@10 held vs the exact scan."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.operators import ivf as ivf_mod
+
+    root_dir = tempfile.mkdtemp(prefix="lvdb_xl_inc_")
+    try:
+        # keep_versions=4: the 2-commit delta chain plus the base
+        # artifact must survive retention until the maintenance build
+        db, emb, seed_sec = _seed_xl_db(spark, sf_dir, root_dir,
+                                        keep_versions=4)
+        qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        t0 = time.time()
+        db.search(query_vec=qv, index_type="ivf", k=10).count()
+        full_build_sec = round(time.time() - t0, 4)
+        v0 = db._current_version("chunks")
+
+        ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+        t0 = time.time()
+        # the XL corpus tiles the 500 fixture embeddings (~400 exact
+        # copies each), so the added vectors are PERTURBED in their
+        # first coordinate: each added row is the unique nearest
+        # neighbour of its own vector, making "the maintained index
+        # serves the new rows" assertable as a top-1 hit
+        perturbed = F.concat(
+            F.array((F.col("embedding")[0] + F.lit(0.5)).cast("float")),
+            F.slice(F.col("embedding"), 2, 63),
+        )
+        db.add("chunks", emb.filter(F.col("vec_id") < 100).select(
+            F.concat(F.lit("cx"), F.col("vec_id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts.alias("created_at"), ts.alias("updated_at"),
+            F.concat(F.lit("added "), F.col("vec_id")).alias("content"),
+            perturbed.cast("array<float>").alias("embedding"),
+            F.lit("d1").alias("document_id")))
+        # 20 REAL ids spread through the corpus (the XL generator's
+        # vec_ids are tile-offset, not 0..n-1, so ids must be sampled,
+        # not synthesized)
+        doomed = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(2000).collect()
+        ][99::100][:20]
+        db.delete("chunks", spark.createDataFrame(
+            [(f"c{v}",) for v in doomed], "id string"))
+        write_sec = round(time.time() - t0, 4)
+
+        builds = []
+        orig_build = ivf_mod.ivf_build
+
+        def spy_build(*a, **kw):
+            builds.append(1)
+            return orig_build(*a, **kw)
+
+        ivf_mod.ivf_build = spy_build
+        try:
+            other = VectorDB(spark, root_dir, keep_versions=4)
+            t0 = time.time()
+            other.search(query_vec=qv, index_type="ivf", k=10).count()
+            inc_build_sec = round(time.time() - t0, 4)
+        finally:
+            ivf_mod.ivf_build = orig_build
+        assert not builds, "maintenance build retrained KMeans"
+
+        v1 = other._current_version("chunks")
+        art = os.path.join(root_dir, "chunks", f"_ivf_v{v1}")
+        with open(os.path.join(art, "provenance.json")) as f:
+            prov = _json.load(f)
+        with open(os.path.join(art, "centroids.json")) as f:
+            meta = _json.load(f)
+        assert prov["base_version"] == v0 and prov["chain_commits"] == 2
+
+        # the added rows are served through the maintained index: an
+        # added (perturbed, hence unique) vector finds its own id top-1
+        base_q = [float(x) for x in emb.filter(
+            F.col("vec_id") == 50).first().embedding]
+        added_q = [base_q[0] + 0.5] + base_q[1:]
+        hits = other.search(query_vec=added_q, index_type="ivf",
+                            k=10).collect()
+        top = max(hits, key=lambda h: h.score)
+        assert top.id == "cx50", top
+        recalls = []
+        ordered = emb.orderBy("vec_id").select("embedding")
+        for pos in (1, 100_000, 190_000):
+            pv = [float(x) for x in ordered.limit(pos).tail(1)[0].embedding]
+            ivf_ids = {h.id for h in other.search(
+                query_vec=pv, index_type="ivf", k=10).collect()}
+            exact_ids = {h.id for h in other.search(
+                query_vec=pv, index_type="cosine", k=10).collect()}
+            recalls.append(len(ivf_ids & exact_ids) / 10.0)
+
+        row = {
+            "corpus_vectors": 200_000,
+            "delta_rows": 120,
+            "full_build_plus_probe_sec": full_build_sec,
+            "delta_write_sec": write_sec,
+            "maintenance_build_plus_probe_sec": inc_build_sec,
+            "speedup_vs_full_build": round(full_build_sec / inc_build_sec, 1),
+            "kmeans_retrains": len(builds),
+            "cells_rewritten": len(prov["cells_rewritten"]),
+            "cells_linked": prov["cells_total"] - len(prov["cells_rewritten"]),
+            "drift": meta["drift"],
+            "drift_budget_rows": int(0.2 * meta["n_at_train"]),
+            "recall_at_10_vs_exact": recalls,
+            "note": "120-row delta over 447 cells: centroids frozen, "
+                    "touched cells rewritten, the rest hard-linked; "
+                    "the drift ledger forces a true retrain past 20% "
+                    "churn (IVF_RETRAIN_FRACTION)",
+        }
+        print(f"sf10 facade ivf incremental: full build {full_build_sec:.1f}s"
+              f" -> maintenance {inc_build_sec:.1f}s "
+              f"({row['speedup_vs_full_build']}x), cells "
+              f"{row['cells_rewritten']} rewritten / {row['cells_linked']} "
+              f"linked, drift {meta['drift']}/{row['drift_budget_rows']}, "
+              f"recall@10 {recalls}", flush=True)
         return row
     finally:
         shutil.rmtree(root_dir, ignore_errors=True)
@@ -387,7 +524,8 @@ def run_fused_beam_diag(spark, qs) -> dict:
 
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    flags = {"--nsw-only", "--facade-only", "--ivf-only"}
+    flags = {"--nsw-only", "--facade-only", "--ivf-only",
+             "--ivf-incremental-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -417,6 +555,10 @@ def main() -> int:
             result = {}
         if picked & {"--ivf-only", "--facade-only"}:
             result["facade_ivf_stored"] = run_facade_ivf_xl(spark, dir100)
+        if picked & {"--ivf-incremental-only", "--facade-only"}:
+            result["facade_ivf_incremental"] = (
+                run_facade_ivf_incremental_xl(spark, dir100)
+            )
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
             result["graph_beam_search_fused_diagnostic"] = (
