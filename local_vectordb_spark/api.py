@@ -1257,7 +1257,15 @@ class VectorDB:
             .collect()
         }
         prev_asg = os.path.join(prev_dir, "assignments")
-        prev_count = self.spark.read.parquet(prev_asg).count()
+        # the count invariant below guards exactly one failure mode: a
+        # REMOVED row whose recomputed cell missed its stored
+        # partition. An add-only delta has no removals (add() rejects
+        # duplicate ids, update() always pairs old+new), so the two
+        # corpus-footer count jobs are skipped for it — the common
+        # append-mostly write pattern pays delta cost only.
+        prev_count = (
+            self.spark.read.parquet(prev_asg).count() if n_olds else None
+        )
         out_dir = os.path.join(p, "assignments")
         if affected:
             touched = (
@@ -1282,14 +1290,16 @@ class VectorDB:
                 link_tree(
                     os.path.join(prev_asg, name), os.path.join(out_dir, name)
                 )
-        got = self.spark.read.parquet(out_dir).count()
-        if got != prev_count - n_olds + n_ups:
-            # the only way here is a stored assignment that disagrees
-            # with the recomputed one (an exact-tie broken differently
-            # by MLlib's approximate fast-distance path) — vanishingly
-            # rare, but a stale row in an index is a silent wrong
-            # answer, so: loud fallback, never ship it
-            return False
+        if prev_count is not None:
+            got = self.spark.read.parquet(out_dir).count()
+            if got != prev_count - n_olds + n_ups:
+                # the only way here is a stored assignment that
+                # disagrees with the recomputed one (an exact-tie
+                # broken differently by MLlib's approximate
+                # fast-distance path) — vanishingly rare, but a stale
+                # row in an index is a silent wrong answer, so: loud
+                # fallback, never ship it
+                return False
         meta = dict(data)
         meta["drift"] = data["drift"] + n_ups + n_olds
         with open(os.path.join(p, "centroids.json"), "w") as f:
