@@ -89,8 +89,9 @@ _PRIORITY = [
     "api_search_sign_incremental",  # r13-NEW full oracle: incremental
     # index maintenance (delta-chain sign layout) — a new entry gets
     # its driver row in its own round
-    # (c) last driver row r10 — alphabetically-first 17 of the
-    # 47-query tier (the remaining 30 hit the bound in r14 and lead
+    "crud_change_feed",  # r13-NEW full oracle: CDC read of the delta log
+    # (c) last driver row r10 — alphabetically-first 16 of the
+    # 47-query tier (the remaining 31 hit the bound in r14 and lead
     # that window)
     "ann_recall_multi",
     "crud_cascade_delete",
@@ -108,7 +109,6 @@ _PRIORITY = [
     "graph_add_remove",
     "graph_beam_search",
     "graph_beam_search_lsh",
-    "graph_lsh_edge_recall",
 ]
 
 

@@ -600,6 +600,39 @@ def api_search_sign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
 
 
+@register(
+    "crud_change_feed",
+    """
+    SELECT 'upsert' AS change_type, CAST(e.vec_id AS VARCHAR) AS id,
+           d.text AS content
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE e.vec_id < 16
+    UNION ALL
+    SELECT 'remove' AS change_type, CAST(e.vec_id AS VARCHAR) AS id,
+           d.text AS content
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    WHERE e.vec_id % 9 = 0 AND e.vec_id >= 16
+    """,
+)
+def crud_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (r13): ``table_changes(since_version)``
+    composes the per-commit delta log into the NET changes a
+    downstream incremental consumer applies — cost ∝ changes, never a
+    two-snapshot diff (the Delta-Lake CDF shape over this store's
+    row-level commit log). Over the incremental staging store's known
+    2-commit chain the feed is fully deterministic: vectors 0-15 as
+    'upsert' rows carrying their target-state content, every 9th
+    original vector as 'remove' rows carrying base state — and an id
+    churned inside the range would appear in neither (netting is the
+    contract). A feed crossing a commit with no delta record raises
+    rather than serving a PARTIAL stream (tests/test_incremental.py)."""
+    db = _inc_search_store(spark, sf_dir)
+    v = db._current_version("chunks")
+    return db.table_changes("chunks", since_version=v - 2).select(
+        "change_type", "id", "content"
+    )
+
+
 _TT_SEARCH_CACHE: dict = {}
 
 

@@ -165,6 +165,9 @@ class _Handler(BaseHTTPRequestHandler):
         if kind not in SCHEMAS:
             self._send(404, {"detail": f"unknown collection {kind!r}"})
             return
+        if item == "_changes":
+            self._do_changes(kind)
+            return
         version = self._version_param()  # malformed value -> 400 via _safely
         if version is not None and version < 0:
             # table() rejects negative versions; mapping them to the
@@ -218,6 +221,49 @@ class _Handler(BaseHTTPRequestHandler):
         # header is the documented handle — an item fetch needs it too)
         self._send(200, _row_to_json(rows[0]),
                    headers={"X-Table-Version": served_v})
+
+    def _do_changes(self, kind: str) -> None:
+        """GET /{kind}/_changes?since=N[&version=M] — the HTTP face of
+        the change-data feed (r13): the NET row-level changes after
+        generation N up to M (default live), composed from the
+        per-commit delta log; what an incremental downstream consumer
+        polls instead of re-reading snapshots. Answers: 400 missing/
+        malformed ``since``; 404 out-of-range versions; **410 Gone**
+        when any commit in the range lacks a delta record (reset,
+        initial load, GC'd generation) — the feed from that base is
+        PERMANENTLY unservable and the client must re-read the full
+        snapshot, which is exactly what 410 means. The generation
+        served is echoed as X-Table-Version for the next poll's
+        ``since``."""
+        from urllib.parse import parse_qs
+
+        qs = parse_qs(self.path.split("?", 1)[1]) if "?" in self.path else {}
+        if "since" not in qs:
+            self._send(400, {"detail": "missing required ?since=<version>"})
+            return
+        since = int(qs["since"][0])  # malformed -> 400 via _safely
+        version = self._version_param()
+        if version is not None and version < 0:
+            self._send(404, {"detail": f"version {version} never existed"})
+            return
+        served_v = (
+            self.db._current_version(kind) if version is None else version
+        )
+        try:
+            rows = self.db.table_changes(
+                kind, since, version=version
+            ).orderBy("change_type", "id").collect()
+        except ValueError as e:
+            if "no change record" in str(e):
+                self._send(410, {"detail": str(e)})
+            else:
+                self._send(404, {"detail": str(e)})
+            return
+        self._send(
+            200,
+            [_row_to_json(r) for r in rows],
+            headers={"X-Table-Version": served_v},
+        )
 
     def _reject_version_on_write(self) -> bool:
         """``?version=N`` is a READ pin; a write can only target the

@@ -447,3 +447,55 @@ def test_nsw_rebuilds_past_drift_budget(spark, tmp_path, monkeypatch):
             store, "chunks", f"_nsw_v{v1}", "meta.json")) as f:
         meta = json.load(f)
     assert meta == {"n_at_build": 13, "drift": 0}  # fresh ledger
+
+
+# ---------- change-data feed (table_changes) ----------
+
+def test_table_changes_nets_and_refuses_partial_feeds(spark, tmp_path):
+    d = _seed(spark, tmp_path, QUESTIONS[:6], keep_versions=8)
+    v0 = d._current_version("chunks")
+
+    # chain: add c100+c101, update c1's content, delete c2, delete c101
+    # (added AND removed in-range: nets out of the feed entirely)
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[8:10]), SCHEMAS["chunks"]))
+    d.update("chunks", spark.createDataFrame(
+        [("c1", None, None, None, "rewritten", None, None)],
+        SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c2",)], "id string"))
+    d.delete("chunks", spark.createDataFrame([("c101",)], "id string"))
+
+    feed = {
+        (r.change_type, r.id, r.content)
+        for r in d.table_changes("chunks", since_version=v0).collect()
+    }
+    assert feed == {
+        ("upsert", "c100", QUESTIONS[8]),
+        ("upsert", "c1", "rewritten"),   # final state, appears once
+        ("remove", "c2", QUESTIONS[2]),  # base state carried
+    }
+
+    # since == live: a valid EMPTY feed with the full schema
+    live = d._current_version("chunks")
+    empty = d.table_changes("chunks", since_version=live)
+    assert empty.count() == 0
+    assert empty.columns[0] == "change_type"
+
+    # a bounded target version: only the first commit's changes
+    part = {
+        (r.change_type, r.id)
+        for r in d.table_changes(
+            "chunks", since_version=v0, version=v0 + 1
+        ).collect()
+    }
+    assert part == {("upsert", "c100"), ("upsert", "c101")}
+
+    # a range crossing the delta-less INITIAL load refuses loudly:
+    # a silently partial feed would corrupt every downstream consumer
+    with pytest.raises(ValueError, match="no change record"):
+        d.table_changes("chunks", since_version=-1)
+    # out-of-range endpoints refuse too
+    with pytest.raises(ValueError, match="not available"):
+        d.table_changes("chunks", since_version=v0, version=live + 5)
+    with pytest.raises(ValueError, match="out of range"):
+        d.table_changes("chunks", since_version=live + 1)

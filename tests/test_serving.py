@@ -366,3 +366,57 @@ def test_query_version_must_be_json_integer(server):
         server, "POST", "/query", {"text": "pinned row", "version": live_v}
     )
     assert code == 200 and res["results"][0]["content"] == "pinned row"
+
+
+def test_changes_route_serves_net_feed_and_410s_broken_log(server):
+    """GET /{kind}/_changes?since=N (r13): the change-data feed over
+    HTTP — net changes with X-Table-Version as the next poll's since;
+    410 Gone when the log cannot serve a complete feed from the base."""
+    assert _req(server, "POST", "/reset")[0] == 200
+    _, lib = _req(server, "POST", "/libraries", {"name": "cdc"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    _, kept = _req(
+        server, "POST", "/chunks", {"content": "kept row", "document_id": doc["id"]}
+    )
+    req = urllib.request.Request(server + "/chunks?limit=1", method="GET")
+    with urllib.request.urlopen(req) as resp:
+        base_v = int(resp.headers["X-Table-Version"])
+
+    _, added = _req(
+        server, "POST", "/chunks", {"content": "new row", "document_id": doc["id"]}
+    )
+    assert _req(server, "DELETE", f"/chunks/{kept['id']}")[0] == 204
+
+    req = urllib.request.Request(
+        server + f"/chunks/_changes?since={base_v}", method="GET"
+    )
+    with urllib.request.urlopen(req) as resp:
+        served_v = int(resp.headers["X-Table-Version"])
+        feed = json.loads(resp.read())
+    assert {(r["change_type"], r["id"]) for r in feed} == {
+        ("upsert", added["id"]), ("remove", kept["id"])
+    }
+    # the echoed generation is the next poll's since: an empty feed
+    code, nxt = _req(server, "GET", f"/chunks/_changes?since={served_v}")
+    assert code == 200 and nxt == []
+
+    # reset breaks the log: a feed crossing it is PERMANENTLY
+    # unservable from that base -> 410 Gone, re-read the snapshot
+    assert _req(server, "POST", "/reset")[0] == 200
+    _, lib2 = _req(server, "POST", "/libraries", {"name": "cdc2"})
+    _, doc2 = _req(
+        server, "POST", "/documents", {"name": "d2", "library_id": lib2["id"]}
+    )
+    assert _req(
+        server, "POST", "/chunks", {"content": "post-reset", "document_id": doc2["id"]}
+    )[0] == 201
+    code, body = _req(server, "GET", "/chunks/_changes?since=0")
+    assert code == 410 and "no change record" in body["detail"]
+
+    # parameter contract: missing since 400, malformed since 400,
+    # negative version 404
+    assert _req(server, "GET", "/chunks/_changes")[0] == 400
+    assert _req(server, "GET", "/chunks/_changes?since=abc")[0] == 400
+    assert _req(server, "GET", "/chunks/_changes?since=0&version=-1")[0] == 404
