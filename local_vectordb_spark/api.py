@@ -43,6 +43,7 @@ anti-pattern).
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import re
 
@@ -112,6 +113,17 @@ NSW_BEAM_KNEE = 100_000
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this table version first; re-read the
     table and retry the merge from the new current version."""
+
+
+class IncompleteChangeLog(ValueError):
+    """A commit inside the requested change-feed range recorded no
+    delta (reset, initial bulk load, or a GC'd generation): the feed
+    from that base is PERMANENTLY unservable and the consumer must
+    re-read the full snapshot. A distinct type — not a bare
+    ValueError — so HTTP serving can map broken-chain to 410 Gone and
+    bad-version to 404 by exception TYPE; discriminating on the
+    message text silently turns every 410 into a 404 the moment the
+    wording changes (r13 verdict)."""
 
 # chunk membership of each table's FK: child -> (fk_col, parent kind)
 _PARENTS = {"documents": ("library_id", "libraries"), "chunks": ("document_id", "documents")}
@@ -232,7 +244,7 @@ class VectorDB:
         for i in range(since_version + 1, v + 1):
             dd = os.path.join(d, f"v{i}", "_delta")
             if not os.path.exists(os.path.join(dd, "_OK")):
-                raise ValueError(
+                raise IncompleteChangeLog(
                     f"{kind} has no change record for v{i} (reset, "
                     f"initial load, or GC'd generation) — cannot serve "
                     f"a complete feed from v{since_version}; re-read "
@@ -471,9 +483,18 @@ class VectorDB:
         base_v, base = self._snapshot(kind)
         rows, fk_rejected = self._validated(kind, rows)
         accepted, dup_rejected = crud.reject_duplicates(base, rows, "id")
+        # The commit timestamp is a PYTHON literal, not
+        # F.current_timestamp(): the snapshot write and the _delta
+        # write are two separate Spark actions over this plan, and
+        # current_timestamp resolves per-action — the recorded delta's
+        # created_at/updated_at would silently diverge from the
+        # committed snapshot's, corrupting every downstream mirror
+        # built from the change feed (r13 ADVICE). A literal makes the
+        # plan deterministic, so both actions commit identical bytes.
+        now = F.lit(_dt.datetime.now())
         accepted = self._embedded(kind, accepted).withColumn(
-            "created_at", F.coalesce("created_at", F.current_timestamp())
-        ).withColumn("updated_at", F.coalesce("updated_at", F.current_timestamp()))
+            "created_at", F.coalesce("created_at", now)
+        ).withColumn("updated_at", F.coalesce("updated_at", now))
         rejected = dup_rejected.withColumn("reject_reason", F.lit("duplicate_id"))
         if kind in _PARENTS:  # FK-less kinds can't produce violators
             rejected = rejected.unionByName(
@@ -526,7 +547,10 @@ class VectorDB:
         (reference 400s, src/main.py:295-299 via get_document)."""
         updates, fk_rejected = self._validated(kind, updates, allow_null_fk=True)
         updates = self._embedded(kind, updates)
-        updates = updates.withColumn("updated_at", F.current_timestamp())
+        # Python-literal timestamp, NOT current_timestamp: the merged
+        # snapshot and its recorded delta are written by two separate
+        # actions, which must see the same value (r13 ADVICE — see add)
+        updates = updates.withColumn("updated_at", F.lit(_dt.datetime.now()))
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base
         rejected = fk_rejected.withColumn("reject_reason", F.lit("missing_parent"))
@@ -1179,8 +1203,12 @@ class VectorDB:
             for i in range(w + 1, version + 1):
                 dd = os.path.join(d, f"v{i}", "_delta")
                 if not os.path.exists(os.path.join(dd, "_OK")):
-                    steps = None
-                    break
+                    # A commit with no delta record inside (w, version]
+                    # is inside (w', version] for EVERY older w' < w —
+                    # all remaining candidates are provably broken too,
+                    # so retrying them only re-stats the same missing
+                    # paths (r13 ADVICE). Full build, immediately.
+                    return None
                 try:
                     steps.append(
                         (
@@ -1194,7 +1222,10 @@ class VectorDB:
                     )
                 except AnalysisException:
                     # lost the delta to the retention GC between the
-                    # marker check and the read — treat as broken
+                    # marker check and the read — a RACE, not a proof:
+                    # keep the candidate loop (unlike the missing-_OK
+                    # case above, the filesystem is moving under us and
+                    # the cheap next iteration re-checks the marker)
                     steps = None
                     break
             if steps:

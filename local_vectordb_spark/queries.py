@@ -483,10 +483,15 @@ def _inc_search_store(spark: SparkSession, sf_dir: str):
     corpus. The layout serving the final search therefore holds rows
     the full build never saw and lacks rows it wrote, all through
     delta-chain maintenance (api.VectorDB._sign_build_incremental);
-    staging ASSERTS the file-reuse evidence (hard-linked bucket files,
-    st_nlink > 1) so a silent fall-back to a full rebuild fails the
-    entry loudly instead of serving an identical-but-unexercised
-    artifact. Built once per (process, sf_dir)."""
+    staging GATES on the provenance record (chain_commits == 2) so a
+    silent fall-back to a full rebuild fails the entry loudly instead
+    of serving an identical-but-unexercised artifact, and ADDITIONALLY
+    asserts the file-reuse evidence (hard-linked bucket files,
+    st_nlink > 1) whenever provenance says any bucket was left
+    unrewritten — at scales where the every-9th delete touches all 16
+    buckets there is nothing to link and the inode check is vacuous
+    here; the always-on linkage assertion lives at fixture scale in
+    tests/test_incremental.py. Built once per (process, sf_dir)."""
     if sf_dir in _INC_SEARCH_CACHE:
         return _INC_SEARCH_CACHE[sf_dir]
     import os as _os
@@ -550,6 +555,29 @@ def _inc_search_store(spark: SparkSession, sf_dir: str):
             f"api_search_sign_incremental: expected the 2-commit chain "
             f"(add 0-15, delete every 9th), provenance says {rec}"
         )
+    # file-reuse evidence (r13 ADVICE): every bucket directory that
+    # provenance says was NOT rewritten must be hard-linked from the
+    # previous artifact (st_nlink > 1) — conditional because at sf
+    # where the every-9th delete touches all 16 buckets nothing is
+    # linkable and the check is honestly vacuous (see docstring)
+    layout = _os.path.join(
+        db._table_dir("chunks"), f"_sign_v{v}", "layout"
+    )
+    rewritten = set(rec["buckets_rewritten"])
+    for name in _os.listdir(layout):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=", 1)[1]) in rewritten:
+            continue
+        for f in _os.listdir(_os.path.join(layout, name)):
+            if f.endswith(".parquet") and _os.stat(
+                _os.path.join(layout, name, f)
+            ).st_nlink <= 1:
+                raise AssertionError(
+                    f"api_search_sign_incremental: {name}/{f} is not "
+                    f"rewritten per provenance yet not hard-linked — "
+                    f"the layout was silently rebuilt, not maintained"
+                )
     _INC_SEARCH_CACHE[sf_dir] = db
     return db
 
@@ -604,12 +632,12 @@ def api_search_sign_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crud_change_feed",
     """
     SELECT 'upsert' AS change_type, CAST(e.vec_id AS VARCHAR) AS id,
-           d.text AS content
+           d.text AS content, TRUE AS ts_ok
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
     WHERE e.vec_id < 16
     UNION ALL
     SELECT 'remove' AS change_type, CAST(e.vec_id AS VARCHAR) AS id,
-           d.text AS content
+           d.text AS content, TRUE AS ts_ok
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
     WHERE e.vec_id % 9 = 0 AND e.vec_id >= 16
     """,
@@ -625,11 +653,33 @@ def crud_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     original vector as 'remove' rows carrying base state — and an id
     churned inside the range would appear in neither (netting is the
     contract). A feed crossing a commit with no delta record raises
-    rather than serving a PARTIAL stream (tests/test_incremental.py)."""
+    rather than serving a PARTIAL stream (tests/test_incremental.py).
+
+    ``ts_ok`` (r14, hash-checking the r13 ADVICE fix): every 'upsert'
+    row's created_at/updated_at must be BYTE-IDENTICAL to the live
+    snapshot's — the delta parquet is a separate Spark action from
+    the snapshot write, so any non-deterministic expression left in
+    the commit plan (the old F.current_timestamp()) resolves
+    differently per action and silently diverges every downstream
+    mirror built from the feed. The oracle pins TRUE; a regression
+    hash-mismatches here instead of shipping."""
     db = _inc_search_store(spark, sf_dir)
     v = db._current_version("chunks")
-    return db.table_changes("chunks", since_version=v - 2).select(
-        "change_type", "id", "content"
+    live = db.table("chunks").select(
+        "id",
+        F.col("created_at").alias("live_ca"),
+        F.col("updated_at").alias("live_ua"),
+    )
+    feed = db.table_changes("chunks", since_version=v - 2)
+    return feed.join(live, "id", "left").select(
+        "change_type",
+        "id",
+        "content",
+        F.when(
+            F.col("change_type") == "upsert",
+            F.col("created_at").eqNullSafe(F.col("live_ca"))
+            & F.col("updated_at").eqNullSafe(F.col("live_ua")),
+        ).otherwise(F.lit(True)).alias("ts_ok"),
     )
 
 

@@ -223,19 +223,37 @@ class _Handler(BaseHTTPRequestHandler):
                    headers={"X-Table-Version": served_v})
 
     def _do_changes(self, kind: str) -> None:
-        """GET /{kind}/_changes?since=N[&version=M] — the HTTP face of
-        the change-data feed (r13): the NET row-level changes after
-        generation N up to M (default live), composed from the
-        per-commit delta log; what an incremental downstream consumer
-        polls instead of re-reading snapshots. Answers: 400 missing/
-        malformed ``since``; 404 out-of-range versions; **410 Gone**
-        when any commit in the range lacks a delta record (reset,
-        initial load, GC'd generation) — the feed from that base is
-        PERMANENTLY unservable and the client must re-read the full
-        snapshot, which is exactly what 410 means. The generation
-        served is echoed as X-Table-Version for the next poll's
-        ``since``."""
+        """GET /{kind}/_changes?since=N[&version=M][&limit=K&offset=J]
+        — the HTTP face of the change-data feed (r13): the NET
+        row-level changes after generation N up to M (default live),
+        composed from the per-commit delta log; what an incremental
+        downstream consumer polls instead of re-reading snapshots.
+        Answers: 400 missing/malformed ``since``; 404 out-of-range
+        versions; **410 Gone** when any commit in the range lacks a
+        delta record (reset, initial load, GC'd generation) — the feed
+        from that base is PERMANENTLY unservable and the client must
+        re-read the full snapshot, which is exactly what 410 means.
+        Mapped by exception TYPE (api.IncompleteChangeLog), never by
+        message text (r13 verdict #1 under "wrong").
+
+        The response is ONE (change_type, id)-ordered page of at most
+        ``limit`` changes (default 100, same knob as the list route):
+        the feed is delta-sized by design, but a since=0-adjacent poll
+        over a long retained chain must not materialize every change
+        into a single driver collect / JSON body (r14). Continuation
+        is offset-based and SAFE because the page is cut from the
+        generation pinned by X-Table-Version, an immutable range —
+        ``X-More-Changes: true`` says re-poll with offset+=limit and
+        ``version=<X-Table-Version>`` until it reads false, then use
+        X-Table-Version as the next poll's ``since``. The pin is ONE
+        pointer load passed into the read itself — computing the
+        header from one read and letting table_changes re-read the
+        pointer would let a commit land between them, making the
+        header name an older generation than the feed covers and the
+        next since=<header> poll re-receive rows (r13 ADVICE)."""
         from urllib.parse import parse_qs
+
+        from local_vectordb_spark.api import IncompleteChangeLog
 
         qs = parse_qs(self.path.split("?", 1)[1]) if "?" in self.path else {}
         if "since" not in qs:
@@ -243,6 +261,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         since = int(qs["since"][0])  # malformed -> 400 via _safely
         version = self._version_param()
+        limit, offset = self._page_params()
         if version is not None and version < 0:
             self._send(404, {"detail": f"version {version} never existed"})
             return
@@ -250,19 +269,33 @@ class _Handler(BaseHTTPRequestHandler):
             self.db._current_version(kind) if version is None else version
         )
         try:
-            rows = self.db.table_changes(
-                kind, since, version=version
-            ).orderBy("change_type", "id").collect()
-        except ValueError as e:
-            if "no change record" in str(e):
-                self._send(410, {"detail": str(e)})
-            else:
-                self._send(404, {"detail": str(e)})
+            # limit+1 probe row: "is there another page" without a
+            # second count job over the feed
+            rows = (
+                self.db.table_changes(
+                    kind,
+                    since,
+                    version=served_v if served_v >= 0 else None,
+                )
+                .orderBy("change_type", "id")
+                .offset(offset)
+                .limit(limit + 1)
+                .collect()
+            )
+        except IncompleteChangeLog as e:
+            self._send(410, {"detail": str(e)})
             return
+        except ValueError as e:
+            self._send(404, {"detail": str(e)})
+            return
+        more = len(rows) > limit
         self._send(
             200,
-            [_row_to_json(r) for r in rows],
-            headers={"X-Table-Version": served_v},
+            [_row_to_json(r) for r in rows[:limit]],
+            headers={
+                "X-Table-Version": served_v,
+                "X-More-Changes": "true" if more else "false",
+            },
         )
 
     def _reject_version_on_write(self) -> bool:

@@ -157,6 +157,37 @@ def test_crud_writes_record_their_delta(spark, tmp_path):
     assert d.table("chunks", version=v2).count() == 6
 
 
+def test_recorded_delta_is_byte_identical_to_the_commit(spark, tmp_path):
+    """r13 ADVICE (medium): the snapshot write and the _delta write are
+    two separate Spark actions over the same plan — a
+    F.current_timestamp() left in the commit plan resolves per-action,
+    so the recorded delta's created_at/updated_at silently diverge
+    from the committed snapshot's and every downstream mirror built
+    from the change feed drifts. The write path must stamp a
+    Python-literal timestamp, making both actions commit identical
+    values: assert the CDF's upsert rows match the live table
+    byte-for-byte on BOTH timestamp columns, for an add and an
+    update commit."""
+    d = _seed(spark, tmp_path, QUESTIONS[:4], keep_versions=6)
+    v0 = d._current_version("chunks")
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[4:6]), SCHEMAS["chunks"]))
+    d.update("chunks", spark.createDataFrame(
+        [("c1", None, None, None, "fresh content", None, None)],
+        SCHEMAS["chunks"]))
+
+    feed = d.table_changes("chunks", since_version=v0)
+    ups = {r.id: r for r in feed.filter("change_type = 'upsert'").collect()}
+    assert set(ups) == {"c100", "c101", "c1"}
+    live = {r.id: r for r in d.table("chunks").collect()}
+    for i, row in ups.items():
+        assert row.created_at == live[i].created_at, i
+        assert row.updated_at == live[i].updated_at, i
+        assert row.created_at is not None and row.updated_at is not None, i
+    # the update commit bumped updated_at past the add commit's stamp
+    assert live["c1"].updated_at > live["c100"].updated_at
+
+
 # ---------- sign layout: parity + file reuse ----------
 
 def test_sign_incremental_matches_full_build_and_links_files(
@@ -491,8 +522,10 @@ def test_table_changes_nets_and_refuses_partial_feeds(spark, tmp_path):
     assert part == {("upsert", "c100"), ("upsert", "c101")}
 
     # a range crossing the delta-less INITIAL load refuses loudly:
-    # a silently partial feed would corrupt every downstream consumer
-    with pytest.raises(ValueError, match="no change record"):
+    # a silently partial feed would corrupt every downstream consumer —
+    # with the TYPED broken-chain error (r14: HTTP maps it to 410 by
+    # type; a bad version stays a plain ValueError → 404)
+    with pytest.raises(api_mod.IncompleteChangeLog):
         d.table_changes("chunks", since_version=-1)
     # out-of-range endpoints refuse too
     with pytest.raises(ValueError, match="not available"):

@@ -420,3 +420,113 @@ def test_changes_route_serves_net_feed_and_410s_broken_log(server):
     assert _req(server, "GET", "/chunks/_changes")[0] == 400
     assert _req(server, "GET", "/chunks/_changes?since=abc")[0] == 400
     assert _req(server, "GET", "/chunks/_changes?since=0&version=-1")[0] == 404
+
+
+def test_changes_410_vs_404_split_is_typed_not_message_matched(
+    spark, tmp_path, monkeypatch
+):
+    """r13 verdict #6: the broken-chain 410 must be selected by
+    exception TYPE (api.IncompleteChangeLog), never by message
+    substring — a rewording of the error text must not silently turn
+    every 410 into a 404 (telling pollers "bad version" instead of
+    "re-read the snapshot"). Pin both statuses: an
+    IncompleteChangeLog with NO recognizable wording answers 410; a
+    plain ValueError CONTAINING the historical match text answers
+    404."""
+    import threading
+
+    from local_vectordb_spark.api import IncompleteChangeLog
+    from local_vectordb_spark.serving import make_server
+
+    db = VectorDB(spark, str(tmp_path / "typed_db"))
+    srv = make_server(db)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def _raise(exc):
+            def fn(*a, **k):
+                raise exc
+            return fn
+
+        monkeypatch.setattr(
+            db, "table_changes",
+            _raise(IncompleteChangeLog("reworded: delta log has a gap")),
+        )
+        code, body = _req(base, "GET", "/chunks/_changes?since=0")
+        assert code == 410 and "gap" in body["detail"]
+
+        monkeypatch.setattr(
+            db, "table_changes",
+            _raise(ValueError("bad version (note: no change record)")),
+        )
+        code, _ = _req(base, "GET", "/chunks/_changes?since=0")
+        assert code == 404
+    finally:
+        srv.shutdown()
+
+
+def _req_headers(base, path):
+    req = urllib.request.Request(base + path, method="GET")
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read()), dict(resp.headers)
+
+
+def test_changes_route_is_paginated(spark, tmp_path):
+    """r13 verdict #7: the feed response is bounded — one ordered page
+    of at most ``limit`` changes per request, X-More-Changes signalling
+    continuation, the page cut from the generation pinned by
+    X-Table-Version (an immutable range, so offset pagination cannot
+    tear across commits). Own server with keep_versions=8: the feed
+    spans five commits, and every commit in the range must still hold
+    its delta record (the module server's default retention of 2 would
+    GC them — correctly answering 410, which the broken-log test
+    covers)."""
+    import threading
+
+    from local_vectordb_spark.serving import make_server
+
+    db = VectorDB(spark, str(tmp_path / "page_db"), keep_versions=8)
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    server = f"http://127.0.0.1:{srv.server_address[1]}"
+    _, lib = _req(server, "POST", "/libraries", {"name": "pg"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    # first chunk = the table's initial load (records no delta): the
+    # feed base. Five more commits, each recording one upsert.
+    assert _req(
+        server, "POST", "/chunks", {"content": "base row", "document_id": doc["id"]}
+    )[0] == 201
+    _, _, h = _req_headers(server, "/chunks?limit=1")
+    base_v = int(h["X-Table-Version"])
+    ids = []
+    for i in range(5):
+        _, ch = _req(
+            server, "POST", "/chunks",
+            {"content": f"row {i}", "document_id": doc["id"]},
+        )
+        ids.append(ch["id"])
+
+    # page through the 5-upsert feed two at a time, pinned to the
+    # generation the first page named
+    code, p1, h1 = _req_headers(server, f"/chunks/_changes?since={base_v}&limit=2")
+    assert code == 200 and len(p1) == 2 and h1["X-More-Changes"] == "true"
+    pin = int(h1["X-Table-Version"])
+    code, p2, h2 = _req_headers(
+        server,
+        f"/chunks/_changes?since={base_v}&version={pin}&limit=2&offset=2",
+    )
+    assert code == 200 and len(p2) == 2 and h2["X-More-Changes"] == "true"
+    code, p3, h3 = _req_headers(
+        server,
+        f"/chunks/_changes?since={base_v}&version={pin}&limit=2&offset=4",
+    )
+    assert code == 200 and len(p3) == 1 and h3["X-More-Changes"] == "false"
+    got = [(r["change_type"], r["id"]) for r in p1 + p2 + p3]
+    assert got == sorted(("upsert", i) for i in ids)  # ordered, complete
+    # default limit (100) swallows the whole 5-row feed in one page
+    _, full, hf = _req_headers(server, f"/chunks/_changes?since={base_v}")
+    assert len(full) == 5 and hf["X-More-Changes"] == "false"
+    srv.shutdown()
