@@ -110,6 +110,10 @@ HEADLINE = [
     "pack_token_budget",
     # storage engine
     "crud_time_travel",  # r10: versioned snapshot read (time travel)
+    "crud_change_feed",  # r14: CDF read over the delta log (r13 shipped
+    # the path full-oracle but deliberately left it out of HEADLINE to
+    # keep the committed 69-query closing record valid; r13 verdict #3
+    # finishes it — a shipped read path with a full oracle gets timed)
 ]
 
 
