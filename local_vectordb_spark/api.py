@@ -550,7 +550,8 @@ class VectorDB:
         # Python-literal timestamp, NOT current_timestamp: the merged
         # snapshot and its recorded delta are written by two separate
         # actions, which must see the same value (r13 ADVICE — see add)
-        updates = updates.withColumn("updated_at", F.lit(_dt.datetime.now()))
+        now = F.lit(_dt.datetime.now())
+        updates = updates.withColumn("updated_at", now)
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base
         rejected = fk_rejected.withColumn("reject_reason", F.lit("missing_parent"))
@@ -559,6 +560,13 @@ class VectorDB:
             rejected = rejected.localCheckpoint(eager=True)
         base_v, base = self._snapshot(kind)
         merged = crud.upsert(base, updates, "id").select(*base.columns)
+        # an updated id absent from base is a pure INSERT: it has no
+        # base created_at to preserve, so it takes the commit stamp —
+        # a NULL created_at row would poison every CDF consumer's
+        # freshness logic downstream (r14)
+        merged = merged.withColumn(
+            "created_at", F.coalesce("created_at", now)
+        )
         # delta (r13): the updated ids' MERGED rows on the upsert side
         # and their pre-update base rows on the remove side (an update
         # can move a row's index partition — new embedding → new sign

@@ -172,20 +172,26 @@ def test_recorded_delta_is_byte_identical_to_the_commit(spark, tmp_path):
     v0 = d._current_version("chunks")
     d.add("chunks", spark.createDataFrame(
         _chunk_rows(QUESTIONS[4:6]), SCHEMAS["chunks"]))
+    # one true update (c1 exists) and one INSERT-via-update (c200
+    # doesn't): the upsert-semantics insert must take the commit stamp
+    # as created_at, not ship NULL into the table and the feed (r14)
     d.update("chunks", spark.createDataFrame(
-        [("c1", None, None, None, "fresh content", None, None)],
+        [("c1", None, None, None, "fresh content", None, None),
+         ("c200", None, None, None, QUESTIONS[7], None, "d0")],
         SCHEMAS["chunks"]))
 
     feed = d.table_changes("chunks", since_version=v0)
     ups = {r.id: r for r in feed.filter("change_type = 'upsert'").collect()}
-    assert set(ups) == {"c100", "c101", "c1"}
+    assert set(ups) == {"c100", "c101", "c1", "c200"}
     live = {r.id: r for r in d.table("chunks").collect()}
     for i, row in ups.items():
         assert row.created_at == live[i].created_at, i
         assert row.updated_at == live[i].updated_at, i
         assert row.created_at is not None and row.updated_at is not None, i
-    # the update commit bumped updated_at past the add commit's stamp
+    # the update commit bumped updated_at past the add commit's stamp,
+    # and the inserted row's created_at IS that commit's stamp
     assert live["c1"].updated_at > live["c100"].updated_at
+    assert live["c200"].created_at == live["c200"].updated_at
 
 
 # ---------- sign layout: parity + file reuse ----------

@@ -382,6 +382,175 @@ def run_facade_ivf_incremental_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root_dir, ignore_errors=True)
 
 
+def run_facade_nsw_incremental_xl(spark, sf_dir: str) -> dict:
+    """r14 (r13 verdict #5): incremental NSW maintenance measured at
+    the same tier as its IVF twin — 200k vectors, where the FULL
+    stored-graph build pays the LSH-bucketed kNN-graph construction
+    (the ~22-90 s facade_nsw_stored measures). After a small write
+    (100 perturbed adds + 20 deletes = a 120-row delta, far under the
+    20% drift budget) the next generation's graph must be maintained
+    through the delta chain (api.VectorDB._nsw_build_incremental):
+    edges touching net-touched ids dropped, each upserted row's kNN
+    computed in ONE corpus scan against the broadcast delta matrix,
+    inserted bidirectionally — zero LSH rebuilds (spied and asserted).
+    Records maintenance vs full-build wall, the dropped/kept/added
+    edge split, the drift ledger, and proves the inserted rows are
+    REACHABLE through beam traversal (an added unique vector finds
+    itself top-1) with recall@10 held vs the exact scan."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.api import VectorDB
+
+    root_dir = tempfile.mkdtemp(prefix="lvdb_xl_nswinc_")
+    try:
+        # keep_versions=4: base artifact + the 2-commit delta chain
+        # must survive retention until the maintenance build
+        db, emb, seed_sec = _seed_xl_db(spark, sf_dir, root_dir,
+                                        keep_versions=4)
+        qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        t0 = time.time()
+        db.search(query_vec=qv, index_type="nsw", k=10).count()
+        full_build_sec = round(time.time() - t0, 4)
+        v0 = db._current_version("chunks")
+        prev_dir = os.path.join(root_dir, "chunks", f"_nsw_v{v0}")
+        prev_edges = spark.read.parquet(os.path.join(prev_dir, "edges"))
+        prev_n = prev_edges.count()
+
+        ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+        t0 = time.time()
+        # XL vectors are tiled fixture copies, so adds are PERTURBED in
+        # coordinate 0: each added row is the unique nearest neighbour
+        # of its own vector (same trick as the IVF twin)
+        perturbed = F.concat(
+            F.array((F.col("embedding")[0] + F.lit(0.5)).cast("float")),
+            F.slice(F.col("embedding"), 2, 63),
+        )
+        db.add("chunks", emb.filter(F.col("vec_id") < 100).select(
+            F.concat(F.lit("cx"), F.col("vec_id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts.alias("created_at"), ts.alias("updated_at"),
+            F.concat(F.lit("added "), F.col("vec_id")).alias("content"),
+            perturbed.cast("array<float>").alias("embedding"),
+            F.lit("d1").alias("document_id")))
+        # 20 REAL ids spread through the corpus (XL vec_ids are
+        # tile-offset, never synthesize)
+        doomed = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(2000).collect()
+        ][99::100][:20]
+        db.delete("chunks", spark.createDataFrame(
+            [(f"c{v}",) for v in doomed], "id string"))
+        write_sec = round(time.time() - t0, 4)
+
+        calls = {"lsh": 0, "inc": 0}
+        orig_lsh = VectorDB._lsh_graph_edges
+        orig_inc = VectorDB._nsw_build_incremental
+
+        def spy_lsh(self, *a, **kw):
+            calls["lsh"] += 1
+            return orig_lsh(self, *a, **kw)
+
+        def spy_inc(self, *a, **kw):
+            calls["inc"] += 1
+            return orig_inc(self, *a, **kw)
+
+        VectorDB._lsh_graph_edges = spy_lsh
+        VectorDB._nsw_build_incremental = spy_inc
+        try:
+            other = VectorDB(spark, root_dir, keep_versions=4)
+            t0 = time.time()
+            other.search(query_vec=qv, index_type="nsw", k=10).count()
+            inc_build_sec = round(time.time() - t0, 4)
+        finally:
+            VectorDB._lsh_graph_edges = orig_lsh
+            VectorDB._nsw_build_incremental = orig_inc
+        assert calls == {"lsh": 0, "inc": 1}, (
+            f"maintenance path not taken: {calls}"
+        )
+
+        v1 = other._current_version("chunks")
+        art = os.path.join(root_dir, "chunks", f"_nsw_v{v1}")
+        with open(os.path.join(art, "provenance.json")) as f:
+            prov = _json.load(f)
+        with open(os.path.join(art, "meta.json")) as f:
+            meta = _json.load(f)
+        assert prov["base_version"] == v0 and prov["chain_commits"] == 2
+
+        # edge split: edges touching a touched id were dropped, the
+        # rest carried over unrewritten, insertions added
+        touched = spark.createDataFrame(
+            [(f"cx{i}",) for i in
+             emb.filter(F.col("vec_id") < 100)
+                .select("vec_id").toPandas()["vec_id"]]
+            + [(f"c{v}",) for v in doomed],
+            "id string",
+        )
+        dropped = prev_edges.join(
+            touched.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).unionByName(prev_edges.join(
+            touched.withColumnRenamed("id", "dst"), "dst", "left_semi"
+        )).dropDuplicates(["src", "dst"]).count()
+        new_n = spark.read.parquet(os.path.join(art, "edges")).count()
+        kept = prev_n - dropped
+
+        # the inserted rows are REACHABLE through the maintained graph:
+        # an added (perturbed, unique) vector finds its own id top-1
+        base_q = [float(x) for x in emb.filter(
+            F.col("vec_id") == 50).first().embedding]
+        added_q = [base_q[0] + 0.5] + base_q[1:]
+        hits = other.search(query_vec=added_q, index_type="nsw",
+                            k=10).collect()
+        top = max(hits, key=lambda h: h.score)
+        assert top.id == "cx50", top
+        recalls = []
+        ordered = emb.orderBy("vec_id").select("embedding")
+        for pos in (1, 100_000, 190_000):
+            pv = [float(x) for x in ordered.limit(pos).tail(1)[0].embedding]
+            nsw_ids = {h.id for h in other.search(
+                query_vec=pv, index_type="nsw", k=10).collect()}
+            exact_ids = {h.id for h in other.search(
+                query_vec=pv, index_type="cosine", k=10).collect()}
+            recalls.append(len(nsw_ids & exact_ids) / 10.0)
+
+        row = {
+            "corpus_vectors": 200_000,
+            "delta_rows": 120,
+            "full_build_plus_traverse_sec": full_build_sec,
+            "delta_write_sec": write_sec,
+            "maintenance_build_plus_traverse_sec": inc_build_sec,
+            "speedup_vs_full_build": round(full_build_sec / inc_build_sec, 1),
+            "lsh_rebuilds": calls["lsh"],
+            "nodes_inserted": prov["nodes_inserted"],
+            "nodes_removed": prov["nodes_removed"],
+            "edges_prev": prev_n,
+            "edges_dropped": dropped,
+            "edges_kept": kept,
+            "edges_added": new_n - kept,
+            "edges_final": new_n,
+            "drift": meta["drift"],
+            "drift_budget_rows": int(0.2 * meta["n_at_build"]),
+            "recall_at_10_vs_exact": recalls,
+            "note": "120-row delta over the 200k stored graph: edges "
+                    "touching touched ids dropped, upserted rows' kNN "
+                    "in one corpus scan vs the broadcast delta matrix, "
+                    "bidirectional insertion; the drift ledger forces a "
+                    "true LSH rebuild past 20% churn",
+        }
+        print(f"sf10 facade nsw incremental: full build "
+              f"{full_build_sec:.1f}s -> maintenance {inc_build_sec:.1f}s "
+              f"({row['speedup_vs_full_build']}x), edges {dropped} dropped"
+              f" / {kept} kept / {row['edges_added']} added, drift "
+              f"{meta['drift']}/{row['drift_budget_rows']}, recall@10 "
+              f"{recalls}", flush=True)
+        return row
+    finally:
+        shutil.rmtree(root_dir, ignore_errors=True)
+
+
 def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
     """Build-once/serve-many proof for the facade's stored NSW graph at
     200k vectors (r10 verdict #1): seed a VectorDB with the XL
@@ -525,7 +694,7 @@ def run_fused_beam_diag(spark, qs) -> dict:
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
-             "--ivf-incremental-only"}
+             "--ivf-incremental-only", "--nsw-incremental-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -558,6 +727,10 @@ def main() -> int:
         if picked & {"--ivf-incremental-only", "--facade-only"}:
             result["facade_ivf_incremental"] = (
                 run_facade_ivf_incremental_xl(spark, dir100)
+            )
+        if picked & {"--nsw-incremental-only", "--facade-only"}:
+            result["facade_nsw_incremental"] = (
+                run_facade_nsw_incremental_xl(spark, dir100)
             )
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
