@@ -1656,30 +1656,82 @@ class VectorDB:
                 pass
 
         materialize_once(path, _build)
-        return self.spark.read.parquet(os.path.join(path, "edges"))
+        return self._nsw_edges_df(path)
+
+    def _nsw_edges_df(self, p: str) -> DataFrame:
+        """The stored graph's LOGICAL edge set. A full build writes one
+        plain ``edges`` parquet and this is just its scan. An
+        INCREMENTAL artifact (r14) is LAYERED — ``edges`` hard-linked
+        unchanged from the base generation, plus two delta-sized
+        parquets: ``tombstones`` (every id whose edges are dead) and
+        ``edges_add`` (the insertions) — so maintenance never rewrites
+        the corpus-sized edge set (the r13 materialized form rewrote
+        all ~1.6M kept edges to drop 160, measuring a 1.1× "speedup"
+        at XL). Composition = base ⊖ tombstoned-endpoints ∪ adds: two
+        BROADCAST anti-joins (tombstones are churn-sized, capped by the
+        20% drift budget that forces a true rebuild) folded into the
+        scan the traversal does anyway — the LSM/Iceberg delete-file
+        pattern applied to a graph artifact."""
+        edges = self.spark.read.parquet(os.path.join(p, "edges"))
+        tomb = os.path.join(p, "tombstones")
+        if os.path.exists(os.path.join(tomb, "_SUCCESS")):
+            t = self.spark.read.parquet(tomb)
+            edges = (
+                edges.join(
+                    F.broadcast(t.withColumnRenamed("id", "src")),
+                    "src",
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(t.withColumnRenamed("id", "dst")),
+                    "dst",
+                    "left_anti",
+                )
+                .select("src", "dst", "score")
+                .unionByName(
+                    self.spark.read.parquet(os.path.join(p, "edges_add"))
+                )
+            )
+        return edges
 
     def _nsw_build_incremental(
         self, p: str, version: int, w: int, steps
     ) -> bool:
         """Incremental `_nsw_v{version}` from `_nsw_v{w}` + the delta
-        chain (r13) — classic NSW insertion, batched: drop every edge
-        touching a net-touched id, compute each net-upserted row's kNN
-        against the pinned snapshot (ONE corpus scan against the
-        broadcast delta matrix — no LSH rebuild, no O(n²)), and insert
-        those edges BIDIRECTIONALLY (forward so the new node can
-        leave, reverse so walks from elsewhere can reach it — the
-        reference's nsw insert shape, src/models/nsw_index.py, done as
-        set algebra instead of per-node mutation). The same drift
-        ledger as the IVF tier forces a true rebuild past
-        IVF_RETRAIN_FRACTION churn: insertion keeps recall but slowly
-        densifies reached nodes, and the rebuild re-balances degree.
-        Deltas past NSW_EXACT_BUILD_MAX rows fall back (their
-        broadcast matrix stops being "small"; at that size the LSH
-        builder is the right tool anyway)."""
+        chain (r13) — classic NSW insertion, batched: every edge
+        touching a net-touched id is dead, each net-upserted row's kNN
+        is computed against the pinned snapshot (ONE corpus scan
+        against the broadcast delta matrix — no LSH rebuild, no O(n²)),
+        and those edges insert BIDIRECTIONALLY (forward so the new
+        node can leave, reverse so walks from elsewhere can reach it —
+        the reference's nsw insert shape, src/models/nsw_index.py,
+        done as set algebra instead of per-node mutation).
+
+        LAYERED since r14: the base ``edges`` parquet is HARD-LINKED
+        from the previous artifact, deletions are recorded as a
+        churn-sized ``tombstones`` id list and insertions as
+        ``edges_add``, both composed at read by _nsw_edges_df. The r13
+        form materialized the surviving edge set per maintenance —
+        anti-join, dedup and REWRITE of ~1.6M kept edges to drop 160,
+        which benched at only 1.1× the full LSH rebuild at 200k
+        vectors (BENCH_scale.json r13 row); writing the delta instead
+        makes maintenance cost ∝ churn, the same shape as the
+        sign/IVF tiers. Chained maintenance stays flat, not recursive:
+        the new layer re-links the SAME base edges and carries
+        cumulative tombstones ∪ touched and (adds ⊖ touched) ∪ new —
+        an id re-upserted later keeps exactly its newest edges. The
+        same drift ledger as the IVF tier forces a true rebuild past
+        IVF_RETRAIN_FRACTION cumulative churn, which also bounds the
+        tombstone/add layers (insertion keeps recall but slowly
+        densifies reached nodes; the rebuild re-balances degree and
+        re-compacts the layers). Deltas past NSW_EXACT_BUILD_MAX rows
+        fall back (their broadcast matrix stops being "small"; at that
+        size the LSH builder is the right tool anyway)."""
         import json as _json
 
         from local_vectordb_spark.operators.incremental import (
             compose_delta_chain,
+            link_tree,
         )
 
         prev_dir = os.path.join(self._table_dir("chunks"), f"_nsw_v{w}")
@@ -1702,24 +1754,29 @@ class VectorDB:
         chunks = self.table("chunks", version=version)
         n = chunks.count()
         touched = ups.select("id").unionByName(olds.select("id")).distinct()
-        prev_edges = self.spark.read.parquet(
-            os.path.join(prev_dir, "edges")
-        )
-        kept = (
-            prev_edges.join(
-                touched.withColumnRenamed("id", "src"), "src", "left_anti"
-            ).join(
-                touched.withColumnRenamed("id", "dst"), "dst", "left_anti"
-            )
-        ).select("src", "dst", "score")
         if n_ups and n > 1:
             qdf = ups.select(
                 F.col("id").alias("query_id"),
                 F.col("embedding").cast("array<double>").alias("qv"),
             )
-            topk = knn.knn_batch_table(
-                chunks, qdf, k=min(8, n - 1) + 1, id_col="id"
-            ).filter(F.col("query_id") != F.col("id"))
+            # Insertion kNN at the FIDELITY OF THE TIER the full build
+            # would use (r14): below NSW_EXACT_BUILD_MAX the full build
+            # is the exact O(n²) form, so insertion scores the whole
+            # corpus; past the knee the full build is LSH-approximate,
+            # so insertion prunes candidates to each query's sign-probe
+            # buckets (Hamming≤1 = ~5/16 of rows) — exact within. The
+            # unpruned scan was the maintenance wall at XL: 24M scored
+            # pairs + their top-k window shuffle made "incremental"
+            # cost 1.1-1.2× of the LSH rebuild it replaces
+            # (BENCH_scale.json r13/r14 first measure).
+            if n > NSW_EXACT_BUILD_MAX:
+                topk = ivf.sign_search_batch_table(
+                    chunks, qdf, k=min(8, n - 1) + 1, id_col="id"
+                ).filter(F.col("query_id") != F.col("id"))
+            else:
+                topk = knn.knn_batch_table(
+                    chunks, qdf, k=min(8, n - 1) + 1, id_col="id"
+                ).filter(F.col("query_id") != F.col("id"))
             fwd = topk.select(
                 F.col("query_id").alias("src"),
                 F.col("id").alias("dst"),
@@ -1732,12 +1789,42 @@ class VectorDB:
             )
             # two new nodes that find each other emit the pair twice
             # (A→B forward and A→B as B's reverse): one edge, one row
-            edges = kept.unionByName(fwd).unionByName(rev).dropDuplicates(
-                ["src", "dst"]
+            new_edges = fwd.unionByName(rev).dropDuplicates(["src", "dst"])
+        else:
+            new_edges = self.spark.createDataFrame(
+                [], "src string, dst string, score double"
+            )
+        # cumulative layers: a layered previous artifact contributes
+        # its own tombstones/adds (its base `edges` is the SAME files
+        # this build re-links, so the algebra stays one level deep).
+        # Adds touching a NEWLY-touched id die with it — the new kNN
+        # edges replace them; a base edge needs no such filter because
+        # its endpoints, once tombstoned, stay tombstoned.
+        prev_tomb_dir = os.path.join(prev_dir, "tombstones")
+        if os.path.exists(os.path.join(prev_tomb_dir, "_SUCCESS")):
+            tombs = self.spark.read.parquet(prev_tomb_dir).unionByName(
+                touched
+            ).distinct()
+            adds = (
+                self.spark.read.parquet(os.path.join(prev_dir, "edges_add"))
+                .join(
+                    F.broadcast(touched.withColumnRenamed("id", "src")),
+                    "src", "left_anti",
+                )
+                .join(
+                    F.broadcast(touched.withColumnRenamed("id", "dst")),
+                    "dst", "left_anti",
+                )
+                .select("src", "dst", "score")
+                .unionByName(new_edges)
             )
         else:
-            edges = kept
-        edges.write.mode("overwrite").parquet(os.path.join(p, "edges"))
+            tombs, adds = touched, new_edges
+        # every job above is delta-sized; the corpus-sized edge set is
+        # carried by hard links, never rewritten
+        tombs.write.mode("overwrite").parquet(os.path.join(p, "tombstones"))
+        adds.write.mode("overwrite").parquet(os.path.join(p, "edges_add"))
+        link_tree(os.path.join(prev_dir, "edges"), os.path.join(p, "edges"))
         with open(os.path.join(p, "meta.json"), "w") as f:
             _json.dump(
                 {
@@ -1753,6 +1840,7 @@ class VectorDB:
                     "chain_commits": len(steps),
                     "nodes_inserted": n_ups,
                     "nodes_removed": n_olds,
+                    "layered": True,
                 },
                 f,
             )

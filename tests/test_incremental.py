@@ -438,9 +438,8 @@ def test_nsw_incremental_inserts_bidirectional_edges(
     assert max(hits, key=lambda r: r.score).id == "c100"
 
     v1 = d._current_version("chunks")
-    edges = spark.read.parquet(os.path.join(
-        store, "chunks", f"_nsw_v{v1}", "edges"))
-    rows = edges.collect()
+    art = os.path.join(store, "chunks", f"_nsw_v{v1}")
+    rows = d._nsw_edges_df(art).collect()  # the composed LOGICAL graph
     # bidirectional insertion: each new node appears as src AND as dst
     for nid in ("c100", "c101"):
         assert any(r.src == nid for r in rows), f"{nid} has no out-edges"
@@ -449,6 +448,28 @@ def test_nsw_incremental_inserts_bidirectional_edges(
     assert not any(r.src == "c4" or r.dst == "c4" for r in rows)
     # no duplicate (src, dst) pairs survive the fwd/rev union
     assert len(rows) == len({(r.src, r.dst) for r in rows})
+
+    # the artifact is LAYERED (r14): the corpus-sized base edge set is
+    # hard-linked from the previous generation (same inodes, nothing
+    # rewritten); deletions live in a churn-sized tombstone list and
+    # insertions in edges_add
+    base_files = [
+        f for f in os.listdir(os.path.join(art, "edges"))
+        if f.endswith(".parquet")
+    ]
+    assert base_files and all(
+        os.stat(os.path.join(art, "edges", f)).st_nlink > 1
+        for f in base_files
+    ), "base edges were rewritten, not hard-linked"
+    tombs = {r.id for r in spark.read.parquet(
+        os.path.join(art, "tombstones")).collect()}
+    assert tombs == {"c100", "c101", "c4"}  # every net-touched id
+    adds = spark.read.parquet(os.path.join(art, "edges_add")).collect()
+    assert all(
+        r.src in ("c100", "c101") or r.dst in ("c100", "c101")
+        for r in adds
+    ), "edges_add must carry ONLY the insertions"
+
     with open(os.path.join(
             store, "chunks", f"_nsw_v{v1}", "meta.json")) as f:
         meta1 = json.load(f)
@@ -457,7 +478,86 @@ def test_nsw_incremental_inserts_bidirectional_edges(
             store, "chunks", f"_nsw_v{v1}", "provenance.json")) as f:
         prov = json.load(f)
     assert prov["nodes_inserted"] == 2 and prov["nodes_removed"] == 1
-    assert prov["chain_commits"] == 2
+    assert prov["chain_commits"] == 2 and prov["layered"] is True
+
+
+def test_nsw_incremental_chains_layers_flat(spark, tmp_path, monkeypatch):
+    """r14: successive incremental builds stay ONE layer deep — the
+    newest artifact re-links the ORIGINAL full-build edge files and
+    carries cumulative tombstones / compacted adds, so read cost never
+    grows with chain length. A node upserted in an EARLIER layer and
+    touched again keeps exactly its newest edges (the old add-edges
+    die with the touch)."""
+    d = _seed(spark, tmp_path, QUESTIONS[:10] + [
+        t.upper() for t in QUESTIONS[:10]], keep_versions=10)
+    store = str(tmp_path)
+    d.search(QUESTIONS[0], index_type="nsw", k=3).collect()
+    v0 = d._current_version("chunks")
+
+    calls = []
+    orig = VectorDB._nsw_build_incremental
+
+    def spy(self, *a, **k):
+        r = orig(self, *a, **k)
+        calls.append(r)
+        return r
+
+    monkeypatch.setattr(VectorDB, "_nsw_build_incremental", spy)
+
+    # layer 1: add c100, delete c4 (churn 2 of the 4-row budget)
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows([QUESTIONS[10]]), SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c4",)], "id string"))
+    d.search(QUESTIONS[10], index_type="nsw", k=3).collect()
+    v1 = d._current_version("chunks")
+
+    # layer 2: RE-upsert c100 with new content (re-embeds: its layer-1
+    # edges must die). An update's churn counts BOTH sides (new row +
+    # displaced old row = 2), landing exactly on the 4-row budget.
+    d.update("chunks", spark.createDataFrame(
+        [("c100", None, None, None, QUESTIONS[11], None, None)],
+        SCHEMAS["chunks"]))
+    hits = d.search(QUESTIONS[11], index_type="nsw", k=3).collect()
+    assert calls == [True, True], calls
+    assert max(hits, key=lambda r: r.score).id == "c100"
+
+    v2 = d._current_version("chunks")
+    art1 = os.path.join(store, "chunks", f"_nsw_v{v1}")
+    art2 = os.path.join(store, "chunks", f"_nsw_v{v2}")
+    with open(os.path.join(art2, "provenance.json")) as f:
+        prov = json.load(f)
+    assert prov["base_version"] == v1 and prov["layered"] is True
+
+    # flat, not recursive: layer 2's base edges are the SAME inodes as
+    # the v0 full build's (and layer 1's) — linked, never copied
+    base0 = os.path.join(store, "chunks", f"_nsw_v{v0}", "edges")
+    inode0 = {
+        os.stat(os.path.join(base0, f)).st_ino
+        for f in os.listdir(base0) if f.endswith(".parquet")
+    }
+    inode2 = {
+        os.stat(os.path.join(art2, "edges", f)).st_ino
+        for f in os.listdir(os.path.join(art2, "edges"))
+        if f.endswith(".parquet")
+    }
+    assert inode2 == inode0
+
+    # cumulative tombstones; adds compacted to CURRENT edges only
+    tombs = {r.id for r in spark.read.parquet(
+        os.path.join(art2, "tombstones")).collect()}
+    assert tombs == {"c100", "c4"}
+    rows = d._nsw_edges_df(art2).collect()
+    assert not any(r.src == "c4" or r.dst == "c4" for r in rows)
+    assert len(rows) == len({(r.src, r.dst) for r in rows})
+    # c100 connected through its layer-2 (re-upserted) edges
+    assert any(r.src == "c100" for r in rows)
+    assert any(r.dst == "c100" for r in rows)
+    # meta ledger accumulated both layers' churn against the v0 datum
+    with open(os.path.join(art2, "meta.json")) as f:
+        assert json.load(f) == {"n_at_build": 20, "drift": 4}
+    # ...and layer 1 is untouched on disk (readers may still hold it)
+    assert {r.id for r in spark.read.parquet(
+        os.path.join(art1, "tombstones")).collect()} == {"c100", "c4"}
 
 
 def test_nsw_rebuilds_past_drift_budget(spark, tmp_path, monkeypatch):

@@ -479,23 +479,33 @@ def run_facade_nsw_incremental_xl(spark, sf_dir: str) -> dict:
         with open(os.path.join(art, "meta.json")) as f:
             meta = _json.load(f)
         assert prov["base_version"] == v0 and prov["chain_commits"] == 2
+        assert prov["layered"] is True
 
-        # edge split: edges touching a touched id were dropped, the
-        # rest carried over unrewritten, insertions added
-        touched = spark.createDataFrame(
-            [(f"cx{i}",) for i in
-             emb.filter(F.col("vec_id") < 100)
-                .select("vec_id").toPandas()["vec_id"]]
-            + [(f"c{v}",) for v in doomed],
-            "id string",
-        )
-        dropped = prev_edges.join(
+        # the corpus-sized base edge set is HARD-LINKED, never
+        # rewritten (r14): same inodes as the previous artifact
+        base_files = [
+            f for f in os.listdir(os.path.join(art, "edges"))
+            if f.endswith(".parquet")
+        ]
+        assert base_files and all(
+            os.stat(os.path.join(art, "edges", f)).st_nlink > 1
+            for f in base_files
+        ), "base edges were rewritten, not linked"
+
+        # layer split: dead edges are MASKED by the churn-sized
+        # tombstone list (composed at read), insertions live in
+        # edges_add; only those two delta-sized parquets were written
+        tombstoned = spark.read.parquet(
+            os.path.join(art, "tombstones")).count()
+        touched = spark.read.parquet(os.path.join(art, "tombstones"))
+        masked = prev_edges.join(
             touched.withColumnRenamed("id", "src"), "src", "left_semi"
         ).unionByName(prev_edges.join(
             touched.withColumnRenamed("id", "dst"), "dst", "left_semi"
         )).dropDuplicates(["src", "dst"]).count()
-        new_n = spark.read.parquet(os.path.join(art, "edges")).count()
-        kept = prev_n - dropped
+        added = spark.read.parquet(os.path.join(art, "edges_add")).count()
+        new_n = other._nsw_edges_df(art).count()
+        kept = prev_n - masked
 
         # the inserted rows are REACHABLE through the maintained graph:
         # an added (perturbed, unique) vector finds its own id top-1
@@ -526,24 +536,29 @@ def run_facade_nsw_incremental_xl(spark, sf_dir: str) -> dict:
             "lsh_rebuilds": calls["lsh"],
             "nodes_inserted": prov["nodes_inserted"],
             "nodes_removed": prov["nodes_removed"],
-            "edges_prev": prev_n,
-            "edges_dropped": dropped,
+            "edges_base_linked": prev_n,
+            "tombstoned_ids": tombstoned,
+            "edges_masked_by_tombstones": masked,
             "edges_kept": kept,
-            "edges_added": new_n - kept,
-            "edges_final": new_n,
+            "edges_added": added,
+            "edges_final_composed": new_n,
             "drift": meta["drift"],
             "drift_budget_rows": int(0.2 * meta["n_at_build"]),
             "recall_at_10_vs_exact": recalls,
-            "note": "120-row delta over the 200k stored graph: edges "
-                    "touching touched ids dropped, upserted rows' kNN "
-                    "in one corpus scan vs the broadcast delta matrix, "
-                    "bidirectional insertion; the drift ledger forces a "
-                    "true LSH rebuild past 20% churn",
+            "note": "120-row delta over the 200k stored graph, LAYERED "
+                    "r14 artifact: base edges hard-linked (st_nlink "
+                    "asserted), dead edges masked by a churn-sized "
+                    "tombstone list composed at read (two broadcast "
+                    "anti-joins on the traversal's existing scan), "
+                    "insertions in edges_add from ONE corpus scan vs "
+                    "the broadcast delta matrix; the drift ledger "
+                    "forces a true LSH rebuild (and layer compaction) "
+                    "past 20% churn",
         }
         print(f"sf10 facade nsw incremental: full build "
               f"{full_build_sec:.1f}s -> maintenance {inc_build_sec:.1f}s "
-              f"({row['speedup_vs_full_build']}x), edges {dropped} dropped"
-              f" / {kept} kept / {row['edges_added']} added, drift "
+              f"({row['speedup_vs_full_build']}x), edges {masked} masked"
+              f" / {kept} kept(linked) / {added} added, drift "
               f"{meta['drift']}/{row['drift_budget_rows']}, recall@10 "
               f"{recalls}", flush=True)
         return row
