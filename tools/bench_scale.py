@@ -790,6 +790,12 @@ def main() -> int:
     # ZERO builder invocations — build-once/serve-many, measured.
     result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
     result["facade_ivf_stored"] = run_facade_ivf_xl(spark, dir100)
+    result["facade_ivf_incremental"] = run_facade_ivf_incremental_xl(
+        spark, dir100
+    )
+    result["facade_nsw_incremental"] = run_facade_nsw_incremental_xl(
+        spark, dir100
+    )
     result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
         spark, qs
     )
