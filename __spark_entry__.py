@@ -100,17 +100,20 @@ _PRIORITY = [
     "api_search_batch_table",
     "api_search_sign_incremental",
     "crud_change_feed",
+    "crud_cdf_mirror",  # r14-NEW full oracle: the CDF contract proved
+    # end to end — stale snapshot + feed must equal the live table,
+    # full rows including timestamps, symmetric diff pinned to 0
     "crud_time_travel",
     "stream_then_ivf_search",
-    # (c) last driver row r11 — the alphabetically-first 7 ORACLED
+    # (c) last driver row r11 — the alphabetically-first 6 ORACLED
     # entries of the 46-query tier (the staleness bound tracks the
     # full-oracle rows; the tier's rows-only members —
     # dedup_minhash_lsh, dedup_simhash, embed_hashed and friends —
     # are seed-dependent by design with oracled twins, so spending a
     # window slot on their weaker rows-only driver check re-verifies
-    # nothing a slot on an oracled sibling doesn't). The remaining 39
-    # hit the bound in r15 and lead that window: embed_hashed_md5,
-    # embed_letter_knn, embed_pool_by_label, events_*, graph_bfs_2hop,
+    # nothing a slot on an oracled sibling doesn't). The remaining 40
+    # hit the bound in r15 and lead that window: embed_letter_knn,
+    # embed_pool_by_label, events_*, graph_bfs_2hop,
     # ivf_batch_search, ivf_search, ivf_search_pruned,
     # knn_pq_batch_stored, knn_sign_batch, knn_sign_batch_pruned,
     # lsh_bucket_pairs, lsh_search, mm_*, rollup_revenue, sample_*,
@@ -122,7 +125,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard_capped",
     "docs_training_manifest_leakage_safe",
     "embed_hashed_md5",
-    "embed_letter_knn",
 ]
 
 

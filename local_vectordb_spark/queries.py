@@ -683,6 +683,46 @@ def crud_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "crud_cdf_mirror",
+    """
+    SELECT CAST(0 AS BIGINT) AS diverged_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE vec_id < 16 OR vec_id % 9 <> 0) AS mirrored_rows
+    """,
+)
+def crud_cdf_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change-data feed's CONTRACT, proved end to end (r14): a
+    downstream consumer holding the stale base snapshot applies the
+    feed — drop every id the feed names, union the upsert rows — and
+    the mirror must equal the live table EXACTLY, full rows including
+    both timestamps (what the Python-literal commit stamp guarantees:
+    the recorded delta is byte-identical to the committed snapshot).
+    The query emits the symmetric difference's row count (oracle pins
+    0) plus the mirror's size (oracle recomputes the staged store's
+    deterministic final corpus), so a feed that dropped a change,
+    resurrected a deleted row, served stale values, or diverged a
+    timestamp fails the hash instead of silently corrupting every
+    consumer built on the feed. `metadata` is excluded from the
+    comparison only because Spark set operations cannot compare map
+    columns; it is identical by construction in this store."""
+    db = _inc_search_store(spark, sf_dir)
+    v = db._current_version("chunks")
+    base = db.table("chunks", version=v - 2)
+    feed = db.table_changes("chunks", since_version=v - 2)
+    cols = [c for c in base.columns if c != "metadata"]
+    mirror = base.select(*cols).join(
+        feed.select("id"), "id", "left_anti"
+    ).unionByName(
+        feed.filter(F.col("change_type") == "upsert").select(*cols)
+    )
+    live = db.table("chunks").select(*cols)
+    diff = mirror.exceptAll(live).unionByName(live.exceptAll(mirror))
+    return diff.agg(F.count("*").alias("diverged_rows")).crossJoin(
+        mirror.agg(F.count("*").alias("mirrored_rows"))
+    )
+
+
 _TT_SEARCH_CACHE: dict = {}
 
 

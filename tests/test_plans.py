@@ -622,3 +622,44 @@ def test_facade_sign_probe_is_partition_pruned(spark, tmp_path):
           d.table("chunks").filter("id = 'c007'").first().embedding]
     batch = d.search_batch(query_vecs=[(0, qv)], index_type="sign", k=5)
     assert batch.collect()[0].content == "sign layout row 7"
+
+
+def test_layered_nsw_compose_is_broadcast_only(spark, tmp_path):
+    """r14: the layered stored-graph artifact composes base ⊖
+    tombstones ∪ adds at READ time — that composition must be two
+    BROADCAST anti-joins folded into the edge scan the traversal does
+    anyway, never a shuffle: the tombstone list is churn-sized (capped
+    by the 20% drift budget) while the base edge set is corpus-sized,
+    and a sort-merge anti-join would shuffle the corpus-sized side on
+    every hop of every search."""
+    import os
+    import uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path), keep_versions=6)
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"layered plan row {i}", None, doc)
+         for i in range(30)],
+        SCHEMAS["chunks"]))
+    d.search("layered plan row 0", index_type="nsw", k=3).collect()
+    d.add("chunks", spark.createDataFrame(
+        [("c100", {}, None, None, "layered plan row 100", None, doc)],
+        SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c3",)], "id string"))
+    d.search("layered plan row 100", index_type="nsw", k=3).collect()
+
+    v = d._current_version("chunks")
+    art = os.path.join(d._table_dir("chunks"), f"_nsw_v{v}")
+    assert os.path.exists(os.path.join(art, "tombstones", "_SUCCESS"))
+    composed = d._nsw_edges_df(art)
+    plan = plans.plan_string(composed)
+    assert plan.count("BroadcastHashJoin LeftAnti") >= 2, plan
+    assert plans.sort_merge_join_count(composed) == 0, plan
+    assert plans.count_shuffles(composed) == 0, plan
