@@ -104,6 +104,27 @@ def compose_delta_chain(
     return final_upserts, old_rows
 
 
+def apply_changes(
+    base: DataFrame, feed: DataFrame, key_col: str = "id"
+) -> DataFrame:
+    """Apply a change-data feed to a base snapshot — the CONSUMER side
+    of ``table_changes`` (r14): drop every key the feed names (both
+    'remove' rows and the pre-images of 'upsert's), union the upsert
+    rows in the base schema. ``mirror(snapshot@since, feed(since, v))
+    == snapshot@v`` row-for-row, timestamps included — the contract
+    the ``crud_cdf_mirror`` registry entry hash-checks per round. One
+    anti-join + one union, cost ∝ base scan + feed size; the feed side
+    is churn-sized and broadcasts. This is what an incremental
+    downstream consumer (embedding cache, feature store, training-
+    shard builder) runs per poll instead of re-reading snapshots."""
+    cols = base.columns
+    return base.join(
+        F.broadcast(feed.select(key_col)), key_col, "left_anti"
+    ).unionByName(
+        feed.filter(F.col("change_type") == "upsert").select(*cols)
+    )
+
+
 def link_tree(src: str, dst: str) -> None:
     """Recursively hard-link every file under ``src`` into ``dst``
     (directories recreated, files linked — zero data copied). The

@@ -706,16 +706,14 @@ def crud_cdf_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer built on the feed. `metadata` is excluded from the
     comparison only because Spark set operations cannot compare map
     columns; it is identical by construction in this store."""
+    from local_vectordb_spark.operators.incremental import apply_changes
+
     db = _inc_search_store(spark, sf_dir)
     v = db._current_version("chunks")
     base = db.table("chunks", version=v - 2)
     feed = db.table_changes("chunks", since_version=v - 2)
     cols = [c for c in base.columns if c != "metadata"]
-    mirror = base.select(*cols).join(
-        feed.select("id"), "id", "left_anti"
-    ).unionByName(
-        feed.filter(F.col("change_type") == "upsert").select(*cols)
-    )
+    mirror = apply_changes(base.select(*cols), feed, key_col="id")
     live = db.table("chunks").select(*cols)
     diff = mirror.exceptAll(live).unionByName(live.exceptAll(mirror))
     return diff.agg(F.count("*").alias("diverged_rows")).crossJoin(

@@ -586,6 +586,32 @@ def test_nsw_rebuilds_past_drift_budget(spark, tmp_path, monkeypatch):
     assert meta == {"n_at_build": 13, "drift": 0}  # fresh ledger
 
 
+def test_apply_changes_reconstructs_the_live_table(spark, tmp_path):
+    """r14: the consumer-side operator — apply_changes(snapshot@since,
+    feed) must equal snapshot@live EXACTLY (full rows, timestamps
+    included), through adds, updates, deletes, and in-range churn."""
+    from local_vectordb_spark.operators.incremental import apply_changes
+
+    d = _seed(spark, tmp_path, QUESTIONS[:6], keep_versions=8)
+    v0 = d._current_version("chunks")
+    d.add("chunks", spark.createDataFrame(
+        _chunk_rows(QUESTIONS[8:10]), SCHEMAS["chunks"]))
+    d.update("chunks", spark.createDataFrame(
+        [("c1", None, None, None, "rewritten", None, None)],
+        SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c2",)], "id string"))
+    d.delete("chunks", spark.createDataFrame([("c101",)], "id string"))
+
+    base = d.table("chunks", version=v0).drop("metadata")
+    feed = d.table_changes("chunks", since_version=v0)
+    mirror = apply_changes(base, feed, key_col="id")
+    live = d.table("chunks").drop("metadata")
+    assert mirror.exceptAll(live).count() == 0
+    assert live.exceptAll(mirror).count() == 0
+    # 6 seeded + c100 (c101 churned in-range, c2 deleted) = 6
+    assert mirror.count() == live.count() == 6
+
+
 # ---------- change-data feed (table_changes) ----------
 
 def test_table_changes_nets_and_refuses_partial_feeds(spark, tmp_path):

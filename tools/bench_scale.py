@@ -643,7 +643,12 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
             }
             print(f"sf10 facade nsw beam={b}: recall@10 {rc}, "
                   f"serve {secs}", flush=True)
-        recalls = recall_curve["beam=8"]["recall_at_10"]
+        # the row's headline recall reports the DEFAULT serving config
+        # at this corpus size: past NSW_BEAM_KNEE (100k) the size-aware
+        # default beam is 16 (r13 verdict #5) — beam=8 in the headline
+        # field misrepresented what an unconfigured search actually
+        # gets (the full curve stays recorded either way)
+        recalls = recall_curve["beam=16"]["recall_at_10"]
         edges = spark.read.parquet(os.path.join(
             db._table_dir("chunks"),
             f"_nsw_v{db._current_version('chunks')}", "edges")).count()
