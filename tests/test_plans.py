@@ -663,3 +663,42 @@ def test_layered_nsw_compose_is_broadcast_only(spark, tmp_path):
     assert plan.count("BroadcastHashJoin LeftAnti") >= 2, plan
     assert plans.sort_merge_join_count(composed) == 0, plan
     assert plans.count_shuffles(composed) == 0, plan
+
+
+def test_table_changes_scans_only_the_delta_log(spark, tmp_path):
+    """r14: the change feed's cost contract at the PLAN level — every
+    parquet scan in a table_changes plan reads a ``v{N}/_delta`` path,
+    never a corpus snapshot. A regression that sneaks a snapshot scan
+    into the compose (say, to re-derive a column) silently turns the
+    cost ∝ changes promise into cost ∝ corpus per poll."""
+    import uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path), keep_versions=6)
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"feed row {i}", None, doc)
+         for i in range(8)],
+        SCHEMAS["chunks"]))
+    v0 = d._current_version("chunks")
+    d.add("chunks", spark.createDataFrame(
+        [("c100", {}, None, None, "feed row 100", None, doc)],
+        SCHEMAS["chunks"]))
+    d.delete("chunks", spark.createDataFrame([("c2",)], "id string"))
+
+    feed = d.table_changes("chunks", since_version=v0)
+    plan = plans.plan_string(feed)
+    locations = [
+        line for line in plan.splitlines() if "Location" in line
+    ]
+    assert locations, plan  # the plan must show its file sources
+    for line in locations:
+        assert "_delta" in line, f"snapshot scan in the feed plan: {line}"
+    got = {(r.change_type, r.id) for r in feed.collect()}
+    assert got == {("upsert", "c100"), ("remove", "c2")}
