@@ -101,6 +101,12 @@ STRESS_XL = [
 BUDGET_S = 120.0
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 4)
+
+
 def run_tier(spark, qs, sf_dir: str, names: list[str]) -> tuple[dict, dict, bool]:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -526,12 +532,25 @@ def run_facade_nsw_incremental_xl(spark, sf_dir: str) -> dict:
                 query_vec=pv, index_type="cosine", k=10).collect()}
             recalls.append(len(nsw_ids & exact_ids) / 10.0)
 
+        # what does the LAYERED composition cost per SEARCH? The
+        # tombstone anti-joins ride every hop of every traversal —
+        # time a pure serve over the composed artifact (best-of-2,
+        # same protocol as facade_nsw_stored's second_instance_serve)
+        # so the read-side price of delta-cost maintenance is a
+        # number, not an assumption
+        composed_serve = min(
+            _timed(lambda: other.search(
+                query_vec=qv, index_type="nsw", k=10).count())
+            for _ in range(2)
+        )
+
         row = {
             "corpus_vectors": 200_000,
             "delta_rows": 120,
             "full_build_plus_traverse_sec": full_build_sec,
             "delta_write_sec": write_sec,
             "maintenance_build_plus_traverse_sec": inc_build_sec,
+            "composed_serve_sec": composed_serve,
             "speedup_vs_full_build": round(full_build_sec / inc_build_sec, 1),
             "lsh_rebuilds": calls["lsh"],
             "nodes_inserted": prov["nodes_inserted"],
