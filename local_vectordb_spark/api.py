@@ -491,7 +491,12 @@ class VectorDB:
         # committed snapshot's, corrupting every downstream mirror
         # built from the change feed (r13 ADVICE). A literal makes the
         # plan deterministic, so both actions commit identical bytes.
-        now = F.lit(_dt.datetime.now())
+        # AWARE (UTC), not naive (r14 ADVICE): Spark interprets a naive
+        # datetime in spark.sql.session.timeZone — if that differs from
+        # the machine's local zone, the absolute commit instant is
+        # skewed by the offset. An aware value names one instant under
+        # any session configuration.
+        now = F.lit(_dt.datetime.now(_dt.timezone.utc))
         accepted = self._embedded(kind, accepted).withColumn(
             "created_at", F.coalesce("created_at", now)
         ).withColumn("updated_at", F.coalesce("updated_at", now))
@@ -547,10 +552,12 @@ class VectorDB:
         (reference 400s, src/main.py:295-299 via get_document)."""
         updates, fk_rejected = self._validated(kind, updates, allow_null_fk=True)
         updates = self._embedded(kind, updates)
-        # Python-literal timestamp, NOT current_timestamp: the merged
-        # snapshot and its recorded delta are written by two separate
-        # actions, which must see the same value (r13 ADVICE — see add)
-        now = F.lit(_dt.datetime.now())
+        # Python-literal AWARE timestamp, NOT current_timestamp: the
+        # merged snapshot and its recorded delta are written by two
+        # separate actions, which must see the same value (r13 ADVICE),
+        # and a naive datetime would be re-interpreted in the session
+        # timezone (r14 ADVICE — see add)
+        now = F.lit(_dt.datetime.now(_dt.timezone.utc))
         updates = updates.withColumn("updated_at", now)
         if "created_at" in updates.columns:
             updates = updates.drop("created_at")  # preserved from base

@@ -268,15 +268,27 @@ class _Handler(BaseHTTPRequestHandler):
         served_v = (
             self.db._current_version(kind) if version is None else version
         )
+        if served_v < 0:
+            # Never-written table: answer from the ONE pointer read
+            # above instead of letting table_changes re-read _CURRENT —
+            # a commit landing between the two reads would make
+            # X-Table-Version (-1) name an older generation than the
+            # feed covers, and the next since=-1 poll would re-receive
+            # rows (r14 ADVICE). since=-1 is the only in-range base for
+            # a table with no generations; anything newer never existed.
+            if since != -1:
+                self._send(404, {
+                    "detail": f"since_version {since} out of range for "
+                              f"{kind} (target is v-1)"})
+                return
+            self._send(200, [], headers={
+                "X-Table-Version": -1, "X-More-Changes": "false"})
+            return
         try:
             # limit+1 probe row: "is there another page" without a
             # second count job over the feed
             rows = (
-                self.db.table_changes(
-                    kind,
-                    since,
-                    version=served_v if served_v >= 0 else None,
-                )
+                self.db.table_changes(kind, since, version=served_v)
                 .orderBy("change_type", "id")
                 .offset(offset)
                 .limit(limit + 1)

@@ -444,6 +444,11 @@ def test_changes_410_vs_404_split_is_typed_not_message_matched(
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
     try:
+        # the table must have a live generation: a never-written table
+        # is answered from the route's own single pointer read (r14
+        # ADVICE) and would never reach the patched table_changes
+        assert _req(base, "POST", "/libraries", {"name": "g"})[0] == 201
+
         def _raise(exc):
             def fn(*a, **k):
                 raise exc
@@ -453,14 +458,14 @@ def test_changes_410_vs_404_split_is_typed_not_message_matched(
             db, "table_changes",
             _raise(IncompleteChangeLog("reworded: delta log has a gap")),
         )
-        code, body = _req(base, "GET", "/chunks/_changes?since=0")
+        code, body = _req(base, "GET", "/libraries/_changes?since=0")
         assert code == 410 and "gap" in body["detail"]
 
         monkeypatch.setattr(
             db, "table_changes",
             _raise(ValueError("bad version (note: no change record)")),
         )
-        code, _ = _req(base, "GET", "/chunks/_changes?since=0")
+        code, _ = _req(base, "GET", "/libraries/_changes?since=0")
         assert code == 404
     finally:
         srv.shutdown()
@@ -529,4 +534,32 @@ def test_changes_route_is_paginated(spark, tmp_path):
     # default limit (100) swallows the whole 5-row feed in one page
     _, full, hf = _req_headers(server, f"/chunks/_changes?since={base_v}")
     assert len(full) == 5 and hf["X-More-Changes"] == "false"
+    srv.shutdown()
+
+
+def test_changes_on_never_written_table_is_one_pointer_read(spark, tmp_path):
+    """r14 ADVICE: a never-written table's feed must answer from the
+    SAME pointer read that produced X-Table-Version — previously the
+    route passed version=None and let table_changes re-read _CURRENT,
+    so a commit landing between the two reads made the header (-1)
+    name an older generation than the feed covered, and the client's
+    next since=-1 poll re-received rows. The pinned contract: since=-1
+    on an empty table is an empty 200 page (header -1, no more pages);
+    any newer base never existed — 404, mirroring table_changes'
+    own range check."""
+    import threading
+
+    from local_vectordb_spark.serving import make_server
+
+    db = VectorDB(spark, str(tmp_path / "empty_db"))
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    server = f"http://127.0.0.1:{srv.server_address[1]}"
+    code, body, h = _req_headers(server, "/chunks/_changes?since=-1")
+    assert code == 200 and body == []
+    assert int(h["X-Table-Version"]) == -1
+    assert h["X-More-Changes"] == "false"
+    # a base generation that never existed on this table
+    assert _req(server, "GET", "/chunks/_changes?since=0")[0] == 404
+    assert _req(server, "GET", "/chunks/_changes?since=-2")[0] == 404
     srv.shutdown()
