@@ -702,3 +702,33 @@ def test_table_changes_scans_only_the_delta_log(spark, tmp_path):
         assert "_delta" in line, f"snapshot scan in the feed plan: {line}"
     got = {(r.change_type, r.id) for r in feed.collect()}
     assert got == {("upsert", "c100"), ("remove", "c2")}
+
+
+def test_apply_changes_is_broadcast_anti_join_no_base_shuffle(spark):
+    """r15: the CDF CONSUMER's cost contract at the plan level —
+    ``apply_changes`` must apply a feed as one BROADCAST anti-join
+    (feed side is churn-sized by the producer's contract) plus a
+    union, with ZERO exchanges: the base snapshot streams through
+    map-side, never shuffles. A regression to a sort-merge anti-join
+    (or any repartition of the base) turns every consumer poll into a
+    corpus-sized shuffle — the exact failure mode the operator exists
+    to avoid at 100 TB."""
+    from local_vectordb_spark.operators.incremental import apply_changes
+
+    base = spark.range(0, 10_000).select(
+        F.concat(F.lit("id"), F.col("id")).alias("id"),
+        F.col("id").alias("val"),
+    )
+    feed = spark.createDataFrame(
+        [("upsert", "id5", 999), ("remove", "id7", 7)],
+        "change_type string, id string, val long",
+    )
+    mirror = apply_changes(base, feed)
+    # formatted mode renders each node in the tree AND the detail
+    # section: one physical BroadcastHashJoin counts twice
+    assert plans.broadcast_join_count(mirror) == 2, plans.plan_string(mirror)
+    assert plans.sort_merge_join_count(mirror) == 0
+    assert plans.count_shuffles(mirror) == 0, plans.plan_string(mirror)
+    got = {(r.id, r.val) for r in mirror.collect()}
+    assert ("id5", 999) in got and not any(i == "id7" for i, _ in got)
+    assert len(got) == 9_999

@@ -585,6 +585,222 @@ def run_facade_nsw_incremental_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root_dir, ignore_errors=True)
 
 
+def run_facade_nsw_chain_xl(spark, sf_dir: str) -> dict:
+    """r15 (r14 verdict #5): the layered NSW artifact's MULTI-COMMIT
+    steady state, measured instead of asserted. Five consecutive
+    maintenance rounds (each a 100-perturbed-add commit + a
+    20-delete commit = one 120-row delta) over the 200k stored graph:
+    per round the harness records the maintenance wall (first search
+    after the commits — must take the incremental path, zero LSH
+    rebuilds, spied), the composed serve cost (best-of-2 — the
+    tombstone anti-joins ride every traversal, so if layering
+    compounded across rounds THIS number would climb), and the layer
+    sizes from the artifact itself (tombstones, edges_add, drift —
+    the one-layer algebra says tombstones grow ∝ cumulative churn
+    while `edges` stays the same hard-linked base files, st_nlink
+    asserted every round). A sixth commit then deletes 40,000 rows:
+    cumulative drift 600 + 40,000 crosses the 20% budget
+    (IVF_RETRAIN_FRACTION × 200,000 = 40,000), so the maintenance
+    path must REFUSE and the true LSH rebuild fire — the
+    drift-budget compaction: the new artifact is un-layered, its
+    ledger reset, recall re-verified on the rebuilt graph."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.api import VectorDB
+
+    root_dir = tempfile.mkdtemp(prefix="lvdb_xl_nswchain_")
+    try:
+        db, emb, seed_sec = _seed_xl_db(spark, sf_dir, root_dir,
+                                        keep_versions=4)
+        qv = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        t0 = time.time()
+        db.search(query_vec=qv, index_type="nsw", k=10).count()
+        full_build_sec = round(time.time() - t0, 4)
+
+        # 100 distinct real ids to delete, 20 per round (spread through
+        # the first 10k; XL vec_ids are tile-offset, never synthesize)
+        doomed_all = [
+            r.vec_id
+            for r in emb.select("vec_id").orderBy("vec_id").limit(10_000)
+            .collect()
+        ][99::100][:100]
+        ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+
+        calls = {"lsh": 0, "inc": 0}
+        orig_lsh = VectorDB._lsh_graph_edges
+        orig_inc = VectorDB._nsw_build_incremental
+
+        def spy_lsh(self, *a, **kw):
+            calls["lsh"] += 1
+            return orig_lsh(self, *a, **kw)
+
+        def spy_inc(self, *a, **kw):
+            calls["inc"] += 1
+            return orig_inc(self, *a, **kw)
+
+        VectorDB._lsh_graph_edges = spy_lsh
+        VectorDB._nsw_build_incremental = spy_inc
+        rounds = []
+        try:
+            for i in range(1, 6):
+                # adds perturbed per round (coord0 + 0.5 + 0.01*i):
+                # unique vectors, unique nearest neighbour of themselves
+                perturbed = F.concat(
+                    F.array((F.col("embedding")[0] + F.lit(0.5 + 0.01 * i))
+                            .cast("float")),
+                    F.slice(F.col("embedding"), 2, 63),
+                )
+                t0 = time.time()
+                db.add("chunks", emb.filter(F.col("vec_id") < 100).select(
+                    F.concat(F.lit(f"cx{i}_"), F.col("vec_id")).alias("id"),
+                    F.create_map().cast("map<string,string>")
+                    .alias("metadata"),
+                    ts.alias("created_at"), ts.alias("updated_at"),
+                    F.concat(F.lit(f"added r{i} "), F.col("vec_id"))
+                    .alias("content"),
+                    perturbed.cast("array<float>").alias("embedding"),
+                    F.lit("d1").alias("document_id")))
+                db.delete("chunks", spark.createDataFrame(
+                    [(f"c{v}",) for v in
+                     doomed_all[20 * (i - 1):20 * i]], "id string"))
+                write_sec = round(time.time() - t0, 4)
+
+                lsh_before, inc_before = calls["lsh"], calls["inc"]
+                t0 = time.time()
+                db.search(query_vec=qv, index_type="nsw", k=10).count()
+                maint_sec = round(time.time() - t0, 4)
+                assert calls["lsh"] == lsh_before and (
+                    calls["inc"] == inc_before + 1
+                ), f"round {i} did not take the maintenance path: {calls}"
+
+                v = db._current_version("chunks")
+                art = os.path.join(root_dir, "chunks", f"_nsw_v{v}")
+                with open(os.path.join(art, "meta.json")) as f:
+                    meta = _json.load(f)
+                with open(os.path.join(art, "provenance.json")) as f:
+                    prov = _json.load(f)
+                assert prov["layered"] is True
+                base_files = [
+                    fn for fn in os.listdir(os.path.join(art, "edges"))
+                    if fn.endswith(".parquet")
+                ]
+                assert base_files and all(
+                    os.stat(os.path.join(art, "edges", fn)).st_nlink > 1
+                    for fn in base_files
+                ), f"round {i} rewrote the base edge set"
+                composed_serve = min(
+                    _timed(lambda: db.search(
+                        query_vec=qv, index_type="nsw", k=10).count())
+                    for _ in range(2)
+                )
+                rounds.append({
+                    "round": i,
+                    "delta_rows": 120,
+                    "delta_write_sec": write_sec,
+                    "maintenance_build_plus_traverse_sec": maint_sec,
+                    "composed_serve_sec": composed_serve,
+                    "tombstoned_ids": spark.read.parquet(
+                        os.path.join(art, "tombstones")).count(),
+                    "edges_added": spark.read.parquet(
+                        os.path.join(art, "edges_add")).count(),
+                    "drift": meta["drift"],
+                })
+                print(f"sf10 nsw chain r{i}: maint {maint_sec:.1f}s, "
+                      f"serve {composed_serve:.2f}s, tombstones "
+                      f"{rounds[-1]['tombstoned_ids']}, adds "
+                      f"{rounds[-1]['edges_added']}, drift "
+                      f"{meta['drift']}", flush=True)
+
+            # round-5 adds are REACHABLE through the 5-layer-composed
+            # (still one-layer-deep) graph: the newest perturbed vector
+            # finds its own id top-1
+            base_q = [float(x) for x in emb.filter(
+                F.col("vec_id") == 50).first().embedding]
+            added_q = [base_q[0] + 0.55] + base_q[1:]
+            top = max(db.search(query_vec=added_q, index_type="nsw",
+                                k=10).collect(), key=lambda h: h.score)
+            assert top.id == "cx5_50", top
+
+            # sixth commit: 40,000 deletes — cumulative drift 600 +
+            # ~39,900 net removes (the first 40k ordered vec_ids,
+            # REAL tile-offset ids — 100 of them already deleted in
+            # rounds 1-5 net to nothing) crosses the 40,000 budget,
+            # so maintenance must refuse and the TRUE rebuild (the
+            # compaction) fire
+            t0 = time.time()
+            db.delete("chunks", emb.select(
+                F.concat(F.lit("c"), F.col("vec_id")).alias("id")
+            ).orderBy("id").limit(40_000))
+            big_write_sec = round(time.time() - t0, 4)
+            lsh_before, inc_before = calls["lsh"], calls["inc"]
+            t0 = time.time()
+            db.search(query_vec=qv, index_type="nsw", k=10).count()
+            rebuild_sec = round(time.time() - t0, 4)
+            assert calls["lsh"] == lsh_before + 1, (
+                f"drift-budget rebuild did not fire: {calls}"
+            )
+        finally:
+            VectorDB._lsh_graph_edges = orig_lsh
+            VectorDB._nsw_build_incremental = orig_inc
+
+        v = db._current_version("chunks")
+        art = os.path.join(root_dir, "chunks", f"_nsw_v{v}")
+        with open(os.path.join(art, "meta.json")) as f:
+            meta = _json.load(f)
+        assert meta["drift"] == 0, "rebuild must reset the drift ledger"
+        assert not os.path.exists(
+            os.path.join(art, "tombstones", "_SUCCESS")
+        ), "rebuild must compact the layers away"
+        compacted_serve = min(
+            _timed(lambda: db.search(
+                query_vec=qv, index_type="nsw", k=10).count())
+            for _ in range(2)
+        )
+        recalls = []
+        ordered = emb.orderBy("vec_id").select("embedding")
+        for pos in (1, 50_000, 190_000):
+            pv = [float(x) for x in ordered.limit(pos).tail(1)[0].embedding]
+            nsw_ids = {h.id for h in db.search(
+                query_vec=pv, index_type="nsw", k=10).collect()}
+            exact_ids = {h.id for h in db.search(
+                query_vec=pv, index_type="cosine", k=10).collect()}
+            recalls.append(len(nsw_ids & exact_ids) / 10.0)
+
+        row = {
+            "corpus_vectors": 200_000,
+            "full_build_plus_traverse_sec": full_build_sec,
+            "rounds": rounds,
+            "reachability_after_round_5": "cx5_50 top-1",
+            "compaction_trigger_delta_rows": 40_000,
+            "compaction_write_sec": big_write_sec,
+            "compaction_rebuild_plus_traverse_sec": rebuild_sec,
+            "compacted_serve_sec": compacted_serve,
+            "post_compaction_n_at_build": meta["n_at_build"],
+            "recall_at_10_vs_exact_post_compaction": recalls,
+            "lsh_rebuilds_total": 1,
+            "note": "five consecutive 120-row maintenance rounds over "
+                    "the 200k stored graph: every round re-links the "
+                    "SAME base edges (st_nlink asserted), layers stay "
+                    "one deep (cumulative tombstones, compacted adds), "
+                    "and the composed serve cost is MEASURED per round "
+                    "— then a 40k-delete commit crosses the 20% drift "
+                    "budget and the true LSH rebuild fires, resetting "
+                    "the ledger and compacting the layers away",
+        }
+        print(f"sf10 nsw chain: full {full_build_sec:.1f}s, maint "
+              f"{[r['maintenance_build_plus_traverse_sec'] for r in rounds]},"
+              f" serve {[r['composed_serve_sec'] for r in rounds]}, "
+              f"compaction rebuild {rebuild_sec:.1f}s, recall {recalls}",
+              flush=True)
+        return row
+    finally:
+        shutil.rmtree(root_dir, ignore_errors=True)
+
+
 def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
     """Build-once/serve-many proof for the facade's stored NSW graph at
     200k vectors (r10 verdict #1): seed a VectorDB with the XL
@@ -733,7 +949,8 @@ def run_fused_beam_diag(spark, qs) -> dict:
 def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
-             "--ivf-incremental-only", "--nsw-incremental-only"}
+             "--ivf-incremental-only", "--nsw-incremental-only",
+             "--nsw-chain-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -770,6 +987,10 @@ def main() -> int:
         if picked & {"--nsw-incremental-only", "--facade-only"}:
             result["facade_nsw_incremental"] = (
                 run_facade_nsw_incremental_xl(spark, dir100)
+            )
+        if picked & {"--nsw-chain-only"}:
+            result["facade_nsw_chain"] = (
+                run_facade_nsw_chain_xl(spark, dir100)
             )
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
