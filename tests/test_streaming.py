@@ -782,3 +782,64 @@ def test_cdf_mirror_stream_drains_paginated_feed(spark, tmp_path):
     assert [r["action"] for r in s3] == ["noop"]
     assert mirror_cursor(mirror_dir) == live_v
     srv.shutdown()
+
+
+def test_cdf_mirror_recovers_from_410_by_snapshot_reread(spark, tmp_path):
+    """The consumer's 410 path (r15): when retention GC (or a reset)
+    breaks the delta chain between the mirror's cursor and the live
+    head, the feed is PERMANENTLY unservable from that base — the
+    poller must fall back to re-reading the full snapshot through the
+    paginated list route and land on a mirror that equals the live
+    table, never serve a partial feed. keep_versions=2 and four
+    commits past the cursor guarantee the cursor's successor delta is
+    GC'd by poll time."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.serving import make_server
+    from local_vectordb_spark.streaming.cdf import (
+        mirror_cursor,
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    db = VectorDB(spark, str(tmp_path / "gc_db"), keep_versions=2)
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def req(method, path, body=None):
+        data = None if body is None else _json.dumps(body).encode()
+        r = urllib.request.Request(base + path, data=data, method=method)
+        r.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(r) as resp:
+            raw = resp.read()
+            return _json.loads(raw) if raw else None
+
+    lib = req("POST", "/libraries", {"name": "g"})
+    doc = req("POST", "/documents", {"name": "d", "library_id": lib["id"]})
+    req("POST", "/chunks", {"content": "row 0", "document_id": doc["id"]})
+
+    mirror_dir = str(tmp_path / "mirror")
+    s0 = sync_mirror_once(spark, base, "chunks", mirror_dir, limit=2)
+    assert s0["action"] == "bootstrapped"
+    cursor0 = mirror_cursor(mirror_dir)
+
+    # four commits: keep_versions=2 retains only the newest two, so
+    # the delta for cursor0+1 is GC'd — the feed from cursor0 is gone
+    for i in range(1, 5):
+        req("POST", "/chunks", {"content": f"row {i}",
+                                "document_id": doc["id"]})
+
+    s1 = sync_mirror_once(spark, base, "chunks", mirror_dir, limit=2)
+    assert s1["action"] == "bootstrapped"  # 410 -> snapshot re-read
+    assert s1["served_version"] > cursor0
+    live = db.table("chunks")
+    mirror = read_mirror(spark, mirror_dir)
+    key = sorted(mirror.columns)
+    assert sorted(tuple(r[c] for c in key) for r in mirror.collect()) == \
+        sorted(tuple(r[c] for c in key) for r in live.collect())
+    assert mirror.count() == 5
+    srv.shutdown()
