@@ -47,10 +47,24 @@ import urllib.error
 import urllib.request
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from local_vectordb_spark.operators.incremental import apply_changes
+from local_vectordb_spark.operators.incremental import (
+    apply_changes,
+    link_tree,
+)
 from local_vectordb_spark.sources.json_records import SCHEMAS
+
+# Mirror partitioning width: rows live in hash buckets so a sync can
+# rewrite ONLY the buckets the feed touches and hard-link the rest —
+# the same touched-partition discipline the server's incremental index
+# artifacts use. Must stay CONSTANT for a mirror's lifetime (bucket
+# identity is the layout); persisted in the mirror's _META at
+# bootstrap. 16 suits test-scale corpora; at 100 TB size it so one
+# bucket ≈ a few GB (tens of thousands of buckets) — per-poll cost is
+# then (touched buckets × bucket size) + churn, never the corpus.
+N_BUCKETS_DEFAULT = 16
 
 
 class FeedGone(Exception):
@@ -162,12 +176,25 @@ def _mirror_data_dir(mirror_dir: str, version: int) -> str:
     return os.path.join(mirror_dir, f"data_v{version}")
 
 
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
+
+
+def _mirror_n_buckets(mirror_dir: str) -> int:
+    """The mirror's persisted bucket width (layout identity — written
+    once at bootstrap, never changed for the mirror's lifetime)."""
+    with open(os.path.join(mirror_dir, "_META")) as f:
+        return int(json.load(f)["n_buckets"])
+
+
 def read_mirror(spark: SparkSession, mirror_dir: str) -> DataFrame:
-    """The mirror at its committed cursor (raises if never synced)."""
+    """The mirror at its committed cursor (raises if never synced).
+    The physical hash-bucket partition column is layout, not data —
+    dropped here."""
     v = mirror_cursor(mirror_dir)
     if v is None:
         raise ValueError(f"no mirror committed under {mirror_dir}")
-    return spark.read.parquet(_mirror_data_dir(mirror_dir, v))
+    return spark.read.parquet(_mirror_data_dir(mirror_dir, v)).drop("bucket")
 
 
 def mirror_cursor(mirror_dir: str) -> int | None:
@@ -178,22 +205,101 @@ def mirror_cursor(mirror_dir: str) -> int | None:
         return int(f.read())
 
 
-def _commit_mirror(
-    df: DataFrame, mirror_dir: str, version: int, prev: int | None
-) -> None:
-    """Data first, cursor second (atomic replace), old generation GC'd
-    last — the same write-then-point discipline as the server's store,
-    so a consumer killed at any point either still serves the previous
-    consistent mirror or the new one, never a torn write."""
-    df.write.mode("overwrite").parquet(_mirror_data_dir(mirror_dir, version))
+def _point_cursor_and_gc(mirror_dir: str, version: int, prev: int | None) -> None:
+    """Cursor replaced atomically AFTER the data write, older
+    generations GC'd last — the same write-then-point discipline as
+    the server's store, so a consumer killed at any point serves
+    either the previous consistent mirror or the new one, never a
+    torn write. The immediately-previous generation is RETAINED
+    (keep-2): its files back the new generation's hard links, and
+    keeping it observable lets tests (and operators) verify the
+    link-reuse contract; everything older is removed."""
     tmp = os.path.join(mirror_dir, "_SINCE.tmp")
     with open(tmp, "w") as f:
         f.write(str(version))
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mirror_dir, "_SINCE"))
-    if prev is not None and prev != version:
-        shutil.rmtree(_mirror_data_dir(mirror_dir, prev), ignore_errors=True)
+    keep = {f"data_v{version}"} | (
+        {f"data_v{prev}"} if prev is not None else set()
+    )
+    for name in os.listdir(mirror_dir):
+        if name.startswith("data_v") and name not in keep:
+            shutil.rmtree(os.path.join(mirror_dir, name),
+                          ignore_errors=True)
+
+
+def _commit_mirror_full(
+    df: DataFrame,
+    mirror_dir: str,
+    version: int,
+    prev: int | None,
+    n_buckets: int,
+) -> None:
+    """Bootstrap / 410-recovery commit: the whole snapshot, written
+    once, hash-bucket partitioned so every LATER sync can rewrite
+    only touched buckets."""
+    meta_p = os.path.join(mirror_dir, "_META")
+    if not os.path.exists(meta_p):
+        with open(meta_p, "w") as f:
+            json.dump({"n_buckets": n_buckets}, f)
+    df.withColumn("bucket", _bucket_expr(_mirror_n_buckets(mirror_dir))) \
+        .write.partitionBy("bucket").mode("overwrite") \
+        .parquet(_mirror_data_dir(mirror_dir, version))
+    _point_cursor_and_gc(mirror_dir, version, prev)
+
+
+def _apply_feed_bucketed(
+    spark: SparkSession,
+    kind: str,
+    feed: DataFrame,
+    mirror_dir: str,
+    since: int,
+    pin: int,
+) -> int:
+    """The cost ∝ churn sync (r15): the feed names its ids, ids name
+    their hash buckets, so the new generation REWRITES only the
+    touched buckets (partition-pruned read of exactly those
+    directories + the broadcast anti-join apply) and HARD-LINKS every
+    untouched bucket directory from the previous generation —
+    `link_tree`, the same file-level reuse the server's incremental
+    index artifacts ride. A full-corpus rewrite per poll (the naive
+    form) costs ∝ corpus at 100 TB no matter how small the delta;
+    this costs (touched buckets + churn). Returns the touched-bucket
+    count."""
+    n_buckets = _mirror_n_buckets(mirror_dir)
+    prev_dir = _mirror_data_dir(mirror_dir, since)
+    new_dir = _mirror_data_dir(mirror_dir, pin)
+    touched = {
+        r.b
+        for r in feed.select(_bucket_expr(n_buckets).alias("b"))
+        .distinct().collect()
+    }  # churn-sized collect, never corpus-sized
+    existing = {
+        name for name in os.listdir(prev_dir) if name.startswith("bucket=")
+    }
+    touch_paths = [
+        os.path.join(prev_dir, f"bucket={b}")
+        for b in sorted(touched)
+        if f"bucket={b}" in existing
+    ]
+    if touch_paths:
+        base_touched = (
+            spark.read.option("basePath", prev_dir).parquet(*touch_paths)
+            .drop("bucket")
+        )
+    else:  # feed only names ids in buckets the mirror never held
+        base_touched = spark.createDataFrame([], SCHEMAS[kind])
+    out = apply_changes(base_touched, feed).withColumn(
+        "bucket", _bucket_expr(n_buckets)
+    )
+    out.write.partitionBy("bucket").mode("overwrite").parquet(new_dir)
+    for name in existing:
+        if int(name.split("=", 1)[1]) not in touched:
+            link_tree(os.path.join(prev_dir, name),
+                      os.path.join(new_dir, name))
+    _point_cursor_and_gc(mirror_dir, pin, prev=since)
+    return len(touched)
 
 
 def sync_mirror_once(
@@ -203,12 +309,20 @@ def sync_mirror_once(
     mirror_dir: str,
     *,
     limit: int = 100,
+    n_buckets: int = N_BUCKETS_DEFAULT,
 ) -> dict:
     """One poll: drain the paginated feed from the committed cursor
-    and apply it to the mirror (broadcast anti-join + union — the
-    ``apply_changes`` operator); bootstrap or recover from 410 by
-    paging the full snapshot. Returns a progress record
-    ``{action, since, served_version, n_changes, n_rows}``."""
+    and apply it to the mirror — rewriting ONLY the hash buckets the
+    feed touches (broadcast anti-join over a partition-pruned read,
+    untouched buckets hard-linked), so a poll costs ∝ churn, never ∝
+    corpus. Bootstrap or recover from 410 by paging the full snapshot
+    (that path IS corpus-sized by contract — it exists because the
+    feed from this base is permanently unservable; a production
+    bootstrap at 100 TB reads the snapshot from shared storage
+    instead of HTTP/JSON). ``n_buckets`` applies only at bootstrap —
+    the width is the mirror's layout identity and persists in its
+    ``_META``. Returns a progress record ``{action, since,
+    served_version, n_changes, touched_buckets}``."""
     os.makedirs(mirror_dir, exist_ok=True)
     since = mirror_cursor(mirror_dir)
     schema = _changes_schema(kind)
@@ -221,22 +335,23 @@ def sync_mirror_once(
             if pin == since:  # nothing new committed since last poll
                 return {"action": "noop", "since": since,
                         "served_version": pin, "n_changes": 0,
-                        "n_rows": None}
+                        "touched_buckets": 0}
             feed = _rows_to_df(spark, rows, schema)
-            base = spark.read.parquet(_mirror_data_dir(mirror_dir, since))
-            mirror = apply_changes(base, feed).localCheckpoint(eager=True)
-            _commit_mirror(mirror, mirror_dir, pin, prev=since)
+            n_touched = _apply_feed_bucketed(
+                spark, kind, feed, mirror_dir, since, pin
+            )
             return {"action": "applied", "since": since,
                     "served_version": pin, "n_changes": len(rows),
-                    "n_rows": mirror.count()}
+                    "touched_buckets": n_touched}
     # bootstrap (no cursor) or 410 recovery: full snapshot, paginated
     rows, pin = _snapshot_pages(base_url, kind, limit=limit)
-    snap = _rows_to_df(spark, rows, SCHEMAS[kind]).localCheckpoint(eager=True)
+    snap = _rows_to_df(spark, rows, SCHEMAS[kind])
     if pin >= 0:
-        _commit_mirror(snap, mirror_dir, pin, prev=since)
+        _commit_mirror_full(snap, mirror_dir, pin, prev=since,
+                            n_buckets=n_buckets)
     return {"action": "bootstrapped", "since": since,
             "served_version": pin, "n_changes": len(rows),
-            "n_rows": snap.count()}
+            "touched_buckets": None}
 
 
 def run_cdf_mirror_stream(

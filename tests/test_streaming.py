@@ -781,6 +781,45 @@ def test_cdf_mirror_stream_drains_paginated_feed(spark, tmp_path):
     s3 = drain([])
     assert [r["action"] for r in s3] == ["noop"]
     assert mirror_cursor(mirror_dir) == live_v
+
+    # tick 4 (r15 — cost ∝ churn at the FILE level): one more commit,
+    # a 1-id feed. The sync must rewrite ONLY that id's hash bucket;
+    # every other bucket directory must be HARD-LINKED from the
+    # previous generation (st_nlink > 1 — the same file-level reuse
+    # the server's incremental index artifacts ride), never rewritten.
+    from pyspark.sql import functions as F
+    z = req("POST", "/chunks", {"content": "late row",
+                                "document_id": doc["id"]})
+    z_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(z["id"])), F.lit(16)).cast("int").alias("b")
+    ).collect()[0].b
+    tick(4)
+    s4 = drain([])
+    assert [r["action"] for r in s4] == ["applied"]
+    assert s4[0]["n_changes"] == 1 and s4[0]["touched_buckets"] == 1
+    gen_dir = os.path.join(mirror_dir, f"data_v{mirror_cursor(mirror_dir)}")
+    buckets = [n for n in os.listdir(gen_dir) if n.startswith("bucket=")]
+    assert f"bucket={z_bucket}" in buckets
+    linked = rewritten = 0
+    for name in buckets:
+        files = [f for f in os.listdir(os.path.join(gen_dir, name))
+                 if f.endswith(".parquet")]
+        assert files, name
+        nlinks = {os.stat(os.path.join(gen_dir, name, f)).st_nlink
+                  for f in files}
+        if name == f"bucket={z_bucket}":
+            assert nlinks == {1}, f"touched bucket not rewritten: {nlinks}"
+            rewritten += 1
+        else:
+            assert min(nlinks) > 1, f"untouched bucket {name} rewritten"
+            linked += 1
+    assert rewritten == 1 and linked >= 1, (rewritten, linked)
+    # and the mirror still equals the live table exactly
+    m = sorted(tuple(r[c] for c in key)
+               for r in read_mirror(spark, mirror_dir).collect())
+    l = sorted(tuple(r[c] for c in key)
+               for r in db.table("chunks").collect())
+    assert m == l and len(m) == 6
     srv.shutdown()
 
 
