@@ -563,3 +563,67 @@ def test_changes_on_never_written_table_is_one_pointer_read(spark, tmp_path):
     assert _req(server, "GET", "/chunks/_changes?since=0")[0] == 404
     assert _req(server, "GET", "/chunks/_changes?since=-2")[0] == 404
     srv.shutdown()
+
+
+def test_changes_pagination_does_not_tear_across_concurrent_commit(
+    spark, tmp_path
+):
+    """The immutable-range claim under an actual interleaved write
+    (r15): a commit landing BETWEEN two pages of one poll must not
+    tear the feed — continuation pages passing version=<pin> keep
+    reading the generation the first page named, the new commit's row
+    appears in none of them, and a FRESH poll from the same base then
+    covers it under a newer pin. This is the race the X-Table-Version
+    pin exists to close; the pagination test covers the happy path,
+    this pins the interleaving."""
+    import threading
+
+    from local_vectordb_spark.serving import make_server
+
+    db = VectorDB(spark, str(tmp_path / "tear_db"), keep_versions=10)
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    server = f"http://127.0.0.1:{srv.server_address[1]}"
+    _, lib = _req(server, "POST", "/libraries", {"name": "t"})
+    _, doc = _req(
+        server, "POST", "/documents", {"name": "d", "library_id": lib["id"]}
+    )
+    assert _req(server, "POST", "/chunks",
+                {"content": "base", "document_id": doc["id"]})[0] == 201
+    _, _, h = _req_headers(server, "/chunks?limit=1")
+    base_v = int(h["X-Table-Version"])
+    ids = [
+        _req(server, "POST", "/chunks",
+             {"content": f"row {i}", "document_id": doc["id"]})[1]["id"]
+        for i in range(3)
+    ]
+
+    # page 1 pins the 3-upsert generation
+    code, p1, h1 = _req_headers(
+        server, f"/chunks/_changes?since={base_v}&limit=2")
+    assert code == 200 and len(p1) == 2 and h1["X-More-Changes"] == "true"
+    pin = int(h1["X-Table-Version"])
+
+    # a commit lands BETWEEN the pages
+    _, late = _req(server, "POST", "/chunks",
+                   {"content": "late", "document_id": doc["id"]})
+
+    # page 2 must complete the PINNED range: exactly the third row,
+    # no late row, no more pages
+    code, p2, h2 = _req_headers(
+        server,
+        f"/chunks/_changes?since={base_v}&version={pin}&limit=2&offset=2",
+    )
+    assert code == 200 and h2["X-More-Changes"] == "false"
+    got = [(r["change_type"], r["id"]) for r in p1 + p2]
+    assert got == sorted(("upsert", i) for i in ids)
+    assert all(r["id"] != late["id"] for r in p1 + p2)
+
+    # the NEXT poll (fresh pin) picks up exactly what the torn-away
+    # commit added — nothing lost, nothing duplicated
+    code, p3, h3 = _req_headers(server, f"/chunks/_changes?since={pin}")
+    assert code == 200 and int(h3["X-Table-Version"]) > pin
+    assert [(r["change_type"], r["id"]) for r in p3] == [
+        ("upsert", late["id"])
+    ]
+    srv.shutdown()
