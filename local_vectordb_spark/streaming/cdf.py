@@ -359,13 +359,14 @@ def run_cdf_mirror_stream(
     base_url: str,
     kind: str,
     mirror_dir: str,
-    clock: DataFrame,
+    clock: DataFrame | None,
     checkpoint_dir: str,
     *,
     limit: int = 100,
     available_now: bool = True,
     timeout_sec: int = 300,
     progress_sink: list | None = None,
+    poll_interval_sec: int = 10,
 ):
     """The Structured Streaming consumer loop: each micro-batch of
     ``clock`` (any streaming source — a rate stream in production, a
@@ -374,7 +375,15 @@ def run_cdf_mirror_stream(
     scheduler, checkpointed like any sink so a restarted consumer
     resumes polling without double-applying (the mirror cursor, not
     the clock offset, is the idempotency point — a replayed tick just
-    re-polls and no-ops). Returns the (stopped) StreamingQuery."""
+    re-polls and no-ops). ``clock=None`` builds the production
+    default: a rate stream ticking once per ``poll_interval_sec``
+    (pass ``available_now=False`` with it — a rate clock never runs
+    dry, so the caller owns stop()). Returns the StreamingQuery
+    (stopped when ``available_now``)."""
+    default_clock = clock is None
+    if default_clock:
+        clock = spark.readStream.format("rate") \
+            .option("rowsPerSecond", 1).load()
 
     def _poll(_batch: DataFrame, _batch_id: int) -> None:
         rec = sync_mirror_once(spark, base_url, kind, mirror_dir, limit=limit)
@@ -388,6 +397,10 @@ def run_cdf_mirror_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif default_clock:
+        # the poll cadence lives in the trigger, not the rate source:
+        # one micro-batch (= one poll) per interval
+        writer = writer.trigger(processingTime=f"{poll_interval_sec} seconds")
     q = writer.start()
     if available_now:
         q.awaitTermination(timeout_sec)

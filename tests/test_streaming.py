@@ -881,4 +881,77 @@ def test_cdf_mirror_recovers_from_410_by_snapshot_reread(spark, tmp_path):
     assert sorted(tuple(r[c] for c in key) for r in mirror.collect()) == \
         sorted(tuple(r[c] for c in key) for r in live.collect())
     assert mirror.count() == 5
+
+    # the mirror is a SERVING read replica: a brute-force cosine kNN
+    # over the mirror's embedding column returns exactly what the
+    # primary's search path returns — the embedding-cache /
+    # feature-store consumer story made concrete
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.operators.knn import knn_brute_force
+
+    qv = [float(x) for x in live.orderBy("id").first().embedding]
+    replica = [
+        (r.id, round(r.score, 6))
+        for r in knn_brute_force(mirror, qv, k=3, id_col="id").collect()
+    ]
+    primary = [
+        (r.id, round(r.score, 6))
+        for r in db.search(query_vec=qv, index_type="cosine", k=3)
+        .select("id", "score").collect()
+    ]
+    assert replica == primary and len(replica) == 3
+    srv.shutdown()
+
+
+def test_cdf_mirror_default_rate_clock_polls_continuously(spark, tmp_path):
+    """The production default (r15): clock=None builds a rate-source
+    poll clock with a processingTime trigger — the consumer loop runs
+    until stopped, each micro-batch one poll. Drive it for real: start
+    against a live server, wait for the bootstrap poll to land in the
+    progress sink, then stop and check the mirror."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.request
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.serving import make_server
+    from local_vectordb_spark.streaming.cdf import (
+        read_mirror,
+        run_cdf_mirror_stream,
+    )
+
+    db = VectorDB(spark, str(tmp_path / "rate_db"))
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def req(method, path, body=None):
+        data = None if body is None else _json.dumps(body).encode()
+        r = urllib.request.Request(base + path, data=data, method=method)
+        r.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(r) as resp:
+            raw = resp.read()
+            return _json.loads(raw) if raw else None
+
+    lib = req("POST", "/libraries", {"name": "rc"})
+    doc = req("POST", "/documents", {"name": "d", "library_id": lib["id"]})
+    req("POST", "/chunks", {"content": "tick tock", "document_id": doc["id"]})
+
+    sink: list = []
+    q = run_cdf_mirror_stream(
+        spark, base, "chunks", str(tmp_path / "mirror"), None,
+        str(tmp_path / "ckpt"), available_now=False, poll_interval_sec=1,
+        progress_sink=sink,
+    )
+    try:
+        deadline = _time.time() + 120
+        while not sink and _time.time() < deadline:
+            _time.sleep(0.5)
+        assert sink, "rate-clocked consumer never polled"
+        assert sink[0]["action"] == "bootstrapped"
+    finally:
+        q.stop()
+    assert read_mirror(spark, str(tmp_path / "mirror")).count() == 1
     srv.shutdown()
