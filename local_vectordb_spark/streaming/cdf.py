@@ -235,17 +235,25 @@ def _commit_mirror_full(
     version: int,
     prev: int | None,
     n_buckets: int,
+    n_rows: int,
 ) -> None:
     """Bootstrap / 410-recovery commit: the whole snapshot, written
     once, hash-bucket partitioned so every LATER sync can rewrite
-    only touched buckets."""
+    only touched buckets. An EMPTY snapshot (a reset table's fresh
+    generation) writes a plain schema-bearing parquet instead — a
+    partitionBy write with zero rows produces a directory no reader
+    can infer a schema from; later syncs see no ``bucket=`` dirs and
+    carry nothing, which is exactly right."""
     meta_p = os.path.join(mirror_dir, "_META")
     if not os.path.exists(meta_p):
         with open(meta_p, "w") as f:
             json.dump({"n_buckets": n_buckets}, f)
-    df.withColumn("bucket", _bucket_expr(_mirror_n_buckets(mirror_dir))) \
-        .write.partitionBy("bucket").mode("overwrite") \
-        .parquet(_mirror_data_dir(mirror_dir, version))
+    target = _mirror_data_dir(mirror_dir, version)
+    if n_rows == 0:
+        df.write.mode("overwrite").parquet(target)
+    else:
+        df.withColumn("bucket", _bucket_expr(_mirror_n_buckets(mirror_dir))) \
+            .write.partitionBy("bucket").mode("overwrite").parquet(target)
     _point_cursor_and_gc(mirror_dir, version, prev)
 
 
@@ -298,6 +306,12 @@ def _apply_feed_bucketed(
         if int(name.split("=", 1)[1]) not in touched:
             link_tree(os.path.join(prev_dir, name),
                       os.path.join(new_dir, name))
+    if not any(n.startswith("bucket=") for n in os.listdir(new_dir)):
+        # the feed emptied the table (every row removed, nothing to
+        # link): a zero-row partitionBy dir carries no schema, so
+        # rewrite it as a plain empty parquet the reader can open
+        spark.createDataFrame([], SCHEMAS[kind]) \
+            .write.mode("overwrite").parquet(new_dir)
     _point_cursor_and_gc(mirror_dir, pin, prev=since)
     return len(touched)
 
@@ -322,7 +336,16 @@ def sync_mirror_once(
     instead of HTTP/JSON). ``n_buckets`` applies only at bootstrap —
     the width is the mirror's layout identity and persists in its
     ``_META``. Returns a progress record ``{action, since,
-    served_version, n_changes, touched_buckets}``."""
+    served_version, n_changes, touched_buckets}``.
+
+    A RESET under the consumer is survived, not crashed on: a reset
+    rewinds the server's version line, so a poll from the old cursor
+    answers 404 (cursor ahead of the live head) or 410 (chain gone) —
+    either way the mirror's timeline is dead. The poller falls back
+    to the snapshot read; if the reset table has live generations the
+    mirror re-bootstraps onto the new timeline, and if it is still
+    EMPTY the mirror is wiped (action ``'reset'``) rather than left
+    serving pre-reset rows forever."""
     os.makedirs(mirror_dir, exist_ok=True)
     since = mirror_cursor(mirror_dir)
     schema = _changes_schema(kind)
@@ -331,6 +354,14 @@ def sync_mirror_once(
             rows, pin = drain_changes(base_url, kind, since, limit=limit)
         except FeedGone:
             rows, pin = None, None  # fall through to snapshot re-read
+        except urllib.error.HTTPError as e:
+            if e.code != 404:
+                raise
+            # the cursor came from a prior X-Table-Version, so a 404
+            # means the server's version line was REWOUND under us (a
+            # reset landed; the table now has fewer generations than
+            # the cursor, possibly none) — dead timeline, re-read
+            rows, pin = None, None
         if pin is not None:
             if pin == since:  # nothing new committed since last poll
                 return {"action": "noop", "since": since,
@@ -343,12 +374,26 @@ def sync_mirror_once(
             return {"action": "applied", "since": since,
                     "served_version": pin, "n_changes": len(rows),
                     "touched_buckets": n_touched}
-    # bootstrap (no cursor) or 410 recovery: full snapshot, paginated
+    # bootstrap (no cursor) or 410/404 recovery: full snapshot, paginated
     rows, pin = _snapshot_pages(base_url, kind, limit=limit)
     snap = _rows_to_df(spark, rows, SCHEMAS[kind])
     if pin >= 0:
         _commit_mirror_full(snap, mirror_dir, pin, prev=since,
-                            n_buckets=n_buckets)
+                            n_buckets=n_buckets, n_rows=len(rows))
+        return {"action": "bootstrapped", "since": since,
+                "served_version": pin, "n_changes": len(rows),
+                "touched_buckets": None}
+    if since is not None:
+        # the table was reset and never re-written: a mirror pinned to
+        # the dead timeline must not keep serving it — wipe to the
+        # never-synced state (the next poll with live data re-bootstraps)
+        os.remove(os.path.join(mirror_dir, "_SINCE"))
+        for name in os.listdir(mirror_dir):
+            if name.startswith("data_v"):
+                shutil.rmtree(os.path.join(mirror_dir, name),
+                              ignore_errors=True)
+        return {"action": "reset", "since": since, "served_version": pin,
+                "n_changes": 0, "touched_buckets": None}
     return {"action": "bootstrapped", "since": since,
             "served_version": pin, "n_changes": len(rows),
             "touched_buckets": None}
@@ -381,6 +426,13 @@ def run_cdf_mirror_stream(
     dry, so the caller owns stop()). Returns the StreamingQuery
     (stopped when ``available_now``)."""
     default_clock = clock is None
+    if default_clock and available_now:
+        raise ValueError(
+            "clock=None builds a continuous rate clock, which never "
+            "'runs dry' — availableNow would make the drain's stopping "
+            "point timing-dependent. Pass available_now=False (caller "
+            "stops the query) or supply a finite clock source."
+        )
     if default_clock:
         clock = spark.readStream.format("rate") \
             .option("rowsPerSecond", 1).load()

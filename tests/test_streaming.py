@@ -955,3 +955,87 @@ def test_cdf_mirror_default_rate_clock_polls_continuously(spark, tmp_path):
         q.stop()
     assert read_mirror(spark, str(tmp_path / "mirror")).count() == 1
     srv.shutdown()
+
+
+def test_cdf_mirror_survives_server_reset(spark, tmp_path):
+    """Timeline breaks are survived, not crashed on (r15). Two cases:
+    (1) a REAL reset — the server truncates to a fresh EMPTY
+    generation with no delta record, so the old cursor's feed answers
+    410 and the consumer re-bootstraps onto the (empty) new timeline
+    through the snapshot path; (2) a RECREATED table — the store is
+    rebuilt from scratch so the live head sits BEHIND the old cursor
+    (never-written: -1), the feed answers 404, and the consumer wipes
+    the dead-timeline mirror (action 'reset') instead of serving
+    pre-reset rows forever, then re-bootstraps once data exists."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.serving import make_server
+    from local_vectordb_spark.streaming.cdf import (
+        mirror_cursor,
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    def start_server(root):
+        db = VectorDB(spark, root)
+        srv = make_server(db)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return db, srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def req(base, method, path, body=None):
+        data = None if body is None else _json.dumps(body).encode()
+        r = urllib.request.Request(base + path, data=data, method=method)
+        r.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(r) as resp:
+            raw = resp.read()
+            return _json.loads(raw) if raw else None
+
+    def seed(base, n=1):
+        lib = req(base, "POST", "/libraries", {"name": "s"})
+        doc = req(base, "POST", "/documents",
+                  {"name": "d", "library_id": lib["id"]})
+        for i in range(n):
+            req(base, "POST", "/chunks", {"content": f"row {i}",
+                                          "document_id": doc["id"]})
+
+    db1, srv1, base1 = start_server(str(tmp_path / "db1"))
+    seed(base1)
+    mirror_dir = str(tmp_path / "mirror")
+    s0 = sync_mirror_once(spark, base1, "chunks", mirror_dir)
+    assert s0["action"] == "bootstrapped"
+    assert read_mirror(spark, mirror_dir).count() == 1
+
+    # case 1 — real reset: empty new generation, broken chain -> 410
+    # -> the consumer re-bootstraps onto the EMPTY new timeline
+    req(base1, "POST", "/reset")
+    s1 = sync_mirror_once(spark, base1, "chunks", mirror_dir)
+    assert s1["action"] == "bootstrapped" and s1["served_version"] >= 0
+    assert read_mirror(spark, mirror_dir).count() == 0
+    cursor = mirror_cursor(mirror_dir)
+    assert cursor is not None
+    srv1.shutdown()
+
+    # case 2 — recreated store: fresh root, never written, head (-1)
+    # BEHIND the cursor -> 404 -> dead timeline, mirror wiped
+    db2, srv2, base2 = start_server(str(tmp_path / "db2"))
+    s2 = sync_mirror_once(spark, base2, "chunks", mirror_dir)
+    assert s2["action"] == "reset" and s2["served_version"] == -1
+    assert mirror_cursor(mirror_dir) is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_mirror(spark, mirror_dir)
+
+    # ...and once the recreated table has data, a clean re-bootstrap
+    seed(base2, n=2)
+    s3 = sync_mirror_once(spark, base2, "chunks", mirror_dir)
+    assert s3["action"] == "bootstrapped"
+    mirror = read_mirror(spark, mirror_dir)
+    key = sorted(mirror.columns)
+    assert sorted(tuple(r[c] for c in key) for r in mirror.collect()) == \
+        sorted(tuple(r[c] for c in key)
+               for r in db2.table("chunks").collect())
+    assert mirror.count() == 2
+    srv2.shutdown()
