@@ -153,8 +153,50 @@ class VectorDB:
         self._version = 0
         self._ivf = None
         self._count_cache: dict[int, int] = {}  # version -> row count
+        self._tl_id: str | None = None
 
     # ---------------- storage ----------------
+
+    def timeline_id(self) -> str:
+        """The store's TIMELINE identity: a UUID minted exactly once
+        per store directory and persisted in ``{root}/_TIMELINE``.
+
+        Version numbers alone cannot tell a consumer it is talking to
+        a DIFFERENT store at the same address: a recreated or
+        backup-restored store whose new version line has advanced past
+        a consumer's cursor serves ``table_changes(since=cursor)``
+        with a complete (new-timeline) delta chain, and the consumer
+        would silently apply new-timeline deltas onto its old-timeline
+        base (r15 ADVICE, medium). The serving layer echoes this id as
+        ``X-Timeline-Id`` on every data read; a consumer that pinned a
+        different id treats the feed like 410 Gone and re-bootstraps.
+
+        Creation is atomic-exclusive (write a private temp file, then
+        ``os.link`` — the one-winner primitive): two processes opening
+        the same fresh root agree on one id. ``reset()`` does NOT
+        rotate it — a reset commits a new generation with no delta
+        record, which already answers 410 through the change feed; the
+        timeline id covers the case version arithmetic cannot see."""
+        if self._tl_id is None:
+            import uuid
+
+            p = os.path.join(self.root, "_TIMELINE")
+            if not os.path.exists(p):
+                os.makedirs(self.root, exist_ok=True)
+                tmp = f"{p}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(uuid.uuid4().hex)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, p)
+                except FileExistsError:
+                    pass  # a concurrent creator won; serve theirs
+                finally:
+                    os.remove(tmp)
+            with open(p) as f:
+                self._tl_id = f.read().strip()
+        return self._tl_id
 
     def _table_dir(self, kind: str) -> str:
         if kind not in SCHEMAS:

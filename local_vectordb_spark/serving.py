@@ -33,6 +33,7 @@ adapter runs in the bare test container.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import threading
 import uuid
@@ -45,12 +46,45 @@ _PARENT_FIELD = {"documents": "library_id", "chunks": "document_id"}
 _PARENT_KIND = {"documents": "libraries", "chunks": "documents"}
 
 
-def _row_to_json(row) -> dict:
+def _session_tz(spark):
+    """The SparkSession's ``spark.sql.session.timeZone`` as a tzinfo.
+    ``collect()`` hands Python NAIVE datetimes interpreted in this
+    zone; serializing them without an offset (r15 ADVICE, low) made
+    every timestamp mean something different to a consumer running a
+    different session zone. Region ids resolve through zoneinfo;
+    fixed-offset spellings (``+02:00``) are parsed directly."""
+    import re as _re
+    from zoneinfo import ZoneInfo
+
+    name = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        return ZoneInfo(name)
+    except Exception:
+        m = _re.fullmatch(r"([+-])(\d\d):(\d\d)", name)
+        if not m:
+            raise ValueError(f"unsupported session timezone {name!r}")
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(
+            sign * _dt.timedelta(hours=int(m.group(2)),
+                                 minutes=int(m.group(3)))
+        )
+
+
+def _row_to_json(row, tz=None) -> dict:
     out = {}
     for k, v in row.asDict(recursive=True).items():
-        # ISO-8601 'T' form, matching the reference API's JSON
-        # timestamp serialization (str() would emit a space separator).
-        out[k] = v.isoformat() if hasattr(v, "isoformat") else v
+        if hasattr(v, "isoformat"):
+            # ISO-8601 'T' form like the reference API, but with an
+            # EXPLICIT UTC offset (r15 ADVICE): a naive session-local
+            # string is re-interpreted in whatever session zone the
+            # consumer happens to run, silently shifting every mirror
+            # timestamp. Naive values from collect() are session-local;
+            # normalize to aware UTC so the wire format is zone-free.
+            if tz is not None and getattr(v, "tzinfo", None) is None:
+                v = v.replace(tzinfo=tz).astimezone(_dt.timezone.utc)
+            out[k] = v.isoformat()
+        else:
+            out[k] = v
     return out
 
 
@@ -115,6 +149,22 @@ class _Handler(BaseHTTPRequestHandler):
         if limit < 0 or offset < 0:
             raise ValueError("limit and offset must be non-negative")
         return limit, offset
+
+    def _tz(self):
+        return _session_tz(self.db.spark)
+
+    def _pin_headers(self, served_v, extra: dict | None = None) -> dict:
+        """The snapshot-pin header pair every data read echoes:
+        ``X-Table-Version`` names the generation served and
+        ``X-Timeline-Id`` names WHOSE version line that number lives on
+        (r15 ADVICE, medium — a recreated store re-uses version
+        numbers; the id is what tells a consumer its cursor belongs to
+        a dead timeline)."""
+        out = {"X-Table-Version": served_v,
+               "X-Timeline-Id": self.db.timeline_id()}
+        if extra:
+            out.update(extra)
+        return out
 
     def _version_param(self) -> int | None:
         """Optional ``?version=N`` on GET routes — a TIME-TRAVEL read
@@ -199,10 +249,11 @@ class _Handler(BaseHTTPRequestHandler):
                     self.db.table(kind, version=pin)
                     .orderBy("id").offset(offset).limit(limit)
                 )
+                tz = self._tz()
                 self._send(
                     200,
-                    [_row_to_json(r) for r in page.collect()],
-                    headers={"X-Table-Version": served_v},
+                    [_row_to_json(r, tz) for r in page.collect()],
+                    headers=self._pin_headers(served_v),
                 )
                 return
             rows = self.db.get(kind, item, version=pin).collect()
@@ -219,8 +270,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         # same snapshot-pinning echo as the list route (r11 ADVICE: the
         # header is the documented handle — an item fetch needs it too)
-        self._send(200, _row_to_json(rows[0]),
-                   headers={"X-Table-Version": served_v})
+        self._send(200, _row_to_json(rows[0], self._tz()),
+                   headers=self._pin_headers(served_v))
 
     def _do_changes(self, kind: str) -> None:
         """GET /{kind}/_changes?since=N[&version=M][&limit=K&offset=J]
@@ -281,8 +332,8 @@ class _Handler(BaseHTTPRequestHandler):
                     "detail": f"since_version {since} out of range for "
                               f"{kind} (target is v-1)"})
                 return
-            self._send(200, [], headers={
-                "X-Table-Version": -1, "X-More-Changes": "false"})
+            self._send(200, [], headers=self._pin_headers(
+                -1, {"X-More-Changes": "false"}))
             return
         try:
             # limit+1 probe row: "is there another page" without a
@@ -301,13 +352,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"detail": str(e)})
             return
         more = len(rows) > limit
+        tz = self._tz()
         self._send(
             200,
-            [_row_to_json(r) for r in rows[:limit]],
-            headers={
-                "X-Table-Version": served_v,
-                "X-More-Changes": "true" if more else "false",
-            },
+            [_row_to_json(r, tz) for r in rows[:limit]],
+            headers=self._pin_headers(
+                served_v,
+                {"X-More-Changes": "true" if more else "false"},
+            ),
         )
 
     def _reject_version_on_write(self) -> bool:
@@ -352,7 +404,8 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(409, {"detail": f"{item_id} already exists"})
                 return
             self.db.add(kind, _record_df(self.db, kind, body, item_id))
-        self._send(201, _row_to_json(self.db.get(kind, item_id).collect()[0]))
+        self._send(201, _row_to_json(
+            self.db.get(kind, item_id).collect()[0], self._tz()))
 
     def _put(self) -> None:
         if self._reject_version_on_write():
@@ -376,7 +429,8 @@ class _Handler(BaseHTTPRequestHandler):
                 {"detail": f"parent not found ({rejected[0].reject_reason})"},
             )
             return
-        self._send(200, _row_to_json(self.db.get(kind, item).collect()[0]))
+        self._send(200, _row_to_json(
+            self.db.get(kind, item).collect()[0], self._tz()))
 
     def _delete(self) -> None:
         if self._reject_version_on_write():
@@ -464,7 +518,7 @@ class _Handler(BaseHTTPRequestHandler):
                     for r in hits
                 ]
             },
-            headers={"X-Table-Version": served_v},
+            headers=self._pin_headers(served_v),
         )
 
 

@@ -87,12 +87,12 @@ def fetch_changes_page(
     version: int | None = None,
     limit: int = 100,
     offset: int = 0,
-) -> tuple[list[dict], int, bool]:
-    """One feed page. Returns (rows, served_version, more). Raises
-    :class:`FeedGone` on 410; propagates other HTTP errors (a 404 on
-    an out-of-range cursor is a CALLER bug — the cursor came from a
-    prior ``X-Table-Version``, which only a reset can invalidate, and
-    a reset answers 410)."""
+) -> tuple[list[dict], int, bool, str | None]:
+    """One feed page. Returns (rows, served_version, more,
+    timeline_id). Raises :class:`FeedGone` on 410; propagates other
+    HTTP errors (a 404 on an out-of-range cursor is a CALLER bug — the
+    cursor came from a prior ``X-Table-Version``, which only a reset
+    can invalidate, and a reset answers 410)."""
     url = f"{base_url}/{kind}/_changes?since={since}&limit={limit}&offset={offset}"
     if version is not None:
         url += f"&version={version}"
@@ -106,30 +106,41 @@ def fetch_changes_page(
         rows,
         int(headers["X-Table-Version"]),
         headers.get("X-More-Changes") == "true",
+        headers.get("X-Timeline-Id"),
     )
 
 
 def drain_changes(
     base_url: str, kind: str, since: int, *, limit: int = 100
-) -> tuple[list[dict], int]:
+) -> tuple[list[dict], int, str | None]:
     """Drain EVERY page of one poll: the first page pins the served
     generation, continuation pages pass ``version=<pin>`` so the range
     is immutable under concurrent commits (the server's documented
-    contract). Returns (all rows, pinned version)."""
-    rows, pin, more = fetch_changes_page(base_url, kind, since, limit=limit)
+    contract). Returns (all rows, pinned version, timeline id)."""
+    rows, pin, more, tid = fetch_changes_page(
+        base_url, kind, since, limit=limit
+    )
     offset = limit
     while more:
-        page, _, more = fetch_changes_page(
+        page, _, more, _ = fetch_changes_page(
             base_url, kind, since, version=pin, limit=limit, offset=offset
         )
         rows.extend(page)
         offset += limit
-    return rows, pin
+    return rows, pin, tid
+
+
+def _head_pin(base_url: str, kind: str) -> tuple[int, str | None]:
+    """(live version, timeline id) from one ``limit=0`` list-route
+    read: the headers without any rows — what the direct-parquet
+    bootstrap needs before it bypasses HTTP for the data."""
+    _, _, headers = _get(f"{base_url}/{kind}?limit=0")
+    return int(headers["X-Table-Version"]), headers.get("X-Timeline-Id")
 
 
 def _snapshot_pages(
     base_url: str, kind: str, *, limit: int = 100
-) -> tuple[list[dict], int]:
+) -> tuple[list[dict], int, str | None]:
     """Full-snapshot fallback (bootstrap / post-410): page the list
     route, pinning every page after the first to the generation the
     first page's ``X-Table-Version`` named. A short page ends the
@@ -137,6 +148,7 @@ def _snapshot_pages(
     generation is immutable, so row count is stable)."""
     _, rows, headers = _get(f"{base_url}/{kind}?limit={limit}")
     pin = int(headers["X-Table-Version"])
+    tid = headers.get("X-Timeline-Id")
     out, offset = list(rows), limit
     while len(rows) == limit:
         _, rows, _ = _get(
@@ -144,7 +156,7 @@ def _snapshot_pages(
         )
         out.extend(rows)
         offset += limit
-    return out, pin
+    return out, pin, tid
 
 
 def _changes_schema(kind: str) -> T.StructType:
@@ -160,6 +172,17 @@ def _parse_row(row: dict, schema: T.StructType) -> tuple:
         v = row.get(f.name)
         if v is not None and isinstance(f.dataType, T.TimestampType):
             v = _dt.datetime.fromisoformat(v)
+            if v.tzinfo is not None:
+                # r16 wire format: the server serializes with an
+                # explicit UTC offset (r15 ADVICE — a naive string is
+                # re-interpreted in the CONSUMER's session zone, which
+                # may differ from the producer's). Normalize to aware
+                # UTC; Spark converts aware datetimes exactly,
+                # independent of either session's timeZone conf. A
+                # naive string (pre-r16 server) keeps the old
+                # interpretation — producer and consumer must then
+                # share spark.sql.session.timeZone.
+                v = v.astimezone(_dt.timezone.utc)
         vals.append(v)
     return tuple(vals)
 
@@ -180,11 +203,27 @@ def _bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
 
 
+def _mirror_meta(mirror_dir: str) -> dict:
+    p = os.path.join(mirror_dir, "_META")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_meta(mirror_dir: str, meta: dict) -> None:
+    tmp = os.path.join(mirror_dir, "_META.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mirror_dir, "_META"))
+
+
 def _mirror_n_buckets(mirror_dir: str) -> int:
     """The mirror's persisted bucket width (layout identity — written
     once at bootstrap, never changed for the mirror's lifetime)."""
-    with open(os.path.join(mirror_dir, "_META")) as f:
-        return int(json.load(f)["n_buckets"])
+    return int(_mirror_meta(mirror_dir)["n_buckets"])
 
 
 def read_mirror(spark: SparkSession, mirror_dir: str) -> DataFrame:
@@ -220,6 +259,15 @@ def _point_cursor_and_gc(mirror_dir: str, version: int, prev: int | None) -> Non
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(mirror_dir, "_SINCE"))
+    # fsync the DIRECTORY too, mirroring the server's _commit_pointer
+    # (r15 ADVICE): the rename lives in the directory's metadata, and
+    # without flushing that fd the cursor flip may not survive power
+    # loss even though the file contents would.
+    dirfd = os.open(mirror_dir, os.O_RDONLY)
+    try:
+        os.fsync(dirfd)
+    finally:
+        os.close(dirfd)
     keep = {f"data_v{version}"} | (
         {f"data_v{prev}"} if prev is not None else set()
     )
@@ -236,6 +284,7 @@ def _commit_mirror_full(
     prev: int | None,
     n_buckets: int,
     n_rows: int,
+    timeline: str | None = None,
 ) -> None:
     """Bootstrap / 410-recovery commit: the whole snapshot, written
     once, hash-bucket partitioned so every LATER sync can rewrite
@@ -243,11 +292,19 @@ def _commit_mirror_full(
     generation) writes a plain schema-bearing parquet instead — a
     partitionBy write with zero rows produces a directory no reader
     can infer a schema from; later syncs see no ``bucket=`` dirs and
-    carry nothing, which is exactly right."""
-    meta_p = os.path.join(mirror_dir, "_META")
-    if not os.path.exists(meta_p):
-        with open(meta_p, "w") as f:
-            json.dump({"n_buckets": n_buckets}, f)
+    carry nothing, which is exactly right.
+
+    ``timeline`` pins WHOSE version line the cursor belongs to (the
+    server's ``X-Timeline-Id``): ``n_buckets`` is immutable layout
+    identity, but the timeline is re-pinned on every bootstrap — a
+    bootstrap is exactly the moment the mirror adopts a (possibly
+    new) timeline."""
+    meta = _mirror_meta(mirror_dir)
+    if "n_buckets" not in meta:
+        meta["n_buckets"] = n_buckets
+    if timeline is not None:
+        meta["timeline"] = timeline
+    _write_meta(mirror_dir, meta)
     target = _mirror_data_dir(mirror_dir, version)
     if n_rows == 0:
         df.write.mode("overwrite").parquet(target)
@@ -324,6 +381,7 @@ def sync_mirror_once(
     *,
     limit: int = 100,
     n_buckets: int = N_BUCKETS_DEFAULT,
+    snapshot_path=None,
 ) -> dict:
     """One poll: drain the paginated feed from the committed cursor
     and apply it to the mirror — rewriting ONLY the hash buckets the
@@ -345,13 +403,34 @@ def sync_mirror_once(
     to the snapshot read; if the reset table has live generations the
     mirror re-bootstraps onto the new timeline, and if it is still
     EMPTY the mirror is wiped (action ``'reset'``) rather than left
-    serving pre-reset rows forever."""
+    serving pre-reset rows forever.
+
+    A RECREATED/RESTORED store whose new version line has ADVANCED
+    past the cursor is the case version arithmetic cannot see (r15
+    ADVICE, medium): ``since=cursor`` answers 200 with a complete —
+    but new-timeline — delta chain. The server's ``X-Timeline-Id``
+    (a UUID minted once per store directory) is compared against the
+    id pinned in the mirror's ``_META``; a mismatch is treated
+    exactly like 410 — dead timeline, snapshot re-bootstrap — never
+    applied onto the old-timeline base.
+
+    ``snapshot_path`` is the 100 TB bootstrap escape hatch (r15
+    verdict #4): a ``(kind, version) -> path`` hook that names the
+    pinned generation's parquet snapshot on SHARED storage. When set
+    and the path exists, bootstrap/410-recovery reads that parquet
+    directly — a distributed columnar scan, bucket-partitioned write,
+    no rows through the driver — with the HTTP JSON pager kept as the
+    wire-only fallback (the pin and timeline id still come from one
+    header read, so the parquet generation read is exactly the one
+    the server named)."""
     os.makedirs(mirror_dir, exist_ok=True)
     since = mirror_cursor(mirror_dir)
     schema = _changes_schema(kind)
     if since is not None:
         try:
-            rows, pin = drain_changes(base_url, kind, since, limit=limit)
+            rows, pin, tid = drain_changes(
+                base_url, kind, since, limit=limit
+            )
         except FeedGone:
             rows, pin = None, None  # fall through to snapshot re-read
         except urllib.error.HTTPError as e:
@@ -362,6 +441,18 @@ def sync_mirror_once(
             # reset landed; the table now has fewer generations than
             # the cursor, possibly none) — dead timeline, re-read
             rows, pin = None, None
+        if pin is not None:
+            meta = _mirror_meta(mirror_dir)
+            pinned_tl = meta.get("timeline")
+            if pinned_tl is not None and tid is not None and tid != pinned_tl:
+                # same-address, DIFFERENT store: the feed parses but
+                # its deltas belong to another timeline — 410 semantics
+                rows, pin = None, None
+            elif pinned_tl is None and tid is not None:
+                # a pre-r16 mirror meets a timeline-aware server:
+                # adopt the id now so every later poll is protected
+                meta["timeline"] = tid
+                _write_meta(mirror_dir, meta)
         if pin is not None:
             if pin == since:  # nothing new committed since last poll
                 return {"action": "noop", "since": since,
@@ -374,15 +465,35 @@ def sync_mirror_once(
             return {"action": "applied", "since": since,
                     "served_version": pin, "n_changes": len(rows),
                     "touched_buckets": n_touched}
-    # bootstrap (no cursor) or 410/404 recovery: full snapshot, paginated
-    rows, pin = _snapshot_pages(base_url, kind, limit=limit)
+    # bootstrap (no cursor) or 410/404/timeline recovery
+    if snapshot_path is not None:
+        head, tid = _head_pin(base_url, kind)
+        if head >= 0:
+            path = snapshot_path(kind, head)
+            if path is not None and os.path.exists(path):
+                snap = spark.read.parquet(path).select(
+                    [f.name for f in SCHEMAS[kind].fields]
+                )
+                n = snap.count()
+                _commit_mirror_full(snap, mirror_dir, head, prev=since,
+                                    n_buckets=n_buckets, n_rows=n,
+                                    timeline=tid)
+                return {"action": "bootstrapped", "since": since,
+                        "served_version": head, "n_changes": n,
+                        "touched_buckets": None,
+                        "bootstrap_source": "snapshot_parquet"}
+            # pin named a generation the hook can't serve (GC raced the
+            # header read, or the hook covers other kinds only): the
+            # wire path below is always correct, just corpus-over-HTTP
+    rows, pin, tid = _snapshot_pages(base_url, kind, limit=limit)
     snap = _rows_to_df(spark, rows, SCHEMAS[kind])
     if pin >= 0:
         _commit_mirror_full(snap, mirror_dir, pin, prev=since,
-                            n_buckets=n_buckets, n_rows=len(rows))
+                            n_buckets=n_buckets, n_rows=len(rows),
+                            timeline=tid)
         return {"action": "bootstrapped", "since": since,
                 "served_version": pin, "n_changes": len(rows),
-                "touched_buckets": None}
+                "touched_buckets": None, "bootstrap_source": "http_pages"}
     if since is not None:
         # the table was reset and never re-written: a mirror pinned to
         # the dead timeline must not keep serving it — wipe to the
@@ -394,8 +505,11 @@ def sync_mirror_once(
                               ignore_errors=True)
         return {"action": "reset", "since": since, "served_version": pin,
                 "n_changes": 0, "touched_buckets": None}
-    return {"action": "bootstrapped", "since": since,
-            "served_version": pin, "n_changes": len(rows),
+    # never-written table, never-synced mirror: nothing was created —
+    # a distinct action (r15 ADVICE: reporting 'bootstrapped' here
+    # misled monitors; no _SINCE exists and read_mirror still raises)
+    return {"action": "empty", "since": since,
+            "served_version": pin, "n_changes": 0,
             "touched_buckets": None}
 
 
@@ -412,6 +526,7 @@ def run_cdf_mirror_stream(
     timeout_sec: int = 300,
     progress_sink: list | None = None,
     poll_interval_sec: int = 10,
+    snapshot_path=None,
 ):
     """The Structured Streaming consumer loop: each micro-batch of
     ``clock`` (any streaming source — a rate stream in production, a
@@ -438,7 +553,8 @@ def run_cdf_mirror_stream(
             .option("rowsPerSecond", 1).load()
 
     def _poll(_batch: DataFrame, _batch_id: int) -> None:
-        rec = sync_mirror_once(spark, base_url, kind, mirror_dir, limit=limit)
+        rec = sync_mirror_once(spark, base_url, kind, mirror_dir,
+                               limit=limit, snapshot_path=snapshot_path)
         if progress_sink is not None:
             progress_sink.append(rec)
 

@@ -627,3 +627,60 @@ def test_changes_pagination_does_not_tear_across_concurrent_commit(
         ("upsert", late["id"])
     ]
     srv.shutdown()
+
+
+def test_timestamp_wire_format_is_offset_aware_utc():
+    """r15 ADVICE (low): the wire format must carry an explicit UTC
+    offset, not a naive session-local string a consumer re-interprets
+    in ITS session zone. Round trip: a naive collect() value in a
+    non-UTC session zone serializes shifted to +00:00, and the
+    consumer's _parse_row lands on the identical instant as aware
+    UTC — producer and consumer no longer need to share
+    spark.sql.session.timeZone."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from local_vectordb_spark.serving import _row_to_json
+    from local_vectordb_spark.streaming.cdf import _parse_row
+
+    naive = dt.datetime(2025, 1, 15, 12, 0, 0)  # session-local wall time
+    out = _row_to_json(Row(id="x", created_at=naive),
+                       ZoneInfo("America/New_York"))
+    assert out["created_at"] == "2025-01-15T17:00:00+00:00"  # EST = UTC-5
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+    ])
+    parsed = dict(zip(["id", "created_at"], _parse_row(out, schema)))
+    assert parsed["created_at"] == dt.datetime(
+        2025, 1, 15, 17, 0, 0, tzinfo=dt.timezone.utc
+    )
+    # the instant is preserved exactly across the JSON boundary
+    assert parsed["created_at"] == naive.replace(
+        tzinfo=ZoneInfo("America/New_York")
+    ).astimezone(dt.timezone.utc)
+
+
+def test_data_reads_echo_timeline_id(server):
+    """Every data read carries X-Timeline-Id beside X-Table-Version
+    (r15 ADVICE, medium): the uuid is stable across requests and
+    routes — it identifies the STORE, not the response."""
+    base = server
+    with urllib.request.urlopen(
+        urllib.request.Request(base + "/chunks?limit=1", method="GET")
+    ) as resp:
+        head = int(resp.headers["X-Table-Version"])
+        list_tid = resp.headers.get("X-Timeline-Id")
+    # since=<live head> is in-range whatever state earlier tests left
+    # the shared store in (head itself needs no delta record)
+    with urllib.request.urlopen(
+        urllib.request.Request(
+            base + f"/chunks/_changes?since={head}&limit=1", method="GET"
+        )
+    ) as resp:
+        feed_tid = resp.headers.get("X-Timeline-Id")
+    assert list_tid and list_tid == feed_tid  # one store, one id

@@ -1039,3 +1039,176 @@ def test_cdf_mirror_survives_server_reset(spark, tmp_path):
                for r in db2.table("chunks").collect())
     assert mirror.count() == 2
     srv2.shutdown()
+
+
+def _cdf_server(spark, root):
+    import threading
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.serving import make_server
+
+    db = VectorDB(spark, root)
+    srv = make_server(db)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return db, srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def _cdf_req(base, method, path, body=None):
+    import json as _json
+    import urllib.request
+
+    data = None if body is None else _json.dumps(body).encode()
+    r = urllib.request.Request(base + path, data=data, method=method)
+    r.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(r) as resp:
+        raw = resp.read()
+        return _json.loads(raw) if raw else None
+
+
+def _cdf_seed(base, n=1, prefix="row"):
+    lib = _cdf_req(base, "POST", "/libraries", {"name": "s"})
+    doc = _cdf_req(base, "POST", "/documents",
+                   {"name": "d", "library_id": lib["id"]})
+    return doc["id"], [
+        _cdf_req(base, "POST", "/chunks",
+                 {"content": f"{prefix} {i}", "document_id": doc["id"]})["id"]
+        for i in range(n)
+    ]
+
+
+def _same_rows(a, b):
+    key = sorted(a.columns)
+    assert sorted(a.columns) == sorted(b.columns)
+    return sorted(tuple(r[c] for c in key) for r in a.collect()) == \
+        sorted(tuple(r[c] for c in key) for r in b.collect())
+
+
+def test_cdf_mirror_detects_recreated_store_timeline(spark, tmp_path):
+    """r15 ADVICE (medium): version numbers alone cannot reveal a
+    RECREATED/RESTORED store. Store B at the same address has MORE
+    chunk commits than the consumer's cursor, so table_changes(
+    since=cursor) answers 200 with a complete — new-timeline — delta
+    chain; without the X-Timeline-Id check the consumer would apply
+    B's deltas onto A's base and commit a permanently wrong mirror.
+    The id mismatch must be treated exactly like 410: snapshot
+    re-bootstrap onto B's timeline, mirror == B's live table."""
+    from local_vectordb_spark.streaming.cdf import (
+        _mirror_meta,
+        mirror_cursor,
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    _, srv1, base1 = _cdf_server(spark, str(tmp_path / "storeA"))
+    _cdf_seed(base1, n=1, prefix="A")
+    mirror_dir = str(tmp_path / "mirror")
+    s0 = sync_mirror_once(spark, base1, "chunks", mirror_dir)
+    assert s0["action"] == "bootstrapped"
+    assert mirror_cursor(mirror_dir) == 0
+    tl_a = _mirror_meta(mirror_dir)["timeline"]
+    assert tl_a  # the bootstrap pinned A's timeline id
+    srv1.shutdown()
+
+    # same consumer, different store: B's chunk head (v2) is PAST the
+    # cursor (0), so the feed is fully servable — the poisoned case
+    db2, srv2, base2 = _cdf_server(spark, str(tmp_path / "storeB"))
+    _cdf_seed(base2, n=3, prefix="B")
+    assert db2._current_version("chunks") == 2
+    s1 = sync_mirror_once(spark, base2, "chunks", mirror_dir)
+    assert s1["action"] == "bootstrapped"  # NOT 'applied'
+    assert _mirror_meta(mirror_dir)["timeline"] != tl_a
+    assert _same_rows(read_mirror(spark, mirror_dir), db2.table("chunks"))
+    assert read_mirror(spark, mirror_dir).count() == 3
+
+    # and the new pin keeps working incrementally on B's timeline
+    doc_b = db2.table("documents").collect()[0].id
+    _cdf_req(base2, "POST", "/chunks",
+             {"content": "B late", "document_id": doc_b})
+    s2 = sync_mirror_once(spark, base2, "chunks", mirror_dir)
+    assert s2["action"] == "applied"
+    assert _same_rows(read_mirror(spark, mirror_dir), db2.table("chunks"))
+    srv2.shutdown()
+
+
+def test_cdf_mirror_bootstrap_via_snapshot_parquet(spark, tmp_path, monkeypatch):
+    """r15 verdict #4: at 100 TB a bootstrap must not page the corpus
+    through one socket as JSON. With a ``snapshot_path`` hook the
+    consumer reads the pinned generation's parquet DIRECTLY (the HTTP
+    read contributes only the version/timeline headers); the JSON
+    pager is monkeypatched to fail so taking it would be loud. The
+    mirror must equal the live table exactly — timestamps included,
+    which the parquet path preserves byte-for-byte — span multiple
+    hash buckets, and keep syncing INCREMENTALLY through the feed
+    afterwards."""
+    import os
+
+    from local_vectordb_spark.streaming import cdf
+    from local_vectordb_spark.streaming.cdf import (
+        _mirror_meta,
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    root = str(tmp_path / "store")
+    db, srv, base = _cdf_server(spark, root)
+    doc_id, ids = _cdf_seed(base, n=12)
+
+    def no_pager(*a, **k):
+        raise AssertionError(
+            "bootstrap took the HTTP JSON pager despite snapshot_path"
+        )
+
+    monkeypatch.setattr(cdf, "_snapshot_pages", no_pager)
+    mirror_dir = str(tmp_path / "mirror")
+    snap_hook = lambda kind, v: os.path.join(root, kind, f"v{v}")  # noqa: E731
+    s0 = sync_mirror_once(spark, base, "chunks", mirror_dir,
+                          snapshot_path=snap_hook)
+    assert s0["action"] == "bootstrapped"
+    assert s0["bootstrap_source"] == "snapshot_parquet"
+    assert s0["n_changes"] == 12
+    assert _mirror_meta(mirror_dir)["timeline"] == db.timeline_id()
+    mirror = read_mirror(spark, mirror_dir)
+    assert _same_rows(mirror, db.table("chunks"))
+    from local_vectordb_spark.streaming.cdf import mirror_cursor
+
+    data_dir = os.path.join(mirror_dir, f"data_v{mirror_cursor(mirror_dir)}")
+    n_buckets = len([n for n in os.listdir(data_dir)
+                     if n.startswith("bucket=")])
+    assert n_buckets > 1  # the layout really is multi-bucket
+
+    # later polls ride the feed (the pager stays patched out — only
+    # bootstrap ever needed it)
+    _cdf_req(base, "POST", "/chunks",
+             {"content": "late row", "document_id": doc_id})
+    _cdf_req(base, "DELETE", f"/chunks/{ids[0]}")
+    s1 = sync_mirror_once(spark, base, "chunks", mirror_dir,
+                          snapshot_path=snap_hook)
+    assert s1["action"] == "applied" and s1["n_changes"] == 2
+    assert _same_rows(read_mirror(spark, mirror_dir), db.table("chunks"))
+    srv.shutdown()
+
+
+def test_cdf_mirror_empty_store_reports_empty(spark, tmp_path):
+    """r15 ADVICE (low): bootstrapping against a never-written table
+    creates nothing — no _SINCE, read_mirror still raises — so the
+    progress record must say so ('empty', not 'bootstrapped')."""
+    from local_vectordb_spark.streaming.cdf import (
+        mirror_cursor,
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    _, srv, base = _cdf_server(spark, str(tmp_path / "store"))
+    mirror_dir = str(tmp_path / "mirror")
+    s0 = sync_mirror_once(spark, base, "chunks", mirror_dir)
+    assert s0["action"] == "empty" and s0["served_version"] == -1
+    assert mirror_cursor(mirror_dir) is None
+    with pytest.raises(ValueError):
+        read_mirror(spark, mirror_dir)
+
+    # ...and the first real data flips the same call to a bootstrap
+    _cdf_seed(base, n=2)
+    s1 = sync_mirror_once(spark, base, "chunks", mirror_dir)
+    assert s1["action"] == "bootstrapped" and s1["n_changes"] == 2
+    assert read_mirror(spark, mirror_dir).count() == 2
+    srv.shutdown()

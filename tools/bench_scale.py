@@ -915,6 +915,108 @@ def run_facade_nsw_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root_dir, ignore_errors=True)
 
 
+def run_cdf_bootstrap_xl(spark, sf_dir: str) -> dict:
+    """r16 (r15 verdict #4): the CDF mirror's two bootstrap paths,
+    measured against each other at the XL tier (20k pre-embedded
+    64-dim chunks). The HTTP JSON pager serializes the whole corpus
+    through one socket — and each offset page re-sorts the table
+    server-side — so its cost grows super-linearly with corpus size;
+    the `snapshot_path` direct-parquet path reads the SAME pinned
+    generation as a distributed columnar scan (the HTTP read
+    contributes two header fields) and costs one scan + one bucketed
+    write regardless of socket bandwidth. Both mirrors must equal the
+    live table exactly, and the poll AFTER bootstrap must ride the
+    feed at cost ∝ churn (20-row commit into a 20k mirror)."""
+    import shutil
+    import tempfile
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from local_vectordb_spark.serving import make_server
+    from local_vectordb_spark.streaming.cdf import (
+        read_mirror,
+        sync_mirror_once,
+    )
+
+    root = tempfile.mkdtemp(prefix="lvdb_cdf_xl_")
+    try:
+        store_root = os.path.join(root, "store")
+        db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root)
+        n = db.table("chunks").count()
+        srv = make_server(db)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        def snap_hook(kind, v):
+            return os.path.join(store_root, kind, f"v{v}")
+
+        def mirror_equals_live(mdir) -> bool:
+            cols = ["id", "content", "document_id"]
+            m = read_mirror(spark, mdir).select(*cols)
+            live = db.table("chunks").select(*cols)
+            return (
+                m.exceptAll(live).unionByName(live.exceptAll(m)).count() == 0
+            )
+
+        m_http = os.path.join(root, "m_http")
+        t0 = time.time()
+        r_http = sync_mirror_once(spark, base, "chunks", m_http, limit=2000)
+        http_s = round(time.time() - t0, 4)
+        assert r_http["bootstrap_source"] == "http_pages", r_http
+
+        m_pq = os.path.join(root, "m_pq")
+        t0 = time.time()
+        r_pq = sync_mirror_once(spark, base, "chunks", m_pq, limit=2000,
+                                snapshot_path=snap_hook)
+        pq_s = round(time.time() - t0, 4)
+        assert r_pq["bootstrap_source"] == "snapshot_parquet", r_pq
+
+        both_equal = mirror_equals_live(m_http) and mirror_equals_live(m_pq)
+
+        # the poll after bootstrap rides the FEED regardless of which
+        # path bootstrapped: 20 upserts into the 20k mirror
+        ts = F.lit("2025-01-02 00:00:00").cast("timestamp")
+        db.add("chunks", spark.range(20).select(
+            F.concat(F.lit("late"), F.col("id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts.alias("created_at"), ts.alias("updated_at"),
+            F.lit("late row").alias("content"),
+            F.array([F.lit(0.1)] * 64).cast("array<float>").alias(
+                "embedding"),
+            F.lit("d1").alias("document_id")))
+        t0 = time.time()
+        r_poll = sync_mirror_once(spark, base, "chunks", m_pq, limit=2000,
+                                  snapshot_path=snap_hook)
+        poll_s = round(time.time() - t0, 4)
+        assert r_poll["action"] == "applied" and r_poll["n_changes"] == 20, \
+            r_poll
+        poll_ok = mirror_equals_live(m_pq)
+        srv.shutdown()
+        return {
+            "corpus_rows": n,
+            "seed_sec": seed_s,
+            "bootstrap_http_pages_sec": http_s,
+            "bootstrap_snapshot_parquet_sec": pq_s,
+            "speedup": round(http_s / pq_s, 2) if pq_s else None,
+            "mirrors_equal_live": bool(both_equal),
+            "incremental_poll_after_bootstrap": {
+                "n_changes": 20,
+                "touched_buckets": r_poll["touched_buckets"],
+                "sec": poll_s,
+                "mirror_equal_live": bool(poll_ok),
+            },
+            "note": "HTTP pager = corpus through one socket as JSON "
+                    "(each offset page re-sorts server-side); parquet "
+                    "path = distributed scan of the same pinned "
+                    "generation, headers-only HTTP. At 100 TB the "
+                    "pager is unusable by construction; this row "
+                    "measures the gap already visible at 20k rows.",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_fused_beam_diag(spark, qs) -> dict:
     """The fused build+traverse NSW form as the BUILD-COST DIAGNOSTIC
     it actually is (r11 verdict #2, settlement option a): since r12 it
@@ -950,7 +1052,7 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
              "--ivf-incremental-only", "--nsw-incremental-only",
-             "--nsw-chain-only"}
+             "--nsw-chain-only", "--cdf-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -992,6 +1094,8 @@ def main() -> int:
             result["facade_nsw_chain"] = (
                 run_facade_nsw_chain_xl(spark, dir100)
             )
+        if picked & {"--cdf-only"}:
+            result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
             result["graph_beam_search_fused_diagnostic"] = (
@@ -1044,6 +1148,7 @@ def main() -> int:
     result["graph_beam_search_fused_diagnostic"] = run_fused_beam_diag(
         spark, qs
     )
+    result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
 
     # write the budget-gated result FIRST: the unbudgeted reference
     # below can kill the JVM (it exists to show the quadratic tier's
