@@ -1897,6 +1897,137 @@ class VectorDB:
             pass
         return True
 
+    # ---------------- serving export (r16) ----------------
+
+    def export_serving_bundle(
+        self,
+        out_dir: str,
+        version: int | None = None,
+        *,
+        recall_queries: int = 3,
+        recall_k: int = 10,
+    ) -> dict:
+        """Materialize ONE pinned generation as a SELF-CONTAINED,
+        deployable serving bundle: the corpus slice (`chunks/v{N}`)
+        plus all three stored index artifacts (`_sign/_ivf/_nsw`) and
+        a MANIFEST.json recording the table version, timeline id,
+        per-file sizes + sha256 checksums, and a measured recall row.
+
+        This closes the gap the serving adapter documents
+        (serving.py: real deployments serve search from an EXPORTED
+        index, not the Spark driver): the bundle directory is itself
+        a minimal read-only store — ``open_serving_bundle`` (or a
+        plain ``VectorDB(spark, bundle_dir)``) serves every search
+        strategy from it with zero rebuilds, because the layout is
+        exactly the store layout the stored-artifact getters already
+        read (`materialize_once` sees their `_SUCCESS` markers). The
+        reference has no export at all — its indexes are per-process
+        dicts rebuilt from disk on startup (src/models/
+        collection.py:97-110); here the index IS a portable artifact.
+
+        Scale shape: every file is HARD-LINKED from the live store
+        (``link_tree`` — zero bytes copied on one filesystem, and the
+        links keep the pinned generation's data alive even after the
+        source store's retention GC drops `v{N}`); the export cost is
+        metadata + the checksum pass. At 100 TB the sha256 pass is the
+        dominant cost and would ride the object store's own ETags
+        instead; the manifest shape stays the same.
+
+        The recall row is measured, not asserted: top-``recall_k``
+        overlap of the sign tier (the auto strategy's past-the-knee
+        default) against exact brute force for ``recall_queries``
+        corpus vectors, all pinned to the exported generation.
+
+        The manifest is written LAST — its presence is the bundle's
+        completeness marker (same write-then-point discipline as the
+        store's `_CURRENT`)."""
+        import hashlib
+        import json as _json
+
+        from local_vectordb_spark.operators.incremental import link_tree
+
+        live = self._current_version("chunks")
+        v = live if version is None else version
+        d = self._table_dir("chunks")
+        if v < 0 or v > live or not os.path.exists(os.path.join(d, f"v{v}")):
+            raise ValueError(
+                f"chunks v{v} not available for export (live is v{live}; "
+                f"newest {self.keep_versions} versions are retained)"
+            )
+        # build-or-reuse every artifact for THIS generation before
+        # linking: after this the bundle serves with no build step
+        self._sign_stored(v)
+        self._ivf_stored(v)
+        self._graph_stored(v)
+
+        os.makedirs(out_dir, exist_ok=True)
+        if os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
+            raise ValueError(f"{out_dir} already holds a bundle manifest")
+        artifacts = {
+            "data": f"v{v}",
+            "sign": f"_sign_v{v}",
+            "ivf": f"_ivf_v{v}",
+            "nsw": f"_nsw_v{v}",
+        }
+        for name in artifacts.values():
+            link_tree(os.path.join(d, name),
+                      os.path.join(out_dir, "chunks", name))
+        with open(os.path.join(out_dir, "chunks", "_CURRENT"), "w") as f:
+            f.write(str(v))
+        with open(os.path.join(out_dir, "_TIMELINE"), "w") as f:
+            f.write(self.timeline_id())
+
+        files: dict[str, dict] = {}
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, out_dir)
+                h = hashlib.sha256()
+                with open(full, "rb") as f:
+                    for block in iter(lambda: f.read(1 << 20), b""):
+                        h.update(block)
+                files[rel] = {"bytes": os.path.getsize(full),
+                              "sha256": h.hexdigest()}
+
+        qs = [
+            list(r.embedding)
+            for r in self.table("chunks", version=v)
+            .orderBy("id").limit(recall_queries).collect()
+        ]
+        hit = total = 0
+        for qv in qs:
+            exact = {r.id for r in self.search(
+                query_vec=qv, index_type="cosine", k=recall_k, version=v
+            ).collect()}
+            tier = {r.id for r in self.search(
+                query_vec=qv, index_type="sign", k=recall_k, version=v
+            ).collect()}
+            hit += len(exact & tier)
+            total += len(exact)
+        manifest = {
+            "kind": "chunks",
+            "table_version": v,
+            "timeline": self.timeline_id(),
+            "n_rows": self._chunk_count(version=v),
+            "artifacts": {k: os.path.join("chunks", n)
+                          for k, n in artifacts.items()},
+            "files": files,
+            "recall": {
+                "index_type": "sign",
+                "baseline": "cosine",
+                "k": recall_k,
+                "n_queries": len(qs),
+                "recall": round(hit / total, 6) if total else None,
+            },
+        }
+        tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(out_dir, "MANIFEST.json"))
+        return manifest
+
     def _lsh_graph_edges(self, chunks: DataFrame, n: int) -> DataFrame:
         """Past-the-knee stored-graph build: the LSH-bucketed kNN-graph
         tier over the string-keyed chunks table. ann.knn_graph_lsh is
@@ -1945,3 +2076,56 @@ class VectorDB:
                 "score",
             )
         )
+
+
+def open_serving_bundle(
+    spark: SparkSession, bundle_dir: str, *, verify_checksums: bool = False
+) -> VectorDB:
+    """Open an exported serving bundle as a ready-to-serve store.
+
+    Integrity gate before anything is served: the manifest must exist
+    (it is written last — no manifest means an incomplete export), the
+    bundle's `_CURRENT` must name the manifest's table version, and
+    every manifested file must be present at its recorded size —
+    byte-level sha256 re-verification is opt-in (``verify_checksums``;
+    at deployment scale that pass belongs in the transfer layer). Any
+    mismatch raises before a single query runs: a bundle that lost a
+    partition directory in transit must fail loudly, not serve a
+    silently smaller index. The returned VectorDB serves every search
+    strategy from the bundled artifacts with zero rebuilds; treat it
+    as read-only — a write would advance the bundle past its
+    manifest."""
+    import hashlib
+    import json as _json
+
+    mp = os.path.join(bundle_dir, "MANIFEST.json")
+    if not os.path.exists(mp):
+        raise ValueError(f"{bundle_dir}: no MANIFEST.json — not a "
+                         f"(complete) serving bundle")
+    with open(mp) as f:
+        manifest = _json.load(f)
+    with open(os.path.join(bundle_dir, "chunks", "_CURRENT")) as f:
+        cur = int(f.read().strip())
+    if cur != manifest["table_version"]:
+        raise ValueError(
+            f"bundle _CURRENT (v{cur}) disagrees with manifest "
+            f"(v{manifest['table_version']})"
+        )
+    for rel, info in manifest["files"].items():
+        full = os.path.join(bundle_dir, rel)
+        if not os.path.exists(full):
+            raise ValueError(f"bundle file missing: {rel}")
+        size = os.path.getsize(full)
+        if size != info["bytes"]:
+            raise ValueError(
+                f"bundle file {rel}: {size} bytes, manifest says "
+                f"{info['bytes']}"
+            )
+        if verify_checksums:
+            h = hashlib.sha256()
+            with open(full, "rb") as f:
+                for block in iter(lambda: f.read(1 << 20), b""):
+                    h.update(block)
+            if h.hexdigest() != info["sha256"]:
+                raise ValueError(f"bundle file {rel}: checksum mismatch")
+    return VectorDB(spark, bundle_dir)

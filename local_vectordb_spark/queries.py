@@ -472,6 +472,51 @@ def api_search_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
 
 
+_EXPORT_BUNDLE_CACHE: dict = {}
+
+
+def _exported_bundle_db(spark: SparkSession, sf_dir: str):
+    """The staged store's live generation EXPORTED as a self-contained
+    serving bundle (api.VectorDB.export_serving_bundle: hard-linked
+    corpus slice + _sign/_ivf/_nsw artifacts + checksummed manifest),
+    then re-opened from the bundle directory alone with full checksum
+    verification (api.open_serving_bundle). Built once per
+    (process, sf_dir); the opened bundle serves every later call."""
+    if sf_dir in _EXPORT_BUNDLE_CACHE:
+        return _EXPORT_BUNDLE_CACHE[sf_dir]
+    from local_vectordb_spark.api import open_serving_bundle
+
+    db = _staged_vectordb(spark, sf_dir)
+    out = _tmp_store_dir("lvdb_bundle_")
+    manifest = db.export_serving_bundle(out)
+    # the recall row is a measured REPORT (sign tier vs brute — the
+    # Hamming-1 probe trades recall for pruning); gate only on its
+    # presence and sanity, never a fixed value
+    rec = manifest["recall"]["recall"]
+    assert rec is not None and 0.0 <= rec <= 1.0, manifest["recall"]
+    bdb = open_serving_bundle(spark, out, verify_checksums=True)
+    _EXPORT_BUNDLE_CACHE[sf_dir] = bdb
+    return bdb
+
+
+@register("api_search_export_bundle", ORACLE_SQL["api_search_sign"])
+def api_search_export_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 verdict #7: the last step from "stored artifact" to
+    "deployable index" — a search served ENTIRELY from an exported
+    bundle (a fresh store root containing only the pinned generation
+    and its index artifacts, integrity-checked against the manifest),
+    which must equal the live facade's sign search bit-for-bit: the
+    entry shares api_search_sign's full value oracle. The export is
+    the deployment shape serving.py's docstring promises (real
+    deployments serve search from an exported index, not the Spark
+    driver); e2e bundle lifecycle — export, tamper-detect, cross-store
+    open, GC survival — is pinned in tests/test_api_e2e.py."""
+    bdb = _exported_bundle_db(spark, sf_dir)
+    return bdb.search(
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K
+    )
+
+
 _INC_SEARCH_CACHE: dict = {}
 
 
