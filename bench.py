@@ -35,7 +35,13 @@ HEADLINE = [
     "ivf_search",
     "ivf_sign_pruned",  # r5: oracle-exact partition-pruned search
     "knn_graph",  # r6: default = block-matrix scale path (see queries.py)
-    "knn_graph_broadcast",  # driver-broadcast small-corpus utility
+    # knn_graph_broadcast RETIRED from HEADLINE r16 (r15 verdict #2,
+    # the structural branch, per the graph_beam_search r12 precedent):
+    # the driver-collect broadcast utility is jitter-dominated under
+    # every timing protocol tried (warm spread 1.27-3.10 s on a quiet
+    # box; three conflicting reads across r14-r15) while its 100 TB
+    # family path is knn_graph/knn_graph_auto below, both stably
+    # in-band. Registry entry + full oracle unchanged.
     "knn_graph_auto",  # r8: size-dispatched strategy (broadcast regime here)
     "knn_sq8",
     "knn_pq_adc",  # r6: product-quantization ADC tier, oracle-exact
@@ -66,6 +72,9 @@ HEADLINE = [
     "api_search_sign",  # r12: the auto strategy's past-the-knee default
     "api_search_sign_incremental",  # r13: delta-maintained layout, full oracle
     "api_search_time_travel",  # r12: version-pinned search, full oracle
+    "api_search_export_bundle",  # r16: search served from an exported,
+    # checksum-verified bundle (manifest + hard-linked artifacts) — the
+    # deployment shape; shares api_search_sign's full oracle
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",
@@ -103,13 +112,20 @@ HEADLINE = [
     "embedding_stats",  # r8: per-dimension hygiene aggregate, full oracle
     "sample_hash_10pct",
     "sample_temperature_by_lang",  # r6: temperature mixture rebalancing
-    "split_group_aware",  # r8: near-dup-family leakage-safe split
+    # split_group_aware (pair form) moved to registry-only r16 (r15
+    # verdict #3): it is the family's value-oracle anchor but its
+    # all-pairs plan OOMs at 100-deep dup families (measured r10) —
+    # the timed representative must be the plan that survives 100x,
+    # which is the star-edge LSH form below (full-oracle since r10).
     "split_group_aware_lsh",  # r10: star-edge LSH family split (100 TB path)
     "docs_training_manifest",  # r6: full curation funnel as one plan
     "docs_training_manifest_leakage_safe",  # r10: family-keyed split funnel
     "pack_token_budget",
     # storage engine
     "crud_time_travel",  # r10: versioned snapshot read (time travel)
+    "crud_cdf_mirror",  # r16: the CDF consumer loop (feed -> broadcast
+    # anti-join apply -> bucketed mirror) timed first-class now that the
+    # consumer is the r15 flagship; full value oracle (mirror == live)
     "crud_change_feed",  # r14: CDF read over the delta log (r13 shipped
     # the path full-oracle but deliberately left it out of HEADLINE to
     # keep the committed 69-query closing record valid; r13 verdict #3
