@@ -684,3 +684,55 @@ def test_data_reads_echo_timeline_id(server):
     ) as resp:
         feed_tid = resp.headers.get("X-Timeline-Id")
     assert list_tid and list_tid == feed_tid  # one store, one id
+
+
+def test_bundle_serves_over_http(spark, tmp_path):
+    """The deployment loop closed over the wire: a store is seeded,
+    exported as a serving bundle, the bundle is opened on its own and
+    bound to a fresh HTTP server — and POST /query against the BUNDLE
+    server returns exactly what the source server returns, for the
+    brute and the stored-artifact strategies alike. This is the shape
+    serving.py's docstring promises (serve search from an exported
+    index): the Spark driver behind the bundle server never touches
+    the source store."""
+    import threading
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import open_serving_bundle
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    src = VectorDB(spark, str(tmp_path / "src"))
+    lib = str(_uuid.uuid4())
+    src.add("libraries",
+            spark.createDataFrame([(lib, {}, None, None, "l")],
+                                  SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    src.add("documents",
+            spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                  SCHEMAS["documents"]))
+    src.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, q, None, doc)
+         for i, q in enumerate(QUESTIONS)],
+        SCHEMAS["chunks"],
+    ))
+    bundle_dir = str(tmp_path / "bundle")
+    src.export_serving_bundle(bundle_dir, recall_queries=1, recall_k=3)
+    bdb = open_serving_bundle(spark, bundle_dir, verify_checksums=True)
+
+    servers = []
+    for d in (src, bdb):
+        srv = make_server(d)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append((srv, f"http://127.0.0.1:{srv.server_address[1]}"))
+    (src_srv, src_base), (b_srv, b_base) = servers
+    try:
+        for strategy in ("cosine", "sign", "nsw"):
+            body = {"text": QUESTIONS[0], "index_type": strategy, "limit": 3}
+            code_a, res_a = _req(src_base, "POST", "/query", body)
+            code_b, res_b = _req(b_base, "POST", "/query", body)
+            assert code_a == code_b == 200, strategy
+            assert res_a == res_b, strategy
+            assert res_b["results"][0]["content"] == QUESTIONS[0]
+    finally:
+        src_srv.shutdown()
+        b_srv.shutdown()

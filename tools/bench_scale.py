@@ -1017,6 +1017,85 @@ def run_cdf_bootstrap_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_export_bundle_xl(spark, sf_dir: str) -> dict:
+    """r16: the serving-bundle export at the 200k-vector XL tier —
+    the claim under test is that export cost is METADATA + CHECKSUM
+    bound (hard links, zero data copied), not corpus bound, and that
+    the opened bundle serves identically to the source store. The
+    stored-artifact builds themselves are prep here (their costs are
+    the facade_* rows' subject); what this row times is: the export
+    pass (link + sha256 manifest), the open-with-full-checksum-verify
+    pass, and a served search equality check."""
+    import shutil
+    import tempfile
+    import threading  # noqa: F401  (parity with sibling rows' imports)
+
+    root = tempfile.mkdtemp(prefix="lvdb_bundle_xl_")
+    try:
+        store_root = os.path.join(root, "store")
+        db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root)
+        n = db.table("chunks").count()
+        v = db._current_version("chunks")
+        t0 = time.time()
+        db._sign_stored(v)
+        db._ivf_stored(v)
+        db._graph_stored(v)
+        prep_s = round(time.time() - t0, 4)
+
+        out = os.path.join(root, "bundle")
+        t0 = time.time()
+        manifest = db.export_serving_bundle(out, recall_queries=2,
+                                            recall_k=10)
+        export_s = round(time.time() - t0, 4)
+
+        from local_vectordb_spark.api import open_serving_bundle
+
+        t0 = time.time()
+        bdb = open_serving_bundle(spark, out, verify_checksums=True)
+        open_s = round(time.time() - t0, 4)
+
+        # zero-copy evidence: every manifested parquet shares an inode
+        linked = copied = 0
+        for rel in manifest["files"]:
+            if rel.endswith(".parquet"):
+                if os.stat(os.path.join(out, rel)).st_nlink >= 2:
+                    linked += 1
+                else:
+                    copied += 1
+
+        qv = [float(x) for x in db.table("chunks").orderBy("id")
+              .limit(1).collect()[0].embedding]
+        t0 = time.time()
+        got = [(r.id, round(r.score, 6)) for r in
+               bdb.search(query_vec=qv, index_type="sign", k=10).collect()]
+        serve_s = round(time.time() - t0, 4)
+        want = [(r.id, round(r.score, 6)) for r in
+                db.search(query_vec=qv, index_type="sign", k=10).collect()]
+
+        bundle_bytes = sum(i["bytes"] for i in manifest["files"].values())
+        return {
+            "corpus_rows": n,
+            "seed_sec": seed_s,
+            "artifact_prep_sec": prep_s,
+            "export_sec": export_s,
+            "open_verify_checksums_sec": open_s,
+            "bundle_files": len(manifest["files"]),
+            "bundle_bytes": bundle_bytes,
+            "parquet_files_linked": linked,
+            "parquet_files_copied": copied,
+            "recall_row": manifest["recall"],
+            "bundle_serve_equals_store": got == want,
+            "bundle_serve_sec": serve_s,
+            "note": "export = hard-link pass + sha256 manifest over "
+                    "the linked bytes; zero parquet files copied. At "
+                    "100 TB the checksum pass rides the object "
+                    "store's ETags and export cost collapses to the "
+                    "link/metadata pass.",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_fused_beam_diag(spark, qs) -> dict:
     """The fused build+traverse NSW form as the BUILD-COST DIAGNOSTIC
     it actually is (r11 verdict #2, settlement option a): since r12 it
@@ -1052,7 +1131,7 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
              "--ivf-incremental-only", "--nsw-incremental-only",
-             "--nsw-chain-only", "--cdf-only"}
+             "--nsw-chain-only", "--cdf-only", "--bundle-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -1096,6 +1175,8 @@ def main() -> int:
             )
         if picked & {"--cdf-only"}:
             result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
+        if picked & {"--bundle-only"}:
+            result["export_bundle"] = run_export_bundle_xl(spark, dir100)
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
             result["graph_beam_search_fused_diagnostic"] = (
@@ -1149,6 +1230,7 @@ def main() -> int:
         spark, qs
     )
     result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
+    result["export_bundle"] = run_export_bundle_xl(spark, dir100)
 
     # write the budget-gated result FIRST: the unbudgeted reference
     # below can kill the JVM (it exists to show the quadratic tier's
