@@ -20,7 +20,14 @@ implemented as a thin stdlib adapter over :class:`VectorDB`:
   default limit 100) so a listing collects one page, never the whole
   table — still a demo surface, marked here so nobody mistakes it for
   the 100 TB path. Real deployments serve search from an exported
-  index, not the Spark driver;
+  index, not the Spark driver — and that export EXISTS (r16):
+  ``api.VectorDB.export_serving_bundle`` materializes a pinned
+  generation + its stored index artifacts as a checksummed,
+  self-contained bundle that ``api.open_serving_bundle`` (and this
+  adapter bound to it) serves with zero rebuilds. Bulk reads likewise
+  have a non-socket path: the CDF consumer's ``snapshot_path`` hook
+  reads the pinned parquet directly (streaming/cdf.py), using this
+  adapter only for the version/timeline headers;
 - GET list/fetch accept ``?version=N`` — a TIME-TRAVEL read of a
   retained table generation (the facade's versioned store through
   HTTP): a pre-delete snapshot stays readable until retention GC
