@@ -1906,6 +1906,7 @@ class VectorDB:
         *,
         recall_queries: int = 3,
         recall_k: int = 10,
+        base_bundle: str | None = None,
     ) -> dict:
         """Materialize ONE pinned generation as a SELF-CONTAINED,
         deployable serving bundle: the corpus slice (`chunks/v{N}`)
@@ -1940,7 +1941,19 @@ class VectorDB:
 
         The manifest is written LAST — its presence is the bundle's
         completeness marker (same write-then-point discipline as the
-        store's `_CURRENT`)."""
+        store's `_CURRENT`).
+
+        ``base_bundle`` makes the checksum pass INCREMENTAL — the last
+        corpus-bound cost in the export path. The stored artifacts are
+        maintained incrementally (untouched partition files hard-link
+        the previous generation, so they are the SAME inodes the
+        previous bundle linked); a file whose (inode, size, mtime)
+        matches a file the base bundle's manifest already hashed
+        reuses that sha256 without reading a byte. The manifest
+        records the reuse split (``checksum_reuse``) so the claim is
+        measured per export, and ``open_serving_bundle``'s opt-in full
+        re-verification remains the independent check that reused
+        hashes are byte-true."""
         import hashlib
         import json as _json
 
@@ -1977,17 +1990,52 @@ class VectorDB:
         with open(os.path.join(out_dir, "_TIMELINE"), "w") as f:
             f.write(self.timeline_id())
 
+        # inode -> (bytes, mtime_ns, sha256) from the base bundle's
+        # manifest: the reuse key is the INODE, not the path — an
+        # incrementally-maintained artifact carries the same inode
+        # under a new `_sign_v{N+1}/...` path
+        known: dict[int, tuple[int, int, str]] = {}
+        if base_bundle is not None:
+            bm = os.path.join(base_bundle, "MANIFEST.json")
+            if os.path.exists(bm):
+                with open(bm) as f:
+                    for rel, info in _json.load(f)["files"].items():
+                        if "ino" in info:
+                            full = os.path.join(base_bundle, rel)
+                            if os.path.exists(full):
+                                st = os.stat(full)
+                                # trust the recorded hash only while
+                                # the base file still IS that file
+                                if (st.st_ino == info["ino"]
+                                        and st.st_size == info["bytes"]
+                                        and st.st_mtime_ns
+                                        == info["mtime_ns"]):
+                                    known[info["ino"]] = (
+                                        info["bytes"], info["mtime_ns"],
+                                        info["sha256"],
+                                    )
         files: dict[str, dict] = {}
+        reused = hashed = 0
         for root, _dirs, names in os.walk(out_dir):
             for name in sorted(names):
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, out_dir)
-                h = hashlib.sha256()
-                with open(full, "rb") as f:
-                    for block in iter(lambda: f.read(1 << 20), b""):
-                        h.update(block)
-                files[rel] = {"bytes": os.path.getsize(full),
-                              "sha256": h.hexdigest()}
+                st = os.stat(full)
+                prior = known.get(st.st_ino)
+                if (prior is not None and prior[0] == st.st_size
+                        and prior[1] == st.st_mtime_ns):
+                    digest = prior[2]
+                    reused += 1
+                else:
+                    h = hashlib.sha256()
+                    with open(full, "rb") as f:
+                        for block in iter(lambda: f.read(1 << 20), b""):
+                            h.update(block)
+                    digest = h.hexdigest()
+                    hashed += 1
+                files[rel] = {"bytes": st.st_size, "sha256": digest,
+                              "ino": st.st_ino,
+                              "mtime_ns": st.st_mtime_ns}
 
         qs = [
             list(r.embedding)
@@ -2019,6 +2067,7 @@ class VectorDB:
                 "n_queries": len(qs),
                 "recall": round(hit / total, 6) if total else None,
             },
+            "checksum_reuse": {"reused": reused, "hashed": hashed},
         }
         tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
         with open(tmp, "w") as f:

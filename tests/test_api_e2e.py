@@ -1396,3 +1396,73 @@ def test_export_bundle_survives_source_gc(spark, tmp_path):
         {"c0", "c1", "c2", "c3"}
     hits = bdb.search(query="content 2", index_type="cosine", k=2)
     assert hits.collect()[0].id in {"c0", "c1", "c2", "c3"}
+
+
+def test_incremental_export_reuses_checksums(spark, tmp_path):
+    """The checksum pass is the last corpus-bound cost in the export
+    path; with ``base_bundle`` it becomes cost ∝ churn. After a small
+    maintained commit the new generation's index artifacts hard-link
+    their untouched partition files from the previous generation —
+    the SAME inodes the previous bundle linked — so the second export
+    must reuse a substantial share of recorded sha256es without
+    reading bytes, and the full checksum re-verification on open
+    proves every reused hash is still byte-true. A corpus file
+    (rewritten wholesale each commit, new inodes) must NOT be
+    reused."""
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import open_serving_bundle
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    db = VectorDB(spark, str(tmp_path / "src"), keep_versions=4)
+    lib = str(_uuid.uuid4())
+    db.add("libraries",
+           spark.createDataFrame([(lib, {}, None, None, "l")],
+                                 SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    db.add("documents",
+           spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                 SCHEMAS["documents"]))
+    db.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"content {i}", None, doc)
+         for i in range(32)],
+        SCHEMAS["chunks"],
+    ))
+
+    b0 = str(tmp_path / "b0")
+    m0 = db.export_serving_bundle(b0, recall_queries=1, recall_k=2)
+    assert m0["checksum_reuse"]["reused"] == 0  # no base: all hashed
+    assert all("ino" in i and "mtime_ns" in i
+               for i in m0["files"].values())
+
+    # one small maintained commit: the sign layout for the new
+    # generation links every untouched bucket's files
+    db.add("chunks", spark.createDataFrame(
+        [("late0", {}, None, None, "late content", None, doc)],
+        SCHEMAS["chunks"],
+    ))
+    b1 = str(tmp_path / "b1")
+    m1 = db.export_serving_bundle(b1, recall_queries=1, recall_k=2,
+                                  base_bundle=b0)
+    ru = m1["checksum_reuse"]
+    assert ru["reused"] > 0, ru
+    assert ru["hashed"] > 0, ru  # corpus slice + touched partitions
+
+    # every reused hash must survive a full byte re-verification
+    bdb = open_serving_bundle(spark, b1, verify_checksums=True)
+    assert bdb.table("chunks").count() == 33
+
+    # and a THIRD export against a tampered base refuses to reuse:
+    # rewrite one base file in place (same size, new bytes) — its
+    # mtime_ns moves, so the stale recorded hash is not trusted
+    import os
+    victim_rel = next(r for r in m0["files"] if r.endswith(".parquet"))
+    victim = os.path.join(b0, victim_rel)
+    data = open(victim, "rb").read()
+    os.remove(victim)  # break the shared inode first
+    with open(victim, "wb") as f:
+        f.write(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    b2 = str(tmp_path / "b2")
+    m2 = db.export_serving_bundle(b2, recall_queries=1, recall_k=2,
+                                  base_bundle=b0)
+    open_serving_bundle(spark, b2, verify_checksums=True)  # still true

@@ -1073,11 +1073,52 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
                 db.search(query_vec=qv, index_type="sign", k=10).collect()]
 
         bundle_bytes = sum(i["bytes"] for i in manifest["files"].values())
+
+        # incremental second export (r16): one 20-row commit, the
+        # maintained artifacts link their untouched partitions, and
+        # the checksum pass reuses every inode the first bundle
+        # already hashed — export cost ∝ churn, measured
+        from pyspark.sql import functions as F
+
+        ts2 = F.lit("2025-01-03 00:00:00").cast("timestamp")
+        db.add("chunks", spark.range(20).select(
+            F.concat(F.lit("late"), F.col("id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts2.alias("created_at"), ts2.alias("updated_at"),
+            F.lit("late row").alias("content"),
+            F.array([F.lit(0.25)] * 64).cast("array<float>").alias(
+                "embedding"),
+            F.lit("d1").alias("document_id")))
+        v2 = db._current_version("chunks")
+        t0 = time.time()
+        db._sign_stored(v2)
+        db._ivf_stored(v2)
+        db._graph_stored(v2)
+        prep2_s = round(time.time() - t0, 4)
+        out2 = os.path.join(root, "bundle2")
+        t0 = time.time()
+        manifest2 = db.export_serving_bundle(out2, recall_queries=2,
+                                             recall_k=10,
+                                             base_bundle=out)
+        export2_s = round(time.time() - t0, 4)
+        open_serving_bundle(spark, out2, verify_checksums=True)
+        ru = manifest2["checksum_reuse"]
+
         return {
             "corpus_rows": n,
             "seed_sec": seed_s,
             "artifact_prep_sec": prep_s,
             "export_sec": export_s,
+            "incremental_export": {
+                "delta_rows": 20,
+                "artifact_maintain_sec": prep2_s,
+                "export_sec": export2_s,
+                "checksums_reused": ru["reused"],
+                "checksums_hashed": ru["hashed"],
+                "reuse_fraction": round(
+                    ru["reused"] / (ru["reused"] + ru["hashed"]), 4),
+                "open_full_reverify_ok": True,
+            },
             "open_verify_checksums_sec": open_s,
             "bundle_files": len(manifest["files"]),
             "bundle_bytes": bundle_bytes,
