@@ -1973,9 +1973,18 @@ class VectorDB:
         self._ivf_stored(v)
         self._graph_stored(v)
 
+        # a fresh or EMPTY directory only: re-exporting over a complete
+        # bundle would silently shadow its manifest, and retrying into
+        # a half-exported one (crashed export) would hit link_tree's
+        # exists-fallback and quietly degrade the zero-copy links into
+        # byte copies while manifesting stale temp files — both fail
+        # loudly instead; the caller removes the debris first
         os.makedirs(out_dir, exist_ok=True)
-        if os.path.exists(os.path.join(out_dir, "MANIFEST.json")):
-            raise ValueError(f"{out_dir} already holds a bundle manifest")
+        if os.listdir(out_dir):
+            raise ValueError(
+                f"{out_dir} is not empty — refusing to export over an "
+                f"existing (possibly half-written) bundle"
+            )
         artifacts = {
             "data": f"v{v}",
             "sign": f"_sign_v{v}",

@@ -1338,10 +1338,16 @@ def test_export_serving_bundle_lifecycle(spark, tmp_path):
         assert [(r.id, r.score) for r in got] == \
             [(r.id, r.score) for r in want], strategy
 
-    # a second export into the same directory must refuse (the
-    # manifest is the completeness marker, not an overwrite target)
-    with pytest.raises(ValueError, match="manifest"):
+    # a second export into the same directory must refuse — and so
+    # must an export into any non-empty dir (a half-written bundle
+    # from a crashed export would degrade links to copies on retry)
+    with pytest.raises(ValueError, match="not empty"):
         db.export_serving_bundle(out)
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    open(os.path.join(half, "debris"), "w").close()
+    with pytest.raises(ValueError, match="not empty"):
+        db.export_serving_bundle(half)
 
     # tamper: truncate one manifested parquet -> size gate trips
     victim = os.path.join(data_dir, linked[0])
