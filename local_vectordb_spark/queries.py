@@ -833,6 +833,43 @@ def api_search_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TT_BUNDLE_CACHE: dict = {}
+
+
+@register("api_search_bundle_time_travel", ORACLE_SQL["api_search_cosine"])
+def api_search_bundle_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel EXPORT (r16): ``export_serving_bundle(version=v0)``
+    materializes the PRE-DELETE retained generation of the time-travel
+    store — whose live head has deleted every 7th vector, including
+    vec 0, the query's own nearest match — and a plain live search
+    over the opened bundle must reproduce the FULL-corpus top-k
+    exactly (api_search_cosine's oracle verbatim, the same contract
+    api_search_time_travel pins through ``search(version=)``). This is
+    the export's version-pinning made falsifiable: a bundle that
+    silently packaged the live head instead of the requested
+    generation would drop the deleted rows and hash-mismatch. The
+    bundle is self-contained, so the check also proves the historical
+    generation stays SERVABLE as a deployment artifact after the
+    source store moves on (the GC-survival twin is pinned in
+    tests/test_api_e2e.py). Not in the r16 driver window (full) or
+    HEADLINE (frozen for the round's committed record); locally
+    three-scale verified, a window/HEADLINE candidate for r17."""
+    if sf_dir in _TT_BUNDLE_CACHE:
+        bdb = _TT_BUNDLE_CACHE[sf_dir]
+    else:
+        from local_vectordb_spark.api import open_serving_bundle
+
+        db, v0 = _tt_search_store(spark, sf_dir)
+        out = _tmp_store_dir("lvdb_tt_bundle_")
+        db.export_serving_bundle(out, version=v0, recall_queries=1,
+                                 recall_k=5)
+        bdb = open_serving_bundle(spark, out, verify_checksums=True)
+        _TT_BUNDLE_CACHE[sf_dir] = bdb
+    return bdb.search(
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K
+    )
+
+
 @register(
     "api_search_batch_table",
     f"""
