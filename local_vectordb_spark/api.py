@@ -182,18 +182,30 @@ class VectorDB:
 
             p = os.path.join(self.root, "_TIMELINE")
             if not os.path.exists(p):
-                os.makedirs(self.root, exist_ok=True)
-                tmp = f"{p}.tmp.{os.getpid()}"
-                with open(tmp, "w") as f:
-                    f.write(uuid.uuid4().hex)
-                    f.flush()
-                    os.fsync(f.fileno())
+                # A pre-existing store on a read-only mount must stay
+                # readable (r16 ADVICE, low: _pin_headers calls this on
+                # every GET — minting during read handling turned a
+                # read-only root into a 500 on every data route).
+                # Degrade to a process-lifetime ephemeral id: it still
+                # detects a swap WITHIN this process's pin, and a
+                # consumer that persists it across restarts simply
+                # re-bootstraps — safe, never silently wrong.
                 try:
-                    os.link(tmp, p)
-                except FileExistsError:
-                    pass  # a concurrent creator won; serve theirs
-                finally:
-                    os.remove(tmp)
+                    os.makedirs(self.root, exist_ok=True)
+                    tmp = f"{p}.tmp.{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        f.write(uuid.uuid4().hex)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    try:
+                        os.link(tmp, p)
+                    except FileExistsError:
+                        pass  # a concurrent creator won; serve theirs
+                    finally:
+                        os.remove(tmp)
+                except OSError:
+                    self._tl_id = f"ephemeral-{uuid.uuid4().hex}"
+                    return self._tl_id
             with open(p) as f:
                 self._tl_id = f.read().strip()
         return self._tl_id
@@ -1953,7 +1965,12 @@ class VectorDB:
         records the reuse split (``checksum_reuse``) so the claim is
         measured per export, and ``open_serving_bundle``'s opt-in full
         re-verification remains the independent check that reused
-        hashes are byte-true."""
+        hashes are byte-true.
+
+        Scope: the bundle carries the ``chunks`` generation only — the
+        search artifact, whose hydration is self-contained; it cannot
+        serve ``documents``/``libraries`` reads (r16 verdict, missing
+        #4)."""
         import hashlib
         import json as _json
 
@@ -1967,24 +1984,26 @@ class VectorDB:
                 f"chunks v{v} not available for export (live is v{live}; "
                 f"newest {self.keep_versions} versions are retained)"
             )
-        # build-or-reuse every artifact for THIS generation before
-        # linking: after this the bundle serves with no build step
-        self._sign_stored(v)
-        self._ivf_stored(v)
-        self._graph_stored(v)
-
         # a fresh or EMPTY directory only: re-exporting over a complete
         # bundle would silently shadow its manifest, and retrying into
         # a half-exported one (crashed export) would hit link_tree's
         # exists-fallback and quietly degrade the zero-copy links into
         # byte copies while manifesting stale temp files — both fail
-        # loudly instead; the caller removes the debris first
+        # loudly instead; the caller removes the debris first. The
+        # guard runs BEFORE the artifact builds (r16 ADVICE, low): a
+        # dirty out_dir should refuse immediately, not after paying
+        # the 80-second-at-XL build pass
         os.makedirs(out_dir, exist_ok=True)
         if os.listdir(out_dir):
             raise ValueError(
                 f"{out_dir} is not empty — refusing to export over an "
                 f"existing (possibly half-written) bundle"
             )
+        # build-or-reuse every artifact for THIS generation before
+        # linking: after this the bundle serves with no build step
+        self._sign_stored(v)
+        self._ivf_stored(v)
+        self._graph_stored(v)
         artifacts = {
             "data": f"v{v}",
             "sign": f"_sign_v{v}",
@@ -1999,27 +2018,34 @@ class VectorDB:
         with open(os.path.join(out_dir, "_TIMELINE"), "w") as f:
             f.write(self.timeline_id())
 
-        # inode -> (bytes, mtime_ns, sha256) from the base bundle's
-        # manifest: the reuse key is the INODE, not the path — an
-        # incrementally-maintained artifact carries the same inode
-        # under a new `_sign_v{N+1}/...` path
-        known: dict[int, tuple[int, int, str]] = {}
+        # (device, inode) -> (bytes, mtime_ns, sha256) from the base
+        # bundle's manifest: the reuse key is the INODE, not the path —
+        # an incrementally-maintained artifact carries the same inode
+        # under a new `_sign_v{N+1}/...` path. The device is part of
+        # the key (r16 ADVICE, low): inode numbers are only unique per
+        # filesystem, so a cross-device base (where link_tree fell
+        # back to copies and the new bundle allocated fresh inodes)
+        # must never alias a coincidental ino+size+mtime match into a
+        # stale sha256. Pre-dev manifests (no "dev" field) simply get
+        # no reuse — correct, just slower once.
+        known: dict[tuple[int, int], tuple[int, int, str]] = {}
         if base_bundle is not None:
             bm = os.path.join(base_bundle, "MANIFEST.json")
             if os.path.exists(bm):
                 with open(bm) as f:
                     for rel, info in _json.load(f)["files"].items():
-                        if "ino" in info:
+                        if "ino" in info and "dev" in info:
                             full = os.path.join(base_bundle, rel)
                             if os.path.exists(full):
                                 st = os.stat(full)
                                 # trust the recorded hash only while
                                 # the base file still IS that file
                                 if (st.st_ino == info["ino"]
+                                        and st.st_dev == info["dev"]
                                         and st.st_size == info["bytes"]
                                         and st.st_mtime_ns
                                         == info["mtime_ns"]):
-                                    known[info["ino"]] = (
+                                    known[(info["dev"], info["ino"])] = (
                                         info["bytes"], info["mtime_ns"],
                                         info["sha256"],
                                     )
@@ -2030,7 +2056,7 @@ class VectorDB:
                 full = os.path.join(root, name)
                 rel = os.path.relpath(full, out_dir)
                 st = os.stat(full)
-                prior = known.get(st.st_ino)
+                prior = known.get((st.st_dev, st.st_ino))
                 if (prior is not None and prior[0] == st.st_size
                         and prior[1] == st.st_mtime_ns):
                     digest = prior[2]
@@ -2043,7 +2069,7 @@ class VectorDB:
                     digest = h.hexdigest()
                     hashed += 1
                 files[rel] = {"bytes": st.st_size, "sha256": digest,
-                              "ino": st.st_ino,
+                              "ino": st.st_ino, "dev": st.st_dev,
                               "mtime_ns": st.st_mtime_ns}
 
         qs = [
@@ -2162,12 +2188,36 @@ def open_serving_bundle(
                          f"(complete) serving bundle")
     with open(mp) as f:
         manifest = _json.load(f)
-    with open(os.path.join(bundle_dir, "chunks", "_CURRENT")) as f:
-        cur = int(f.read().strip())
+    # _CURRENT is itself a manifested file: a bundle missing it is an
+    # integrity failure, not a raw FileNotFoundError (r16 ADVICE, low)
+    try:
+        with open(os.path.join(bundle_dir, "chunks", "_CURRENT")) as f:
+            cur = int(f.read().strip())
+    except OSError as e:
+        raise ValueError(
+            f"{bundle_dir}: chunks/_CURRENT unreadable ({e}) — "
+            f"incomplete or tampered bundle"
+        ) from e
     if cur != manifest["table_version"]:
         raise ValueError(
             f"bundle _CURRENT (v{cur}) disagrees with manifest "
             f"(v{manifest['table_version']})"
+        )
+    # the timeline identity is the bundle's provenance: cross-check
+    # its CONTENT against the manifest unconditionally (r16 ADVICE,
+    # low — the size gate alone passes any 32-byte substitution)
+    try:
+        with open(os.path.join(bundle_dir, "_TIMELINE")) as f:
+            tl = f.read().strip()
+    except OSError as e:
+        raise ValueError(
+            f"{bundle_dir}: _TIMELINE unreadable ({e}) — "
+            f"incomplete or tampered bundle"
+        ) from e
+    if tl != manifest["timeline"]:
+        raise ValueError(
+            f"bundle _TIMELINE ({tl}) disagrees with manifest "
+            f"({manifest['timeline']})"
         )
     for rel, info in manifest["files"].items():
         full = os.path.join(bundle_dir, rel)

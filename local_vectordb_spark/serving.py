@@ -67,13 +67,20 @@ def _session_tz(spark):
     try:
         return ZoneInfo(name)
     except Exception:
-        m = _re.fullmatch(r"([+-])(\d\d):(\d\d)", name)
+        # Spark accepts more fixed-offset spellings than zoneinfo
+        # does: (+|-)HH, (+|-)HH:mm, (+|-)HH:mm:ss, and UTC+8 /
+        # GMT+05:00 prefixed forms (r16 ADVICE, medium — rejecting
+        # them 500'd every data read under such a session config).
+        m = _re.fullmatch(
+            r"(?:UTC|GMT)?([+-])(\d{1,2})(?::(\d\d))?(?::(\d\d))?", name
+        )
         if not m:
             raise ValueError(f"unsupported session timezone {name!r}")
         sign = 1 if m.group(1) == "+" else -1
         return _dt.timezone(
             sign * _dt.timedelta(hours=int(m.group(2)),
-                                 minutes=int(m.group(3)))
+                                 minutes=int(m.group(3) or 0),
+                                 seconds=int(m.group(4) or 0))
         )
 
 

@@ -1472,3 +1472,172 @@ def test_incremental_export_reuses_checksums(spark, tmp_path):
     m2 = db.export_serving_bundle(b2, recall_queries=1, recall_k=2,
                                   base_bundle=b0)
     open_serving_bundle(spark, b2, verify_checksums=True)  # still true
+
+
+def test_timeline_id_degrades_to_ephemeral_on_readonly_root(
+    spark, tmp_path, monkeypatch
+):
+    """r16 ADVICE (low): _pin_headers calls timeline_id() on every data
+    read, so serving a pre-r16 store from a read-only mount must NOT
+    turn GETs into 500s by attempting the _TIMELINE mint. On OSError
+    the id degrades to a process-lifetime ephemeral value — stable
+    within the instance, never written to disk."""
+    import os as _os
+
+    root = str(tmp_path / "ro_store")
+    _os.makedirs(root)
+    db = VectorDB(spark, root)
+
+    real_makedirs = _os.makedirs
+
+    def deny(path, *a, **k):
+        if str(path).startswith(root):
+            raise OSError(30, "Read-only file system", path)
+        return real_makedirs(path, *a, **k)
+
+    monkeypatch.setattr(_os, "makedirs", deny)
+    tid = db.timeline_id()
+    assert tid.startswith("ephemeral-")
+    assert db.timeline_id() == tid  # stable for the process lifetime
+    assert not _os.path.exists(_os.path.join(root, "_TIMELINE"))
+
+    # a WRITABLE root still mints the durable id (the degrade is an
+    # escape hatch, not the new default)
+    monkeypatch.undo()
+    db2 = VectorDB(spark, str(tmp_path / "rw_store"))
+    tid2 = db2.timeline_id()
+    assert not tid2.startswith("ephemeral-")
+    assert _os.path.exists(_os.path.join(str(tmp_path / "rw_store"),
+                                         "_TIMELINE"))
+
+
+def test_export_dirty_dir_refuses_before_artifact_builds(
+    db, tmp_path, monkeypatch
+):
+    """r16 ADVICE (low): the non-empty out_dir refusal must fire
+    BEFORE the expensive _sign/_ivf/_nsw stored builds (82 s at the XL
+    tier), not after. Monkeypatched builders prove none is reached."""
+    import os as _os
+
+    d, *_ = db
+
+    def boom(*a, **k):
+        raise AssertionError("artifact build ran before the guard")
+
+    monkeypatch.setattr(VectorDB, "_sign_stored", boom)
+    monkeypatch.setattr(VectorDB, "_ivf_stored", boom)
+    monkeypatch.setattr(VectorDB, "_graph_stored", boom)
+    dirty = str(tmp_path / "dirty")
+    _os.makedirs(dirty)
+    open(_os.path.join(dirty, "debris"), "w").close()
+    with pytest.raises(ValueError, match="not empty"):
+        d.export_serving_bundle(dirty)
+
+
+def test_open_bundle_integrity_gates_current_and_timeline(spark, tmp_path):
+    """r16 ADVICE (low): a bundle missing chunks/_CURRENT (itself a
+    manifested file) must surface as the documented ValueError
+    integrity gate, not a raw FileNotFoundError — and the bundle's
+    _TIMELINE CONTENT is cross-checked against manifest['timeline']
+    unconditionally, so a same-size substitution trips without opt-in
+    checksum verification."""
+    import os as _os
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import open_serving_bundle
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path / "src"))
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"content {i}", None, doc)
+         for i in range(4)],
+        SCHEMAS["chunks"],
+    ))
+    out = str(tmp_path / "bundle")
+    manifest = d.export_serving_bundle(out, recall_queries=1, recall_k=2)
+
+    # _TIMELINE substitution: same byte count, different identity
+    tl_path = _os.path.join(out, "_TIMELINE")
+    real_tl = open(tl_path).read()
+    fake = ("0" * len(real_tl))
+    assert fake != real_tl
+    _os.remove(tl_path)  # break the hard link before rewriting
+    with open(tl_path, "w") as f:
+        f.write(fake)
+    with pytest.raises(ValueError, match="_TIMELINE.*disagrees"):
+        open_serving_bundle(spark, out)
+    _os.remove(tl_path)
+    with open(tl_path, "w") as f:
+        f.write(real_tl)
+    open_serving_bundle(spark, out)  # restored: opens clean
+
+    # missing _CURRENT: ValueError envelope, not FileNotFoundError
+    cur = _os.path.join(out, "chunks", "_CURRENT")
+    _os.remove(cur)
+    with pytest.raises(ValueError, match="_CURRENT unreadable"):
+        open_serving_bundle(spark, out)
+    with open(cur, "w") as f:
+        f.write(str(manifest["table_version"]))
+    open_serving_bundle(spark, out)  # restored: opens clean
+
+
+def test_incremental_export_requires_device_match(spark, tmp_path):
+    """r16 ADVICE (low): inode numbers are unique only per filesystem,
+    so checksum reuse is keyed by (st_dev, st_ino) and the manifest
+    records both. A base manifest whose entries lack 'dev' (pre-r17
+    format, or a cross-device copy that can't vouch for inode
+    identity) yields ZERO reuse — correct, just hashed fresh."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path / "src"), keep_versions=4)
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"content {i}", None, doc)
+         for i in range(16)],
+        SCHEMAS["chunks"],
+    ))
+    b0 = str(tmp_path / "b0")
+    m0 = d.export_serving_bundle(b0, recall_queries=1, recall_k=2)
+    assert all("dev" in i and "ino" in i for i in m0["files"].values())
+
+    d.add("chunks", spark.createDataFrame(
+        [("late0", {}, None, None, "late content", None, doc)],
+        SCHEMAS["chunks"],
+    ))
+    # sanity: with the intact base, reuse is non-zero
+    b1 = str(tmp_path / "b1")
+    m1 = d.export_serving_bundle(b1, recall_queries=1, recall_k=2,
+                                 base_bundle=b0)
+    assert m1["checksum_reuse"]["reused"] > 0
+
+    # strip 'dev' from the base manifest -> the reuse map goes empty
+    mp = _os.path.join(b0, "MANIFEST.json")
+    blob = _json.load(open(mp))
+    for info in blob["files"].values():
+        info.pop("dev", None)
+    with open(mp, "w") as f:
+        _json.dump(blob, f)
+    b2 = str(tmp_path / "b2")
+    m2 = d.export_serving_bundle(b2, recall_queries=1, recall_k=2,
+                                 base_bundle=b0)
+    assert m2["checksum_reuse"]["reused"] == 0
+    assert m2["checksum_reuse"]["hashed"] > 0

@@ -736,3 +736,40 @@ def test_bundle_serves_over_http(spark, tmp_path):
     finally:
         src_srv.shutdown()
         b_srv.shutdown()
+
+
+def test_session_tz_accepts_all_spark_offset_spellings():
+    """r16 ADVICE (medium): Spark documents '(+|-)HH', '(+|-)HH:mm:ss',
+    and 'UTC+8'/'GMT+05:00'-style values for spark.sql.session.timeZone
+    beside region ids and '(+|-)HH:MM'. The serializer's tz resolver
+    must accept them all — a rejected spelling 500s every data read."""
+    import datetime as dt
+
+    from local_vectordb_spark.serving import _session_tz
+
+    class _Conf:
+        def __init__(self, name):
+            self._n = name
+
+        def get(self, _key):
+            return self._n
+
+    class _Spark:
+        def __init__(self, name):
+            self.conf = _Conf(name)
+
+    def off(name):
+        return _session_tz(_Spark(name)).utcoffset(None)
+
+    assert off("+08") == dt.timedelta(hours=8)
+    assert off("-5") == -dt.timedelta(hours=5)
+    assert off("+05:30") == dt.timedelta(hours=5, minutes=30)
+    assert off("-08:00:30") == -dt.timedelta(hours=8, seconds=30)
+    assert off("UTC+8") == dt.timedelta(hours=8)
+    assert off("GMT+05:00") == dt.timedelta(hours=5)
+    assert off("UTC-10:30") == -dt.timedelta(hours=10, minutes=30)
+    # region ids still resolve through zoneinfo, and garbage still
+    # raises loudly rather than silently defaulting
+    assert _session_tz(_Spark("UTC")).utcoffset(None) == dt.timedelta(0)
+    with pytest.raises(ValueError, match="unsupported"):
+        _session_tz(_Spark("not-a-zone"))
