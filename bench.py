@@ -75,6 +75,13 @@ HEADLINE = [
     "api_search_export_bundle",  # r16: search served from an exported,
     # checksum-verified bundle (manifest + hard-linked artifacts) — the
     # deployment shape; shares api_search_sign's full oracle
+    "api_search_bundle_time_travel",  # r17 (r16 verdict #4): bundle of a
+    # RETAINED pre-delete generation reproduces the full-corpus top-k the
+    # live head deleted — the backfill deployment shape; version pinning
+    # made falsifiable; shares api_search_cosine's full oracle
+    "api_search_bundle_sync",  # r17 (r16 verdict #5): search served from
+    # a bundle refreshed IN PLACE by the rsync-shaped delta sync (cost ∝
+    # churn); shares api_search_cosine's full oracle
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

@@ -2237,3 +2237,152 @@ def open_serving_bundle(
             if h.hexdigest() != info["sha256"]:
                 raise ValueError(f"bundle file {rel}: checksum mismatch")
     return VectorDB(spark, bundle_dir)
+
+
+def sync_bundle(src_bundle: str, dst_bundle: str) -> dict:
+    """Refresh a DEPLOYED serving bundle in place to match a newer
+    export — the consumer-side twin of ``export_serving_bundle``'s
+    incremental checksum pass (r16 verdict #5), rsync-shaped: cost is
+    proportional to CHURN, never to corpus size.
+
+    The sync is CONTENT-addressed, not path-addressed, because the
+    table generation is part of every artifact path (``_sign_v{N}`` vs
+    ``_sign_v{N+1}``): a path-keyed diff would re-ship everything on
+    every refresh. Instead, each file the source manifest wants is
+    satisfied the cheapest possible way, in order:
+
+    1. **kept** — the destination already has the same path with the
+       same sha256 (stat-validated against its own manifest's
+       (dev, ino, size, mtime_ns) identity, same trust rule as the
+       incremental export): zero work.
+    2. **relinked** — the destination holds the same BYTES under an
+       old-generation path (the source store hard-links untouched
+       artifact partitions across generations, so most index files
+       are byte-identical after a small commit): one local
+       ``os.link`` re-homes them — zero bytes cross the wire.
+    3. **shipped** — genuinely new bytes (the corpus slice is
+       rewritten wholesale per commit, plus whichever artifact
+       partitions the commit touched): hard-linked from the source
+       when it shares a filesystem, byte-copied otherwise. Either
+       way these are the bytes a remote transfer would pay for, and
+       ``bytes_shipped`` counts exactly them.
+
+    Files the source manifest does NOT name are deleted after the
+    ship pass (so a relink can still read them). Crash-safe by the
+    same write-then-point discipline as the export: the destination's
+    ``MANIFEST.json`` is renamed to ``MANIFEST.json.prev`` up front —
+    a torn sync leaves a bundle with NO manifest, which
+    ``open_serving_bundle`` refuses loudly — and the new manifest
+    (the source's, with each file's local (dev, ino, mtime_ns)
+    identity restamped) is fsynced into place LAST, then the `.prev`
+    trust base is dropped. Re-running a torn sync heals it: `.prev`
+    still vouches for whatever survived, everything else re-ships.
+
+    At 100 TB the shape is what matters: a serving host tracking a
+    churning index pays one manifest read plus O(changed files), and
+    the opt-in full re-verification (``open_serving_bundle(...,
+    verify_checksums=True)``) stays the independent byte-true check.
+
+    Returns ``{"kept", "relinked", "shipped", "deleted",
+    "bytes_shipped"}``.
+    """
+    import json as _json
+    import shutil as _shutil
+
+    sm_path = os.path.join(src_bundle, "MANIFEST.json")
+    if not os.path.exists(sm_path):
+        raise ValueError(f"{src_bundle}: no MANIFEST.json — not a "
+                         f"(complete) serving bundle")
+    with open(sm_path) as f:
+        src_manifest = _json.load(f)
+
+    os.makedirs(dst_bundle, exist_ok=True)
+    cur = os.path.join(dst_bundle, "MANIFEST.json")
+    prev = cur + ".prev"
+    if os.path.exists(cur):
+        os.replace(cur, prev)  # mark incomplete; keep the trust base
+
+    # trust base: rel -> info for dst files that still ARE the file
+    # the previous manifest hashed, plus a sha256 -> rel reverse map
+    # for local re-homing
+    trusted: dict[str, dict] = {}
+    by_sha: dict[str, str] = {}
+    if os.path.exists(prev):
+        with open(prev) as f:
+            prev_files = _json.load(f).get("files", {})
+        for rel, info in prev_files.items():
+            if "ino" not in info or "dev" not in info:
+                continue  # pre-dev manifest: can't vouch, re-ship
+            full = os.path.join(dst_bundle, rel)
+            if not os.path.exists(full):
+                continue
+            st = os.stat(full)
+            if (st.st_ino == info["ino"] and st.st_dev == info["dev"]
+                    and st.st_size == info["bytes"]
+                    and st.st_mtime_ns == info["mtime_ns"]):
+                trusted[rel] = info
+                by_sha.setdefault(info["sha256"], rel)
+
+    kept = relinked = shipped = deleted = 0
+    bytes_shipped = 0
+    for rel, info in src_manifest["files"].items():
+        dst_full = os.path.join(dst_bundle, rel)
+        t = trusted.get(rel)
+        if t is not None and t["sha256"] == info["sha256"]:
+            kept += 1
+            continue
+        os.makedirs(os.path.dirname(dst_full), exist_ok=True)
+        tmp = f"{dst_full}.sync.{os.getpid()}"
+        if os.path.exists(tmp):
+            os.remove(tmp)  # orphan from a torn sync: start it over
+        donor = by_sha.get(info["sha256"])
+        if donor is not None:
+            # same bytes already on this host under an old path:
+            # one link, nothing crosses the wire
+            os.link(os.path.join(dst_bundle, donor), tmp)
+            relinked += 1
+        else:
+            src_full = os.path.join(src_bundle, rel)
+            try:
+                os.link(src_full, tmp)  # local source: zero-copy
+            except OSError:
+                _shutil.copy2(src_full, tmp)
+            shipped += 1
+            bytes_shipped += info["bytes"]
+        os.replace(tmp, dst_full)
+
+    # drop everything the new manifest doesn't name (AFTER the ship
+    # pass — a relink may have read from a stale path)
+    want = set(src_manifest["files"])
+    for root, dirs, names in os.walk(dst_bundle, topdown=False):
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, dst_bundle)
+            if rel in want or full in (cur, prev):
+                continue
+            os.remove(full)
+            deleted += 1
+        if root != dst_bundle and not os.listdir(root):
+            os.rmdir(root)
+
+    # restamp each file's LOCAL identity so the next sync's trust base
+    # stat-validates against this host's inodes, not the source's
+    new_manifest = dict(src_manifest)
+    new_manifest["files"] = {}
+    for rel, info in src_manifest["files"].items():
+        st = os.stat(os.path.join(dst_bundle, rel))
+        new_manifest["files"][rel] = {
+            "bytes": info["bytes"], "sha256": info["sha256"],
+            "ino": st.st_ino, "dev": st.st_dev,
+            "mtime_ns": st.st_mtime_ns,
+        }
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, cur)
+    if os.path.exists(prev):
+        os.remove(prev)
+    return {"kept": kept, "relinked": relinked, "shipped": shipped,
+            "deleted": deleted, "bytes_shipped": bytes_shipped}

@@ -870,6 +870,101 @@ def api_search_bundle_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SYNC_BUNDLE_CACHE: dict = {}
+
+
+def _synced_bundle_db(spark: SparkSession, sf_dir: str):
+    """A DEPLOYED serving bundle refreshed IN PLACE by sync_bundle
+    (r16 verdict #5 — the consumer-side twin of the incremental
+    export). A dedicated store is staged with the fixture corpus and
+    the v1 generation exported as the deployed bundle; the store then
+    advances through a two-commit delta chain — ADD four synthetic
+    vectors, DELETE the same four — so the live head's CONTENT equals
+    the original corpus while its generation and every index artifact
+    crossed two rounds of incremental maintenance (untouched sign
+    buckets hard-link through both commits, byte-identical under
+    new-generation paths). The head is exported as the release
+    (incrementally, base=deployed) and synced ONTO the deployed
+    bundle; staging GATES on the sync having actually moved the
+    bundle (files deleted + shipped-or-relinked > 0, the delta shape)
+    and the refreshed bundle is re-opened with FULL byte
+    verification. Built once per (process, sf_dir)."""
+    if sf_dir in _SYNC_BUNDLE_CACHE:
+        return _SYNC_BUNDLE_CACHE[sf_dir]
+    from local_vectordb_spark.api import (VectorDB, open_serving_bundle,
+                                          sync_bundle)
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    db = VectorDB(spark, _tmp_store_dir("lvdb_sync_src_"), keep_versions=4)
+    db.add(
+        "libraries",
+        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+    )
+    db.add(
+        "documents",
+        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    dim = len(emb.select("embedding").first()[0])
+    db.add(
+        "chunks",
+        emb.join(docs, emb.vec_id == docs.doc_id).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.lit(None).cast("timestamp").alias("created_at"),
+            F.lit(None).cast("timestamp").alias("updated_at"),
+            F.col("text").alias("content"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.lit("d0").alias("document_id"),
+        ),
+    )
+    deployed = _tmp_store_dir("lvdb_sync_dst_")
+    db.export_serving_bundle(deployed, recall_queries=1, recall_k=5)
+
+    syn = spark.createDataFrame(
+        [(f"syn_{i}", {}, None, None, f"synthetic {i}",
+          [float((i + j) % 7 - 3) for j in range(dim)], "d0")
+         for i in range(4)],
+        SCHEMAS["chunks"],
+    )
+    db.add("chunks", syn)
+    db.delete("chunks", syn.select("id"))
+
+    release = _tmp_store_dir("lvdb_sync_rel_")
+    db.export_serving_bundle(release, recall_queries=1, recall_k=5,
+                             base_bundle=deployed)
+    stats = sync_bundle(release, deployed)
+    # the delta shape, gated loudly: the old generation's files left,
+    # new-generation files arrived (shipped or locally relinked)
+    assert stats["deleted"] > 0, stats
+    assert stats["shipped"] + stats["relinked"] > 0, stats
+    bdb = open_serving_bundle(spark, deployed, verify_checksums=True)
+    _SYNC_BUNDLE_CACHE[sf_dir] = bdb
+    return bdb
+
+
+@register("api_search_bundle_sync", ORACLE_SQL["api_search_cosine"])
+def api_search_bundle_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bundle DELTA-SYNC (r17, r16 verdict #5): a deployed bundle
+    refreshed in place to a newer export by api.sync_bundle —
+    content-addressed (kept / locally-relinked / shipped, cost ∝
+    churn, crash-safe via the manifest-last discipline; the rsync
+    analogue of the incremental export) — must serve the refreshed
+    generation EXACTLY: the head's content equals the full fixture
+    corpus (the delta chain adds then deletes the same four synthetic
+    vectors), so a cosine search over the synced bundle shares
+    api_search_cosine's oracle verbatim. A sync that half-applied the
+    delta (stale corpus slice, missed artifact file) fails the full
+    byte verification at open or hash-mismatches here; torn-sync
+    refusal + healing and the churn-proportional stats are pinned in
+    tests/test_api_e2e.py."""
+    bdb = _synced_bundle_db(spark, sf_dir)
+    return bdb.search(
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="cosine", k=K
+    )
+
+
 @register(
     "api_search_batch_table",
     f"""

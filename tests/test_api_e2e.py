@@ -1641,3 +1641,156 @@ def test_incremental_export_requires_device_match(spark, tmp_path):
                                  base_bundle=b0)
     assert m2["checksum_reuse"]["reused"] == 0
     assert m2["checksum_reuse"]["hashed"] > 0
+
+
+def _seed_bundle_src(spark, tmp_path, n=24):
+    import uuid as _uuid
+
+    d = VectorDB(spark, str(tmp_path / "src"), keep_versions=4)
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, f"content {i}", None, doc)
+         for i in range(n)],
+        SCHEMAS["chunks"],
+    ))
+    return d, doc
+
+
+def test_sync_bundle_refreshes_deployed_bundle(spark, tmp_path):
+    """r16 verdict #5: a deployed bundle is refreshed IN PLACE to a
+    newer export at cost ∝ churn. After a one-row commit, the sync
+    must re-home the untouched (byte-identical, new-generation-path)
+    artifact files with local links — zero bytes shipped for them —
+    ship only the genuinely new bytes, delete the old generation's
+    files, and leave a bundle that serves exactly what a fresh export
+    of the same generation serves, byte-verified."""
+    from local_vectordb_spark.api import open_serving_bundle, sync_bundle
+
+    d, doc = _seed_bundle_src(spark, tmp_path)
+    deployed = str(tmp_path / "deployed")
+    d.export_serving_bundle(deployed, recall_queries=1, recall_k=2)
+
+    # a no-op sync (source == destination generation) keeps everything
+    stats0 = sync_bundle(deployed, deployed)
+    assert stats0["shipped"] == 0 and stats0["relinked"] == 0
+    assert stats0["deleted"] == 0 and stats0["kept"] > 0
+
+    # one small maintained commit, then a fresh export = the release
+    d.add("chunks", spark.createDataFrame(
+        [("late0", {}, None, None, "late content", None, doc)],
+        SCHEMAS["chunks"],
+    ))
+    release = str(tmp_path / "release")
+    d.export_serving_bundle(release, recall_queries=1, recall_k=2,
+                            base_bundle=deployed)
+
+    stats = sync_bundle(release, deployed)
+    assert stats["relinked"] > 0, stats   # untouched artifact files
+    assert stats["shipped"] > 0, stats    # corpus slice + touched
+    assert stats["deleted"] > 0, stats    # the old generation's files
+    assert stats["bytes_shipped"] > 0
+
+    # the refreshed bundle == the fresh export, byte-verified
+    sdb = open_serving_bundle(spark, deployed, verify_checksums=True)
+    rdb = open_serving_bundle(spark, release, verify_checksums=True)
+    assert sdb.table("chunks").count() == 25
+    qv = [float(x) for x in
+          rdb.table("chunks").orderBy("id").limit(1).collect()[0].embedding]
+    for strategy in ("cosine", "sign", "nsw", "ivf"):
+        got = sdb.search(query_vec=qv, index_type=strategy, k=3).collect()
+        want = rdb.search(query_vec=qv, index_type=strategy, k=3).collect()
+        assert [(r.id, r.score) for r in got] == \
+            [(r.id, r.score) for r in want], strategy
+
+    # tamper with one kept file in place (stat identity moves) -> the
+    # next sync refuses to trust it and re-ships/relinks it back
+    import json as _json
+    import os as _os
+
+    m = _json.load(open(_os.path.join(deployed, "MANIFEST.json")))
+    victim = next(r for r in m["files"] if r.endswith(".parquet"))
+    vfull = _os.path.join(deployed, victim)
+    data = open(vfull, "rb").read()
+    _os.remove(vfull)  # break the shared inode before rewriting
+    with open(vfull, "wb") as f:
+        f.write(b"\0" * len(data))
+    stats2 = sync_bundle(release, deployed)
+    assert stats2["shipped"] + stats2["relinked"] >= 1
+    open_serving_bundle(spark, deployed, verify_checksums=True)
+
+
+def test_sync_bundle_bootstraps_empty_destination(spark, tmp_path):
+    """Sync into a fresh directory = a full bootstrap: everything
+    ships (nothing local to vouch for), and the result opens
+    byte-verified."""
+    from local_vectordb_spark.api import open_serving_bundle, sync_bundle
+
+    d, _doc = _seed_bundle_src(spark, tmp_path, n=8)
+    release = str(tmp_path / "release")
+    m = d.export_serving_bundle(release, recall_queries=1, recall_k=2)
+    host = str(tmp_path / "host")
+    stats = sync_bundle(release, host)
+    assert stats["shipped"] == len(m["files"])
+    assert stats["kept"] == 0 and stats["relinked"] == 0
+    bdb = open_serving_bundle(spark, host, verify_checksums=True)
+    assert bdb.table("chunks").count() == 8
+
+
+def test_sync_bundle_torn_sync_refuses_then_heals(spark, tmp_path,
+                                                  monkeypatch):
+    """A sync that dies mid-ship leaves a bundle with NO manifest —
+    open_serving_bundle refuses loudly, never serves a half-refreshed
+    index — and simply re-running the sync completes it: the `.prev`
+    trust base still vouches for what survived."""
+    import os as _os
+
+    from local_vectordb_spark.api import open_serving_bundle, sync_bundle
+
+    d, doc = _seed_bundle_src(spark, tmp_path)
+    deployed = str(tmp_path / "deployed")
+    d.export_serving_bundle(deployed, recall_queries=1, recall_k=2)
+    d.add("chunks", spark.createDataFrame(
+        [("late0", {}, None, None, "late content", None, doc)],
+        SCHEMAS["chunks"],
+    ))
+    release = str(tmp_path / "release")
+    d.export_serving_bundle(release, recall_queries=1, recall_k=2,
+                            base_bundle=deployed)
+
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def dying_replace(a, b):
+        # let the up-front MANIFEST -> .prev rename through, then die
+        # a few file-ships later, well before the manifest write
+        if str(b).startswith(deployed) and not str(b).endswith(".prev"):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise OSError(5, "injected I/O error")
+        return real_replace(a, b)
+
+    monkeypatch.setattr(_os, "replace", dying_replace)
+    with pytest.raises(OSError, match="injected"):
+        sync_bundle(release, deployed)
+    monkeypatch.undo()
+
+    # torn: no manifest -> the bundle refuses to serve
+    assert not _os.path.exists(_os.path.join(deployed, "MANIFEST.json"))
+    assert _os.path.exists(_os.path.join(deployed, "MANIFEST.json.prev"))
+    with pytest.raises(ValueError, match="MANIFEST"):
+        open_serving_bundle(spark, deployed)
+
+    # re-run heals: the prev trust base still vouches for survivors
+    stats = sync_bundle(release, deployed)
+    assert stats["kept"] > 0, stats  # survivors were NOT re-shipped
+    assert not _os.path.exists(_os.path.join(deployed,
+                                             "MANIFEST.json.prev"))
+    bdb = open_serving_bundle(spark, deployed, verify_checksums=True)
+    assert bdb.table("chunks").count() == 25

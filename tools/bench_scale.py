@@ -1104,6 +1104,27 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
         open_serving_bundle(spark, out2, verify_checksums=True)
         ru = manifest2["checksum_reuse"]
 
+        # delta-sync (r17): refresh the FIRST (deployed, v1) bundle in
+        # place to the v2 release — the consumer-side twin of the
+        # incremental export. The claim under test: the sync ships
+        # only churned bytes (untouched byte-identical artifact files
+        # re-home via local links), and the refreshed bundle serves
+        # the new head identically, byte-verified.
+        from local_vectordb_spark.api import sync_bundle
+
+        t0 = time.time()
+        sync_stats = sync_bundle(out2, out)
+        sync_s = round(time.time() - t0, 4)
+        t0 = time.time()
+        sdb = open_serving_bundle(spark, out, verify_checksums=True)
+        sync_open_s = round(time.time() - t0, 4)
+        got2 = [(r.id, round(r.score, 6)) for r in
+                sdb.search(query_vec=qv, index_type="sign",
+                           k=10).collect()]
+        want2 = [(r.id, round(r.score, 6)) for r in
+                 db.search(query_vec=qv, index_type="sign",
+                           k=10).collect()]
+
         return {
             "corpus_rows": n,
             "seed_sec": seed_s,
@@ -1118,6 +1139,18 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
                 "reuse_fraction": round(
                     ru["reused"] / (ru["reused"] + ru["hashed"]), 4),
                 "open_full_reverify_ok": True,
+            },
+            "sync": {
+                "sync_sec": sync_s,
+                "open_full_reverify_sec": sync_open_s,
+                "kept": sync_stats["kept"],
+                "relinked": sync_stats["relinked"],
+                "shipped": sync_stats["shipped"],
+                "deleted": sync_stats["deleted"],
+                "bytes_shipped": sync_stats["bytes_shipped"],
+                "bundle_bytes": sum(
+                    i["bytes"] for i in manifest2["files"].values()),
+                "synced_serve_equals_store": got2 == want2,
             },
             "open_verify_checksums_sec": open_s,
             "bundle_files": len(manifest["files"]),
