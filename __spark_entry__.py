@@ -47,14 +47,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # api_search_export_bundle (the export + open pipeline end to end),
 # api_search_bundle_time_travel (FIRST driver row, r16 verdict #3 —
 # the export's version-pinning proof, sharing api_search_cosine's
-# full oracle), and api_search_bundle_sync (NEW this round — search
+# full oracle), api_search_bundle_sync (NEW this round — search
 # served from a bundle refreshed in place by the delta sync, sharing
-# api_search_cosine's full oracle). (c) Spare slots: the
-# alphabetically-first 17 of the 45-query r14 tier, which hits its
-# bound in r18 — the remaining 28 of that tier MUST lead the r18
-# window (alphabetical from ivf_batch_search_full_probe through
-# window_running_totals per CORRECTNESS_r14), with the r15 tier (45
-# entries) bounding in r19. All 50 slots this round are FULL-ORACLE —
+# api_search_cosine's full oracle), and api_search_sign_filtered
+# (NEW this round — metadata-filtered search kept partition-pruned on
+# the stored sign layout via a semi join against an id+metadata
+# column-pruned base scan; its own full oracle reproduces probe ∧
+# filter ∧ top-k). (c) Spare slots: the alphabetically-first 16 of
+# the 45-query r14 tier, which hits its bound in r18 — the remaining
+# 29 of that tier MUST lead the r18 window (alphabetical from
+# ivf_add_remove_roundtrip through window_running_totals per
+# CORRECTNESS_r14), with the r15 tier (45 entries) bounding in r19. All 50 slots this round are FULL-ORACLE —
 # the first all-hash window of the build (the r12 tier's rows-only
 # member sketch_distinct_users_daily rode its own tier in r16 and is
 # not stale again until r20). The 8 registry entries with no driver
@@ -100,8 +103,9 @@ _PRIORITY = [
     "api_search_export_bundle",
     "api_search_bundle_time_travel",
     "api_search_bundle_sync",
-    # (c) spare slots: alphabetically-first 17 of the r14 tier (its
-    # staleness bound lands in r18; the remaining 28 lead that window)
+    "api_search_sign_filtered",
+    # (c) spare slots: alphabetically-first 16 of the r14 tier (its
+    # staleness bound lands in r18; the remaining 29 lead that window)
     "api_search_auto",
     "api_search_batch_auto",
     "api_search_batch_cosine",
@@ -118,7 +122,6 @@ _PRIORITY = [
     "graph_lsh_edge_recall",
     "grouping_sets_flag_status",
     "hybrid_rrf",
-    "ivf_add_remove_roundtrip",
 ]
 
 

@@ -70,6 +70,9 @@ HEADLINE = [
     # twin times the deployment shape a serving system runs per query
     "api_search_nsw",  # r12: the facade's stored-graph ANN serving path
     "api_search_sign",  # r12: the auto strategy's past-the-knee default
+    "api_search_sign_filtered",  # r17: metadata-filtered search on the
+    # same pruned layout (semi join against an id+metadata column-pruned
+    # base scan — no whole-corpus embedding read); full oracle
     "api_search_sign_incremental",  # r13: delta-maintained layout, full oracle
     "api_search_time_travel",  # r12: version-pinned search, full oracle
     "api_search_export_bundle",  # r16: search served from an exported,

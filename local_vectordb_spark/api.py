@@ -878,19 +878,28 @@ class VectorDB:
             # bucket = axis-sign bits, a pure expression of the vector
             # — no trained state, and the result is reproducible in
             # any engine, which makes e2e flows over this strategy
-            # hash-checkable where the KMeans tier is rows-only. An
-            # unfiltered search on a written store serves from the
-            # PERSISTED bucket-partitioned layout (`_sign_v{N}`), so
-            # the probe prunes partition DIRECTORIES instead of
-            # filtering rows — the 100 TB difference, since `auto`
-            # routes here past the brute knee. A metadata-filtered (or
-            # never-written) search keeps the expression form: the
-            # metadata column lives in the base table, not the layout.
+            # hash-checkable where the KMeans tier is rows-only. Any
+            # search on a written store serves from the PERSISTED
+            # bucket-partitioned layout (`_sign_v{N}`), so the probe
+            # prunes partition DIRECTORIES instead of filtering rows —
+            # the 100 TB difference, since `auto` routes here past the
+            # brute knee. A metadata filter INTERSECTS the pruned
+            # candidates with a semi join against the filtered id set
+            # (r17): the metadata column lives in the base table, not
+            # the layout, but the base-table side is an id+metadata
+            # column-pruned scan — the embedding bytes (the fat
+            # column) are only ever read for the probed partitions.
+            # The pre-r17 fallback row-filtered the FULL base table,
+            # i.e. a filtered search on the default large-corpus path
+            # paid a whole-corpus embedding scan. Only a never-written
+            # store keeps the expression form.
             probes = ivf.sign_probe(qvec, n_bits=4)
-            if metadata is None and disk_v >= 0:
+            if disk_v >= 0:
                 cand = self._sign_stored(disk_v).filter(
                     F.col("bucket").isin(probes)
                 )
+                if metadata is not None:
+                    cand = cand.join(chunks.select("id"), "id", "leftsemi")
             else:
                 cand = chunks.filter(
                     ivf.sign_bucket("embedding", n_bits=4).isin(probes)
@@ -1200,17 +1209,23 @@ class VectorDB:
         disk_v: int,
     ) -> DataFrame:
         """Shared sign-strategy batch scoring: the persisted
-        bucket-partitioned layout with its stored `bucket` column when
-        the search is unfiltered on a written store (the probe join
-        then triggers dynamic partition pruning — see
-        ivf.sign_search_batch_table's bucket_col note), else the
-        bucket-expression form over the (possibly metadata-filtered)
-        base table. ``disk_v`` is the caller's single pointer read, so
-        layout and scan stay on one version."""
-        if metadata is None and disk_v >= 0:
+        bucket-partitioned layout with its stored `bucket` column on a
+        written store (the probe join then triggers dynamic partition
+        pruning — see ivf.sign_search_batch_table's bucket_col note);
+        a metadata filter intersects the layout with a semi join
+        against the filtered id set (r17, same shape as the
+        single-query path: the base-table side is an id+metadata
+        column-pruned scan, so embedding bytes are only read for
+        probed partitions — the pre-r17 fallback row-filtered the
+        full base table). Only a never-written store uses the
+        bucket-expression form. ``disk_v`` is the caller's single
+        pointer read, so layout and scan stay on one version."""
+        if disk_v >= 0:
+            layout = self._sign_stored(disk_v)
+            if metadata is not None:
+                layout = layout.join(chunks.select("id"), "id", "leftsemi")
             return ivf.sign_search_batch_table(
-                self._sign_stored(disk_v), qdf, k=k, id_col="id",
-                bucket_col="bucket",
+                layout, qdf, k=k, id_col="id", bucket_col="bucket",
             )
         return ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
 

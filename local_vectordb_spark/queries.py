@@ -243,7 +243,13 @@ def _staged_vectordb(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     chunks = emb.join(docs, emb.vec_id == docs.doc_id).select(
         F.col("vec_id").cast("string").alias("id"),
-        F.create_map().cast("map<string,string>").alias("metadata"),
+        # the fixture's label rides as chunk metadata so filtered
+        # search entries (Q8 through every strategy) have a real
+        # predicate to push; no oracle hashes the metadata column
+        # itself, so id/score/content outputs are unchanged
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("metadata"),
         F.lit(None).cast("timestamp").alias("created_at"),
         F.lit(None).cast("timestamp").alias("updated_at"),
         F.col("text").alias("content"),
@@ -470,6 +476,48 @@ def api_search_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     db = _staged_vectordb(spark, sf_dir)
     return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K)
+
+
+@register(
+    "api_search_sign_filtered",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding
+      FROM embeddings e, qb
+      WHERE e.label = 3
+        AND ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    ),
+    topk AS (
+      SELECT c.vec_id,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM cand c CROSS JOIN q
+      ORDER BY score DESC, CAST(c.vec_id AS VARCHAR) ASC
+      LIMIT {K}
+    )
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_sign_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 on the 100 TB default path (r17): a METADATA-FILTERED sign
+    search must stay partition-pruned. The facade intersects the
+    probed `_sign_v{{N}}` layout partitions with a semi join against
+    the filtered id set — the base-table side is an id+metadata
+    column-pruned scan, so embedding bytes are only read for the
+    probed partitions (the pre-r17 fallback row-filtered the FULL base
+    table: a whole-corpus embedding scan on exactly the path `auto`
+    serves past the brute knee; plan pinned in tests/test_plans.py).
+    FULL ORACLE: the Hamming-1 candidate set ∧ label=3, scored
+    exactly, staged-store string-id tie-break — a silently unfiltered
+    search or a filter applied after the top-k both hash-mismatch."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(
+        query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K,
+        metadata={"label": 3},
+    )
 
 
 _EXPORT_BUNDLE_CACHE: dict = {}

@@ -588,8 +588,12 @@ def test_facade_sign_probe_is_partition_pruned(spark, tmp_path):
     """r11: the facade's sign strategy (the `auto` default past the
     brute knee) serves from the persisted `_sign_v{N}` bucket-
     partitioned layout, so the Hamming-1 probe prunes whole partition
-    directories — and a metadata-filtered search falls back to the
-    expression form over the base table (the layout has no metadata)."""
+    directories — and since r17 a METADATA-FILTERED search stays on
+    the pruned layout too: the filter intersects via a semi join whose
+    base-table side is an id+metadata column-pruned scan, so embedding
+    bytes are never read outside the probed partitions (the old
+    fallback row-filtered the full base table — a whole-corpus
+    embedding scan on exactly the path `auto` serves at scale)."""
     import uuid
 
     from local_vectordb_spark.api import VectorDB
@@ -612,16 +616,47 @@ def test_facade_sign_probe_is_partition_pruned(spark, tmp_path):
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200]
     assert hits.collect()[0].content == "sign layout row 9"
 
-    # metadata filter -> expression form, filter respected
-    got = d.search("sign layout row 9", index_type="sign", k=48,
-                   metadata={"par": "1"}).collect()
+    # metadata filter -> STILL partition-pruned (r17), filter
+    # respected, and the base-table side of the semi join never reads
+    # the embedding column: every scan that reads metadata reads a
+    # schema without embedding
+    filtered = d.search("sign layout row 9", index_type="sign", k=48,
+                        metadata={"par": "1"})
+    fplan = plans.plan_string(filtered)
+    assert "PartitionFilters" in fplan
+    assert "bucket" in fplan.split("PartitionFilters", 1)[1][:200]
+    for seg in fplan.split("ReadSchema: ")[1:]:
+        schema = seg.splitlines()[0]
+        if "metadata" in schema:
+            assert "embedding" not in schema, schema
+    got = filtered.collect()
     assert got and all(int(r.content.rsplit(" ", 1)[1]) % 2 == 1 for r in got)
 
-    # batch twin over the stored layout agrees with itself end to end
+    # the filtered result equals the expression-form ground truth:
+    # probed buckets ∧ filter, scored exactly
+    from local_vectordb_spark.operators import ivf as ivf_ops
+    from local_vectordb_spark.operators import knn as knn_ops
+
+    qv9 = [float(x) for x in
+           d.table("chunks").filter("id = 'c009'").first().embedding]
+    probes = ivf_ops.sign_probe(qv9, n_bits=4)
+    base = d.table("chunks").filter(F.col("metadata")["par"] == "1").filter(
+        ivf_ops.sign_bucket("embedding", n_bits=4).isin(probes))
+    want = {(r.id, round(r.score, 6)) for r in knn_ops.knn_brute_force(
+        base, qv9, k=48, id_col="id").collect()}
+    got9 = d.search(query_vec=qv9, index_type="sign", k=48,
+                    metadata={"par": "1"})
+    assert {(r.id, round(r.score, 6)) for r in got9.collect()} == want
+
+    # batch twin over the stored layout agrees with itself end to end,
+    # filtered and unfiltered
     qv = [float(x) for x in
           d.table("chunks").filter("id = 'c007'").first().embedding]
     batch = d.search_batch(query_vecs=[(0, qv)], index_type="sign", k=5)
     assert batch.collect()[0].content == "sign layout row 7"
+    fbatch = d.search_batch(query_vecs=[(0, qv9)], index_type="sign",
+                            k=48, metadata={"par": "1"}).collect()
+    assert {(r.id, round(r.score, 6)) for r in fbatch} == want
 
 
 def test_layered_nsw_compose_is_broadcast_only(spark, tmp_path):
