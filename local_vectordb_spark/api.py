@@ -140,6 +140,7 @@ class VectorDB:
         root_dir: str,
         embedder=None,
         keep_versions: int = 2,
+        data_buckets: int = 64,
     ):
         self.spark = spark
         self.root = root_dir
@@ -149,6 +150,15 @@ class VectorDB:
         # time-based policy externally) when readers hold snapshots
         # across several writes.
         self.keep_versions = max(1, keep_versions)
+        # hash-bucket count for the DELTA-PROPORTIONAL data layout
+        # (r17, see _write): a delta commit rewrites only the touched
+        # buckets and hard-links the rest, so commit cost is ∝ churn ×
+        # corpus/B instead of ∝ corpus. Sized like the CDF mirror's
+        # buckets: at 100 TB raise it (thousands) so one bucket stays
+        # a task-sized rewrite; changing it mid-table is safe — the
+        # next delta commit sees a bucket-count mismatch and lays the
+        # table out fresh at the new B.
+        self.data_buckets = max(1, data_buckets)
         self._ivf_version = -1
         self._version = 0
         self._ivf = None
@@ -223,6 +233,19 @@ class VectorDB:
         with open(ptr) as f:
             return int(f.read().strip())
 
+    def _read_version(self, kind: str, version: int) -> DataFrame:
+        """One version directory as a DataFrame in the TABLE schema:
+        a bucketed generation (the r17 delta-proportional layout —
+        hive `bucket=` partition dirs) surfaces its physical bucket
+        column, which no reader contract includes, so it is dropped
+        here; flat (pre-r17 or bulk-written) generations pass
+        through untouched. Every snapshot read routes through this
+        one seam."""
+        df = self.spark.read.parquet(
+            os.path.join(self._table_dir(kind), f"v{version}")
+        )
+        return df.drop("bucket") if "bucket" in df.columns else df
+
     def _snapshot(self, kind: str) -> tuple[int, DataFrame]:
         """(version, DataFrame) read atomically from one pointer load —
         writers pass the version back to _write as expected_version so
@@ -231,9 +254,7 @@ class VectorDB:
         v = self._current_version(kind)
         if v < 0:
             return v, self.spark.createDataFrame([], SCHEMAS[kind])
-        return v, self.spark.read.parquet(
-            os.path.join(self._table_dir(kind), f"v{v}")
-        )
+        return v, self._read_version(kind, v)
 
     def table(self, kind: str, version: int | None = None) -> DataFrame:
         """C1 — the collection as a DataFrame: the live version by
@@ -252,7 +273,7 @@ class VectorDB:
                 f"{kind} v{version} not available (live is v{live}; "
                 f"newest {self.keep_versions} versions are retained)"
             )
-        return self.spark.read.parquet(path)
+        return self._read_version(kind, version)
 
     def table_changes(
         self, kind: str, since_version: int, version: int | None = None
@@ -424,7 +445,7 @@ class VectorDB:
             nxt = max([base, *vers]) + 1
             stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
             try:
-                df.write.mode("overwrite").parquet(stage)
+                self._write_data(kind, df, delta, base, stage)
                 if delta is not None:
                     ups_df, rem_df = delta
                     dd = os.path.join(stage, "_delta")
@@ -467,6 +488,127 @@ class VectorDB:
                     shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
         finally:
             os.close(lock_fd)  # closing the fd releases the flock
+
+    @staticmethod
+    def _version_buckets(version_dir: str) -> int | None:
+        """The bucket count a generation was laid out with (its
+        `_BUCKETS` marker), or None for a flat (pre-r17 / bulk)
+        generation."""
+        p = os.path.join(version_dir, "_BUCKETS")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _write_data(self, kind, df, delta, base, stage) -> None:
+        """The data half of a commit (r17): DELTA-PROPORTIONAL when it
+        can be, wholesale only when it must.
+
+        The versioned snapshot is laid out hive-partitioned by
+        ``bucket = pmod(xxhash64(id), B)`` — the same construction the
+        CDF consumer's mirror uses — so a delta commit rewrites ONLY
+        the buckets the delta touches (read partition-pruned from the
+        previous generation, broadcast-anti-joined against the changed
+        ids, unioned with the upserts) and HARD-LINKS every untouched
+        bucket directory from the previous generation: commit cost is
+        ∝ churn × (corpus/B), never ∝ corpus. Before r17 every commit
+        rewrote the whole table — the one remaining corpus-bound cost
+        in the write path after the index artifacts went incremental
+        (r13); a 20-row add to a 100 TB corpus must not rewrite
+        100 TB.
+
+        The derivation new = prev − changed_ids + upserts is the SAME
+        contract the incremental artifact builders and the CDF feed
+        already rely on (the delta IS the net change this commit
+        applies — api._write's docstring); a caller whose merged plan
+        disagreed with its recorded delta was already corrupting every
+        downstream consumer.
+
+        Wholesale writes (delta=None — reset, initial bulk load — or a
+        flat/differently-bucketed previous generation, or a GC race on
+        the previous directory) write the merged ``df``: bucketed when
+        a delta chain could extend this commit (delta given), flat
+        otherwise. A bucketed result that materialized ZERO parquet
+        files (a partitioned write of an empty table writes no files
+        and the generation would be unreadable) falls back to the flat
+        empty write. Readers never see the physical bucket column
+        (_read_version drops it)."""
+        import shutil as _shutil
+
+        from local_vectordb_spark.operators.incremental import link_tree
+
+        B = self.data_buckets
+        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(B))
+        d = self._table_dir(kind)
+        prev_dir = os.path.join(d, f"v{base}")
+        prev_b = self._version_buckets(prev_dir) if base >= 0 else None
+
+        if delta is not None and prev_b is not None and prev_b == B:
+            ups, rem = delta
+            try:
+                changed = ups.select("id").unionByName(
+                    rem.select("id")).distinct()
+                touched = [
+                    r.b for r in changed.select(
+                        F.pmod(F.xxhash64("id"), F.lit(B)).alias("b")
+                    ).distinct().collect()
+                ]
+                prev = self.spark.read.parquet(prev_dir)
+                cols = [f.name for f in SCHEMAS[kind].fields]
+                rewritten = (
+                    prev.filter(F.col("bucket").isin(touched))
+                    .drop("bucket")
+                    .join(F.broadcast(changed), "id", "left_anti")
+                    .unionByName(ups.select(*cols))
+                    .withColumn("bucket", bucket_of)
+                )
+                # one shuffle ON the bucket key before the partitioned
+                # write: every bucket lands in exactly one task, so the
+                # generation carries ONE file per bucket instead of
+                # (tasks × buckets) — bounded file counts under
+                # maintenance is as much a 100 TB property as bounded
+                # bytes (the shuffle is churn-sized here)
+                rewritten.repartition("bucket").write.mode(
+                    "overwrite").partitionBy("bucket").parquet(stage)
+                for name in os.listdir(prev_dir):
+                    if (name.startswith("bucket=")
+                            and int(name.split("=", 1)[1]) not in touched):
+                        link_tree(os.path.join(prev_dir, name),
+                                  os.path.join(stage, name))
+                if any(n.endswith(".parquet")
+                       for _r, _dd, names in os.walk(stage)
+                       for n in names):
+                    with open(os.path.join(stage, "_BUCKETS"), "w") as f:
+                        f.write(str(B))
+                    return
+                # the commit emptied the table (every bucket touched,
+                # zero rows left): a partitioned dir with no files is
+                # unreadable — take the flat empty write below
+                _shutil.rmtree(stage, ignore_errors=True)
+            except (FileNotFoundError, AnalysisException):
+                # lost prev to a concurrent GC / unreadable layout:
+                # fall through to the wholesale write below
+                _shutil.rmtree(stage, ignore_errors=True)
+
+        if delta is not None:
+            # wholesale but BUCKETED: this is the layout-upgrade (or
+            # first post-bulk) commit later delta commits extend; the
+            # bucket-keyed repartition keeps it at one file per bucket
+            df.withColumn("bucket", bucket_of).repartition(
+                "bucket").write.mode("overwrite").partitionBy(
+                "bucket").parquet(stage)
+            has_files = any(
+                n.endswith(".parquet")
+                for _r, _d, names in os.walk(stage) for n in names
+            )
+            if has_files:
+                with open(os.path.join(stage, "_BUCKETS"), "w") as f:
+                    f.write(str(B))
+                return
+            _shutil.rmtree(stage, ignore_errors=True)  # empty table
+
+        df.write.mode("overwrite").parquet(stage)
 
     def reset(self) -> None:
         """C10 — truncate every collection (schema preserved)."""

@@ -664,3 +664,109 @@ def test_table_changes_nets_and_refuses_partial_feeds(spark, tmp_path):
         d.table_changes("chunks", since_version=v0, version=live + 5)
     with pytest.raises(ValueError, match="out of range"):
         d.table_changes("chunks", since_version=live + 1)
+
+
+def test_data_commits_are_delta_proportional(spark, tmp_path):
+    """r17: the versioned DATA snapshot itself is maintained at cost ∝
+    churn — a delta commit rewrites only the hash buckets the delta
+    touches and hard-links every untouched bucket directory from the
+    previous generation (the same shape the CDF mirror and the index
+    artifacts already use; before r17 every commit rewrote the whole
+    table, the last corpus-bound cost in the write path). Layout
+    lifecycle: bulk load is flat; the first delta commit upgrades to
+    the bucketed layout wholesale; later delta commits go incremental;
+    emptying the table falls back to a readable flat write. Readers
+    never see the physical bucket column."""
+    import os
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    B = 8
+    d = VectorDB(spark, str(tmp_path / "s"), keep_versions=6,
+                 data_buckets=B)
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+
+    def rows(ids):
+        return spark.createDataFrame(
+            [(i, {}, None, None, f"content {i}", None, doc) for i in ids],
+            SCHEMAS["chunks"],
+        )
+
+    cdir = os.path.join(str(tmp_path / "s"), "chunks")
+
+    # bulk load -> FLAT (no delta chain to extend, write cost is the
+    # corpus either way)
+    d.add("chunks", rows([f"c{i:03d}" for i in range(64)]))
+    v1 = d._current_version("chunks")
+    assert d._version_buckets(os.path.join(cdir, f"v{v1}")) is None
+
+    # first delta commit -> wholesale UPGRADE to the bucketed layout
+    d.add("chunks", rows(["late0"]))
+    v2 = d._current_version("chunks")
+    v2d = os.path.join(cdir, f"v{v2}")
+    assert d._version_buckets(v2d) == B
+    assert any(n.startswith("bucket=") for n in os.listdir(v2d))
+
+    # second delta commit -> INCREMENTAL: only touched buckets
+    # rewritten, untouched bucket files are the SAME inodes as v2's
+    d.add("chunks", rows(["late1"]))
+    v3 = d._current_version("chunks")
+    v3d = os.path.join(cdir, f"v{v3}")
+    assert d._version_buckets(v3d) == B
+
+    def bucket_inodes(vdir):
+        out = {}
+        for name in os.listdir(vdir):
+            if name.startswith("bucket="):
+                out[name] = {
+                    os.stat(os.path.join(vdir, name, f)).st_ino
+                    for f in os.listdir(os.path.join(vdir, name))
+                    if f.endswith(".parquet")
+                }
+        return out
+    i2, i3 = bucket_inodes(v2d), bucket_inodes(v3d)
+    linked = [b for b in i3 if b in i2 and i3[b] == i2[b]]
+    rewritten = [b for b in i3 if b not in linked]
+    assert linked, (i2, i3)          # untouched buckets: linked through
+    assert 1 <= len(rewritten) <= 2  # one new id touches ≤1 bucket (+
+    #                                  nothing else) — cost ∝ churn
+    assert all(
+        os.stat(os.path.join(v3d, b, f)).st_nlink >= 2
+        for b in linked
+        for f in os.listdir(os.path.join(v3d, b)) if f.endswith(".parquet")
+    )
+
+    # content is exactly base + delta, and the physical bucket column
+    # never leaks into the table schema
+    t = d.table("chunks")
+    assert "bucket" not in t.columns
+    assert t.count() == 66
+    assert {r.id for r in t.select("id").collect()} == (
+        {f"c{i:03d}" for i in range(64)} | {"late0", "late1"}
+    )
+
+    # deletes ride the same incremental path
+    d.delete("chunks", spark.createDataFrame(
+        [(f"c{i:03d}",) for i in range(0, 64, 2)], "id string"))
+    assert d.table("chunks").count() == 34
+
+    # the change feed over the bucketed generations still nets exactly
+    feed = d.table_changes("chunks", v1).groupBy("change_type").count()
+    got = {r.change_type: r["count"] for r in feed.collect()}
+    assert got == {"upsert": 2, "remove": 32}
+
+    # emptying the table falls back to a readable flat write
+    d.delete("chunks", d.table("chunks").select("id"))
+    assert d.table("chunks").count() == 0
+
+    # time travel across layouts: the flat bulk generation still reads
+    assert d.table("chunks", version=v1).count() == 64

@@ -124,7 +124,8 @@ def run_tier(spark, qs, sf_dir: str, names: list[str]) -> tuple[dict, dict, bool
     return timings, rows, ok
 
 
-def _seed_xl_db(spark, sf_dir: str, root_dir: str, keep_versions: int = 2):
+def _seed_xl_db(spark, sf_dir: str, root_dir: str, keep_versions: int = 2,
+                data_buckets: int = 64):
     """Seed a VectorDB at ``root_dir`` with the XL embeddings as chunks
     (pre-embedded — add() skips the embedder for non-null vectors).
     Returns (db, embeddings DataFrame, seed seconds)."""
@@ -133,7 +134,8 @@ def _seed_xl_db(spark, sf_dir: str, root_dir: str, keep_versions: int = 2):
     from local_vectordb_spark.api import VectorDB
     from local_vectordb_spark.session import load_table
 
-    db = VectorDB(spark, root_dir, keep_versions=keep_versions)
+    db = VectorDB(spark, root_dir, keep_versions=keep_versions,
+                  data_buckets=data_buckets)
     ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
     db.add("libraries", spark.createDataFrame(
         [("lib1",)], "id string").select(
@@ -1170,6 +1172,104 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_data_commit_xl(spark, sf_dir: str) -> dict:
+    """r17: the DATA snapshot's delta-proportional commit path at the
+    200k-vector XL tier. The claim under test: after the one-time
+    layout upgrade, a small commit rewrites only the touched hash
+    buckets and hard-links the rest — commit wall-clock and bytes
+    written are ∝ churn, not ∝ corpus (before r17 every commit
+    rewrote the whole table). Times the bulk load (flat), the upgrade
+    commit (wholesale bucketed — the corpus-bound write small commits
+    used to pay EVERY time), two incremental 20-row commits (add,
+    delete), and reports the rewritten/linked bucket split + byte
+    evidence."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="lvdb_datacommit_xl_")
+    try:
+        store_root = os.path.join(root, "store")
+        # 256 buckets at this tier: ~780 rows per bucket, so a 20-row
+        # commit touches ≤20/256 of the data — the policy lever the
+        # docstring names (at 100 TB, thousands)
+        db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root,
+                                       keep_versions=3, data_buckets=256)
+        n = db.table("chunks").count()
+        cdir = os.path.join(store_root, "chunks")
+        ts2 = F.lit("2025-01-02 00:00:00").cast("timestamp")
+
+        def late_rows(tag, nrows):
+            return spark.range(nrows).select(
+                F.concat(F.lit(tag), F.col("id")).alias("id"),
+                F.create_map().cast("map<string,string>").alias("metadata"),
+                ts2.alias("created_at"), ts2.alias("updated_at"),
+                F.lit("late row").alias("content"),
+                F.array([F.lit(0.5)] * 64).cast("array<float>").alias(
+                    "embedding"),
+                F.lit("d1").alias("document_id"))
+
+        t0 = time.time()
+        db.add("chunks", late_rows("up", 20))  # layout upgrade
+        upgrade_s = round(time.time() - t0, 4)
+        v2 = db._current_version("chunks")
+
+        t0 = time.time()
+        db.add("chunks", late_rows("inc", 20))  # incremental add
+        inc_add_s = round(time.time() - t0, 4)
+        v3 = db._current_version("chunks")
+
+        def bucket_stats(vdir):
+            stats = {}
+            for name in os.listdir(vdir):
+                if name.startswith("bucket="):
+                    files = [f for f in os.listdir(os.path.join(vdir, name))
+                             if f.endswith(".parquet")]
+                    stats[name] = {
+                        (os.stat(os.path.join(vdir, name, f)).st_ino,
+                         os.stat(os.path.join(vdir, name, f)).st_size)
+                        for f in files
+                    }
+            return stats
+        s2 = bucket_stats(os.path.join(cdir, f"v{v2}"))
+        s3 = bucket_stats(os.path.join(cdir, f"v{v3}"))
+        linked = [b for b in s3 if b in s2 and s3[b] == s2[b]]
+        rewritten = [b for b in s3 if b not in linked]
+        linked_bytes = sum(sz for b in linked for _i, sz in s3[b])
+        rewritten_bytes = sum(sz for b in rewritten for _i, sz in s3[b])
+
+        t0 = time.time()
+        db.delete("chunks", spark.range(20).select(
+            F.concat(F.lit("inc"), F.col("id")).alias("id")))
+        inc_del_s = round(time.time() - t0, 4)
+        final = db.table("chunks").count()
+
+        return {
+            "corpus_rows": n,
+            "data_buckets": db.data_buckets,
+            "bulk_load_flat_sec": seed_s,
+            "upgrade_commit_sec": upgrade_s,
+            "incremental_add_20_sec": inc_add_s,
+            "incremental_delete_20_sec": inc_del_s,
+            "buckets_rewritten": len(rewritten),
+            "buckets_linked": len(linked),
+            "bytes_rewritten": rewritten_bytes,
+            "bytes_linked": linked_bytes,
+            "rewrite_fraction": round(
+                rewritten_bytes / (rewritten_bytes + linked_bytes), 4),
+            "final_rows_ok": final == n + 20,
+            "note": "upgrade_commit is the corpus-bound write every "
+                    "small commit used to pay; the incremental commits "
+                    "rewrite only touched buckets (20 random ids → "
+                    "≤20 of 256) and hard-link the rest. At 100 TB "
+                    "raise data_buckets so one bucket stays a "
+                    "task-sized rewrite.",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_fused_beam_diag(spark, qs) -> dict:
     """The fused build+traverse NSW form as the BUILD-COST DIAGNOSTIC
     it actually is (r11 verdict #2, settlement option a): since r12 it
@@ -1205,7 +1305,8 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
              "--ivf-incremental-only", "--nsw-incremental-only",
-             "--nsw-chain-only", "--cdf-only", "--bundle-only"}
+             "--nsw-chain-only", "--cdf-only", "--bundle-only",
+             "--data-commit-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -1251,6 +1352,8 @@ def main() -> int:
             result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
         if picked & {"--bundle-only"}:
             result["export_bundle"] = run_export_bundle_xl(spark, dir100)
+        if picked & {"--data-commit-only"}:
+            result["data_commit"] = run_data_commit_xl(spark, dir100)
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
             result["graph_beam_search_fused_diagnostic"] = (
@@ -1305,6 +1408,7 @@ def main() -> int:
     )
     result["cdf_bootstrap"] = run_cdf_bootstrap_xl(spark, dir10)
     result["export_bundle"] = run_export_bundle_xl(spark, dir100)
+    result["data_commit"] = run_data_commit_xl(spark, dir100)
 
     # write the budget-gated result FIRST: the unbudgeted reference
     # below can kill the JVM (it exists to show the quadratic tier's
