@@ -1035,7 +1035,25 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
     root = tempfile.mkdtemp(prefix="lvdb_bundle_xl_")
     try:
         store_root = os.path.join(root, "store")
-        db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root)
+        db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root,
+                                       keep_versions=3)
+        # one warm-up commit so the exported generations are BOTH in
+        # the bucketed data layout (r17): the first delta commit after
+        # a bulk load pays the one-time wholesale layout upgrade, and
+        # measuring the incremental export / delta-sync against an
+        # upgrade boundary would charge the steady state for a
+        # once-per-table event
+        from pyspark.sql import functions as F
+
+        ts1 = F.lit("2025-01-02 00:00:00").cast("timestamp")
+        db.add("chunks", spark.range(20).select(
+            F.concat(F.lit("warm"), F.col("id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts1.alias("created_at"), ts1.alias("updated_at"),
+            F.lit("warm row").alias("content"),
+            F.array([F.lit(0.75)] * 64).cast("array<float>").alias(
+                "embedding"),
+            F.lit("d1").alias("document_id")))
         n = db.table("chunks").count()
         v = db._current_version("chunks")
         t0 = time.time()
