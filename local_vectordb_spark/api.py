@@ -140,7 +140,7 @@ class VectorDB:
         root_dir: str,
         embedder=None,
         keep_versions: int = 2,
-        data_buckets: int = 64,
+        data_buckets: int = 16,
     ):
         self.spark = spark
         self.root = root_dir
@@ -153,11 +153,15 @@ class VectorDB:
         # hash-bucket count for the DELTA-PROPORTIONAL data layout
         # (r17, see _write): a delta commit rewrites only the touched
         # buckets and hard-links the rest, so commit cost is ∝ churn ×
-        # corpus/B instead of ∝ corpus. Sized like the CDF mirror's
-        # buckets: at 100 TB raise it (thousands) so one bucket stays
-        # a task-sized rewrite; changing it mid-table is safe — the
-        # next delta commit sees a bucket-count mismatch and lays the
-        # table out fresh at the new B.
+        # corpus/B instead of ∝ corpus. The default matches the CDF
+        # mirror's 16: B is also the generation's FILE count (one file
+        # per bucket), and every read pays it — measured at the
+        # fixture tier, B=64 doubled a stored-layout search's warm
+        # serve (0.89 s vs 0.48 s at B=16) for no write benefit at
+        # that size. At 100 TB raise it (thousands) so one bucket
+        # stays a task-sized rewrite; changing it mid-table is safe —
+        # the next delta commit sees a bucket-count mismatch and lays
+        # the table out fresh at the new B.
         self.data_buckets = max(1, data_buckets)
         self._ivf_version = -1
         self._version = 0
