@@ -140,7 +140,8 @@ class VectorDB:
         root_dir: str,
         embedder=None,
         keep_versions: int = 2,
-        data_buckets: int = 16,
+        data_buckets: int | None = None,
+        data_bucket_target_bytes: int = 128 << 20,
     ):
         self.spark = spark
         self.root = root_dir
@@ -153,16 +154,29 @@ class VectorDB:
         # hash-bucket count for the DELTA-PROPORTIONAL data layout
         # (r17, see _write): a delta commit rewrites only the touched
         # buckets and hard-links the rest, so commit cost is ∝ churn ×
-        # corpus/B instead of ∝ corpus. The default matches the CDF
-        # mirror's 16: B is also the generation's FILE count (one file
-        # per bucket), and every read pays it — measured at the
-        # fixture tier, B=64 doubled a stored-layout search's warm
-        # serve (0.89 s vs 0.48 s at B=16) for no write benefit at
-        # that size. At 100 TB raise it (thousands) so one bucket
-        # stays a task-sized rewrite; changing it mid-table is safe —
-        # the next delta commit sees a bucket-count mismatch and lays
-        # the table out fresh at the new B.
-        self.data_buckets = max(1, data_buckets)
+        # corpus/B instead of ∝ corpus. B is a real trade at BOTH
+        # ends: it is also the generation's FILE count (one file per
+        # bucket), and every read pays it — measured at the fixture
+        # tier, B=64 doubled a stored-layout search's warm serve
+        # (0.89 s vs 0.48 s at B=16) for no write benefit at that
+        # size, while at 100 TB a handful of buckets would make one
+        # bucket a non-task-sized rewrite. The default (None) is
+        # therefore SELF-SIZING from the previous generation's bytes:
+        # B = clamp(16, 8192, bytes / data_bucket_target_bytes), i.e.
+        # one bucket ≈ one task-sized input split (128 MiB, parquet's
+        # conventional row-group/split target), floored at the CDF
+        # mirror's 16 so small stores stay a small-file read. A
+        # corpus that outgrows its layout (bytes/bucket > 4× target)
+        # triggers ONE wholesale re-layout at the new B on its next
+        # delta commit — amortized: once per 4× growth. An explicit
+        # integer pins B and disables both the sizing and the
+        # rebalance (the caller's knob wins); changing it mid-table
+        # is safe — the next delta commit sees the mismatch and lays
+        # the table out fresh.
+        self.data_buckets = (
+            None if data_buckets is None else max(1, data_buckets)
+        )
+        self.data_bucket_target_bytes = max(1, data_bucket_target_bytes)
         self._ivf_version = -1
         self._version = 0
         self._ivf = None
@@ -530,25 +544,61 @@ class VectorDB:
         downstream consumer.
 
         Wholesale writes (delta=None — reset, initial bulk load — or a
-        flat/differently-bucketed previous generation, or a GC race on
-        the previous directory) write the merged ``df``: bucketed when
-        a delta chain could extend this commit (delta given), flat
-        otherwise. A bucketed result that materialized ZERO parquet
+        flat/differently-bucketed previous generation, a corpus that
+        outgrew its bucket sizing (see __init__), or a GC race on the
+        previous directory) write the merged ``df``: bucketed when a
+        delta chain could extend this commit (delta given), flat
+        otherwise. The bucket count is self-sized from the previous
+        generation's bytes unless the caller pinned one. A bucketed result that materialized ZERO parquet
         files (a partitioned write of an empty table writes no files
         and the generation would be unreadable) falls back to the flat
         empty write. Readers never see the physical bucket column
         (_read_version drops it)."""
+        import math
         import shutil as _shutil
 
         from local_vectordb_spark.operators.incremental import link_tree
 
-        B = self.data_buckets
-        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(B))
         d = self._table_dir(kind)
         prev_dir = os.path.join(d, f"v{base}")
         prev_b = self._version_buckets(prev_dir) if base >= 0 else None
 
-        if delta is not None and prev_b is not None and prev_b == B:
+        def _dir_parquet_bytes(p: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _dirs, fs in os.walk(p)
+                for f in fs if f.endswith(".parquet")
+            )
+
+        def _auto_b(nbytes: int) -> int:
+            return max(16, min(
+                8192, math.ceil(nbytes / self.data_bucket_target_bytes)
+            ))
+
+        # resolve this commit's bucket count and whether the previous
+        # layout can be extended incrementally (see __init__ for the
+        # sizing policy)
+        prev_bytes = None
+        if self.data_buckets is not None:
+            B = self.data_buckets
+            extend = prev_b is not None and prev_b == B
+        elif prev_b is not None:
+            prev_bytes = _dir_parquet_bytes(prev_dir)
+            if prev_bytes > 4 * self.data_bucket_target_bytes * prev_b:
+                # outgrown layout: one wholesale re-layout at the new B
+                B = _auto_b(prev_bytes)
+                extend = False
+            else:
+                B = prev_b
+                extend = True
+        else:
+            B = _auto_b(
+                _dir_parquet_bytes(prev_dir) if base >= 0 else 0
+            )
+            extend = False
+        bucket_of = F.pmod(F.xxhash64(F.col("id")), F.lit(B))
+
+        if delta is not None and extend:
             ups, rem = delta
             try:
                 changed = ups.select("id").unionByName(

@@ -770,3 +770,77 @@ def test_data_commits_are_delta_proportional(spark, tmp_path):
 
     # time travel across layouts: the flat bulk generation still reads
     assert d.table("chunks", version=v1).count() == 64
+
+
+def test_data_bucket_count_self_sizes_and_rebalances(spark, tmp_path):
+    """r17: with no explicit bucket count the layout SELF-SIZES from
+    the previous generation's bytes — one bucket ≈ one task-sized
+    split, floored at 16 so small stores stay a small-file read — and
+    a corpus that outgrows its layout (bytes/bucket > 4× target)
+    triggers exactly one wholesale re-layout at the new count on its
+    next delta commit. An explicit count pins B and disables both."""
+    import os
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    def mk(root, **kw):
+        d = VectorDB(spark, str(tmp_path / root), keep_versions=6, **kw)
+        lib = str(_uuid.uuid4())
+        d.add("libraries",
+              spark.createDataFrame([(lib, {}, None, None, "l")],
+                                    SCHEMAS["libraries"]))
+        doc = str(_uuid.uuid4())
+        d.add("documents",
+              spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                    SCHEMAS["documents"]))
+        return d, doc
+
+    def rows(doc, ids, pad=""):
+        return spark.createDataFrame(
+            [(i, {}, None, None, f"content {i}{pad}", None, doc)
+             for i in ids],
+            SCHEMAS["chunks"],
+        )
+
+    def buckets_of(d, root):
+        v = d._current_version("chunks")
+        return d._version_buckets(
+            os.path.join(str(tmp_path / root), "chunks", f"v{v}"))
+
+    # default target (128 MiB): a fixture-scale store sizes to the 16
+    # floor on its first delta commit
+    d1, doc1 = mk("auto")
+    d1.add("chunks", rows(doc1, [f"a{i}" for i in range(32)]))
+    d1.add("chunks", rows(doc1, ["a_late"]))
+    assert buckets_of(d1, "auto") == 16
+
+    # a tiny target makes bytes dominate: the same store sizes ABOVE
+    # the floor, and a growth burst past 4x bytes/bucket triggers one
+    # wholesale re-layout at a larger B on the next delta commit
+    d2, doc2 = mk("drift", data_bucket_target_bytes=512)
+    d2.add("chunks", rows(doc2, [f"b{i}" for i in range(32)]))
+    d2.add("chunks", rows(doc2, ["b_late"]))
+    b_first = buckets_of(d2, "drift")
+    assert b_first > 16
+    # grow the corpus well past 4x bytes/bucket (padded content), then
+    # one more small commit must re-layout at a bigger count
+    d2.add("chunks", rows(doc2, [f"c{i}" for i in range(256)],
+                          pad="x" * 200))
+    d2.add("chunks", rows(doc2, ["c_late"]))
+    b_second = buckets_of(d2, "drift")
+    assert b_second > b_first, (b_first, b_second)
+    assert d2.table("chunks").count() == 32 + 1 + 256 + 1
+    assert "bucket" not in d2.table("chunks").columns
+
+    # an explicit count pins B: no sizing, no rebalance
+    d3, doc3 = mk("pinned", data_buckets=4,
+                  data_bucket_target_bytes=512)
+    d3.add("chunks", rows(doc3, [f"p{i}" for i in range(32)]))
+    d3.add("chunks", rows(doc3, ["p_late"]))
+    assert buckets_of(d3, "pinned") == 4
+    d3.add("chunks", rows(doc3, [f"q{i}" for i in range(256)],
+                          pad="x" * 200))
+    d3.add("chunks", rows(doc3, ["q_late"]))
+    assert buckets_of(d3, "pinned") == 4

@@ -125,7 +125,7 @@ def run_tier(spark, qs, sf_dir: str, names: list[str]) -> tuple[dict, dict, bool
 
 
 def _seed_xl_db(spark, sf_dir: str, root_dir: str, keep_versions: int = 2,
-                data_buckets: int = 64):
+                data_buckets: int | None = None):
     """Seed a VectorDB at ``root_dir`` with the XL embeddings as chunks
     (pre-embedded — add() skips the embedder for non-null vectors).
     Returns (db, embeddings DataFrame, seed seconds)."""
