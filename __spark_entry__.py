@@ -32,96 +32,106 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 17 rotation (r16 verdict #3, executed
-# exactly as pre-queued in the r16 comment): (a) the 30 remaining
-# oracled entries of the 39-query r13 tier hit their staleness bound
-# this round and MUST lead — alphabetical from crud_truncate through
-# the TPC-H block (their last driver hash evidence is
-# CORRECTNESS_r13; all 30 are full-oracle). (b) The r17 code-change
-# riders: api.py grew sync_bundle (bundle delta-sync, r16 verdict #5)
-# plus the review hardenings (dirty-dir guard before artifact builds,
-# (dev, ino)-keyed checksum reuse, read-only-root ephemeral timeline,
-# open_serving_bundle _CURRENT/_TIMELINE gates) and serving.py
-# broadened the session-timezone parser — the riders are the entries
-# whose oracles hash bytes crossing those paths:
-# api_search_export_bundle (the export + open pipeline end to end),
-# api_search_bundle_time_travel (FIRST driver row, r16 verdict #3 —
-# the export's version-pinning proof, sharing api_search_cosine's
-# full oracle), api_search_bundle_sync (NEW this round — search
-# served from a bundle refreshed in place by the delta sync, sharing
-# api_search_cosine's full oracle), and api_search_sign_filtered
-# (NEW this round — metadata-filtered search kept partition-pruned on
-# the stored sign layout via a semi join against an id+metadata
-# column-pruned base scan; its own full oracle reproduces probe ∧
-# filter ∧ top-k). (c) Spare slots: the alphabetically-first 16 of
-# the 45-query r14 tier, which hits its bound in r18 — the remaining
-# 29 of that tier MUST lead the r18 window (alphabetical from
-# ivf_add_remove_roundtrip through window_running_totals per
-# CORRECTNESS_r14), with the r15 tier (45 entries) bounding in r19. All 50 slots this round are FULL-ORACLE —
-# the first all-hash window of the build (the r12 tier's rows-only
-# member sketch_distinct_users_daily rode its own tier in r16 and is
-# not stale again until r20). The 8 registry entries with no driver
-# row at any round (knn_graph_blocked + the 7 trained PQ/recall
-# tiers) are rows-only by design with no oracle; they stay outside
-# the rotation — a driver rows-only row adds nothing over the local
+# in registration order. Round 18 rotation (r17 verdict #3, executed
+# exactly as pre-queued in the r17 comment): (a) the 29 remaining
+# oracled entries of the 50-query r14 tier hit their staleness bound
+# this round and MUST lead — alphabetical from ivf_add_remove_roundtrip
+# through window_running_totals per CORRECTNESS_r14 (the tier's other
+# 21 members: 16 rode r17 as spares, 5 — api_search_sign_incremental,
+# api_search_time_travel, crud_cdf_mirror, crud_change_feed,
+# crud_time_travel — have newer r15/r16 evidence and ride those
+# tiers). (b) The r18 code-change riders — the entries whose oracles
+# hash bytes crossing this round's api.py/queries.py/cdf.py changes:
+# api_bundle_cascade_read (NEW — multi-table bundle, r17 verdict #6:
+# chunks→documents→libraries served offline from the sibling-carrying
+# bundle, full oracle over every chunk row),
+# api_search_export_bundle + api_search_bundle_sync (their staging now
+# exports/syncs WITH siblings, and sync_bundle carries the
+# stale-donor-invalidation fix — r17 ADVICE medium),
+# api_search_bundle_time_travel (rides open_serving_bundle's new
+# sibling _CURRENT gates), api_search_sign_incremental (the stored
+# sign layout gained self-sized id-hash sub-partitions + width
+# carry-through on the incremental path — r17 verdict #7) and
+# crud_cdf_mirror (the mirror bootstrap width now self-sizes from
+# snapshot bytes, floor 16 — same verdict item; also rides the
+# timeline-mint errno narrowing, r17 ADVICE low). (c) Spare slots:
+# the alphabetically-first 15 not-already-listed ORACLED entries of
+# the 50-query r15 tier, which bounds in r19 — ann_recall_report
+# through events_sliding_window (the tier's rows-only members —
+# dedup_minhash_lsh, dedup_simhash, embed_hashed, ivf_batch_search,
+# ivf_search, ivf_search_pruned, lsh_bucket_pairs, lsh_search — are
+# seed-dependent KMeans/LSH forms whose md5/full-probe twins carry
+# the hash evidence; window slots are reserved for hash evidence, so
+# they are skipped, same rule as r17's comment). The remaining 25
+# oracled r15-tier entries MUST lead the r19 window (alphabetical
+# from events_tumbling_hour through window_top_orders_per_customer
+# per CORRECTNESS_r15, minus any that ride r19 code changes or newer
+# tiers). All 50 slots this round are
+# FULL-ORACLE (the r12 tier's rows-only member
+# sketch_distinct_users_daily rode its own tier in r16 and is not
+# stale again until r20). The 8 registry entries with no driver row
+# at any round (knn_graph_blocked + the 7 trained PQ/recall tiers)
+# are rows-only by design with no oracle; they stay outside the
+# rotation — a driver rows-only row adds nothing over the local
 # three-scale verification and the recall invariants in tests, and
 # window slots are reserved for hash evidence (r15 verdict).
 _PRIORITY = [
-    # (a) staleness-bound mandate: the r13 tier's 30 remaining oracled
+    # (a) staleness-bound mandate: the r14 tier's 29 remaining oracled
     # entries, alphabetical
-    "crud_truncate",
-    "crud_upsert",
-    "date_funcs_monthly_revenue",
-    "fts_bm25",
-    "graph_add_remove",
-    "graph_beam_search",
-    "graph_beam_search_lsh",
-    "pack_token_budget",
-    "sample_temperature_by_lang",
-    "split_group_aware",
-    "text_scrub_denylist",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_latency_priority",
-    "tpch_q13_order_count_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_rich_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_late_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    # (b) riders of the r17 bundle/serving changes
+    "ivf_add_remove_roundtrip",
+    "ivf_batch_search_full_probe",
+    "ivf_pq_multiprobe",
+    "ivf_search_full_probe",
+    "ivf_sign_multiprobe",
+    "ivf_sign_pruned",
+    "knn_batch",
+    "knn_brute_force",
+    "knn_graph",
+    "knn_graph_lsh",
+    "knn_hydrated",
+    "knn_metadata_filter",
+    "knn_mmr_diversified",
+    "knn_pq_adc_deep",
+    "knn_pq_batch",
+    "knn_pq_stored",
+    "knn_sq8",
+    "lsh_search_md5_multi",
+    "numeric_stats_lineitem",
+    "pivot_status_by_priority",
+    "scalar_subquery_premium_parts",
+    "semi_join_deep_discount_orders",
+    "setops_wealthy_nations",
+    "stream_then_ivf_search",
+    "string_funcs_parts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "window_running_totals",
+    # (b) riders of the r18 bundle/layout/mirror changes
+    "api_bundle_cascade_read",
     "api_search_export_bundle",
-    "api_search_bundle_time_travel",
     "api_search_bundle_sync",
-    "api_search_sign_filtered",
-    # (c) spare slots: alphabetically-first 16 of the r14 tier (its
-    # staleness bound lands in r18; the remaining 29 lead that window)
-    "api_search_auto",
-    "api_search_batch_auto",
-    "api_search_batch_cosine",
-    "api_search_batch_table",
-    "api_search_cosine",
-    "api_search_nsw",
-    "api_search_sign",
-    "chunk_documents",
-    "dedup_lsh_bucket_audit",
-    "dedup_minhash_lsh_md5_capped",
-    "dedup_ngram_jaccard_capped",
-    "docs_training_manifest_leakage_safe",
-    "embed_hashed_md5",
-    "graph_lsh_edge_recall",
-    "grouping_sets_flag_status",
-    "hybrid_rrf",
+    "api_search_bundle_time_travel",
+    "api_search_sign_incremental",
+    "crud_cdf_mirror",
+    # (c) spare slots: alphabetically-first 15 not-already-listed
+    # entries of the r15 tier (its staleness bound lands in r19; the
+    # remaining 30 lead that window)
+    "ann_recall_report",
+    "anti_join_never_bulk_ordered_parts",
+    "api_search_time_travel",
+    "crud_change_feed",
+    "crud_time_travel",
+    "decontam_ngram_overlap",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "embed_letter_knn",
+    "embed_pool_by_label",
+    "events_asof_last_view",
+    "events_json_extract",
+    "events_session_funnel",
+    "events_sessionize",
+    "events_sliding_window",
 ]
 
 

@@ -85,6 +85,9 @@ HEADLINE = [
     "api_search_bundle_sync",  # r17 (r16 verdict #5): search served from
     # a bundle refreshed IN PLACE by the rsync-shaped delta sync (cost ∝
     # churn); shares api_search_cosine's full oracle
+    "api_bundle_cascade_read",  # r18 (r17 verdict #6): multi-table bundle
+    # answers the chunks→documents→libraries cascade offline (broadcast
+    # dims); full oracle over every chunk row
     "fts_bm25",
     "hybrid_rrf",
     "knn_mmr_diversified",

@@ -57,6 +57,17 @@ from local_vectordb_spark.sources.json_records import SCHEMAS
 
 INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "auto")
 
+
+def _dir_parquet_bytes(p: str) -> int:
+    """Total parquet bytes under a generation/artifact directory — the
+    input to every self-sizing bucket policy (data snapshot, sign
+    layout subs, CDF mirror)."""
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _dirs, fs in os.walk(p)
+        for f in fs if f.endswith(".parquet")
+    )
+
 # auto-strategy knee, mirroring ann.knn_graph_auto's regime bounds: an
 # exact float scan of <=1e5 rows is cheaper than any index's candidate
 # machinery (TakeOrderedAndProject, zero shuffle); past it the
@@ -231,7 +242,28 @@ class VectorDB:
                         pass  # a concurrent creator won; serve theirs
                     finally:
                         os.remove(tmp)
-                except OSError:
+                except OSError as e:
+                    # Only a PERMISSION-shaped failure means "read-only
+                    # store, degrade gracefully". A transient ENOSPC /
+                    # EIO on a writable root must raise: swallowing it
+                    # would mint a fresh ephemeral id per process, and
+                    # every CDF mirror would see a timeline change and
+                    # wipe + full-corpus re-bootstrap on each restart
+                    # (r17 ADVICE, low).
+                    import errno
+                    import warnings
+
+                    if e.errno not in (
+                        errno.EROFS, errno.EACCES, errno.EPERM
+                    ):
+                        raise
+                    warnings.warn(
+                        f"store root {self.root!r} is not writable "
+                        f"({e}); using a process-lifetime ephemeral "
+                        f"timeline id — CDF consumers that persist it "
+                        f"will re-bootstrap",
+                        stacklevel=2,
+                    )
                     self._tl_id = f"ephemeral-{uuid.uuid4().hex}"
                     return self._tl_id
             with open(p) as f:
@@ -563,13 +595,6 @@ class VectorDB:
         prev_dir = os.path.join(d, f"v{base}")
         prev_b = self._version_buckets(prev_dir) if base >= 0 else None
 
-        def _dir_parquet_bytes(p: str) -> int:
-            return sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _dirs, fs in os.walk(p)
-                for f in fs if f.endswith(".parquet")
-            )
-
         def _auto_b(nbytes: int) -> int:
             return max(16, min(
                 8192, math.ceil(nbytes / self.data_bucket_target_bytes)
@@ -585,9 +610,16 @@ class VectorDB:
         elif prev_b is not None:
             prev_bytes = _dir_parquet_bytes(prev_dir)
             if prev_bytes > 4 * self.data_bucket_target_bytes * prev_b:
-                # outgrown layout: one wholesale re-layout at the new B
+                # outgrown layout: one wholesale re-layout at the new B.
+                # UNLESS the sizing resolves to the SAME count (the
+                # 8192 cap, reached at ~1 TiB per defaults): a
+                # re-layout that cannot change B would repeat on every
+                # subsequent commit — a permanent full-corpus rewrite,
+                # exactly the cost this path exists to remove (r17
+                # ADVICE, medium). Keep extending at the cap instead;
+                # oversized buckets are the capped trade, not a loop.
                 B = _auto_b(prev_bytes)
-                extend = False
+                extend = B == prev_b
             else:
                 B = prev_b
                 extend = True
@@ -608,38 +640,56 @@ class VectorDB:
                         F.pmod(F.xxhash64("id"), F.lit(B)).alias("b")
                     ).distinct().collect()
                 ]
-                prev = self.spark.read.parquet(prev_dir)
-                cols = [f.name for f in SCHEMAS[kind].fields]
-                rewritten = (
-                    prev.filter(F.col("bucket").isin(touched))
-                    .drop("bucket")
-                    .join(F.broadcast(changed), "id", "left_anti")
-                    .unionByName(ups.select(*cols))
-                    .withColumn("bucket", bucket_of)
+                prev_names = os.listdir(prev_dir)
+                # a null id in the delta hashes to a null bucket, and a
+                # generation holding null-id rows carries a
+                # bucket=__HIVE_DEFAULT_PARTITION__ dir: neither fits
+                # the numeric touched-set arithmetic (int() on that dir
+                # name aborted the whole commit pre-r18 — r17 ADVICE,
+                # low). Wholesale handles nulls like any other value,
+                # so route both cases there.
+                numeric = all(b is not None for b in touched) and all(
+                    n.split("=", 1)[1].lstrip("-").isdigit()
+                    for n in prev_names if n.startswith("bucket=")
                 )
-                # one shuffle ON the bucket key before the partitioned
-                # write: every bucket lands in exactly one task, so the
-                # generation carries ONE file per bucket instead of
-                # (tasks × buckets) — bounded file counts under
-                # maintenance is as much a 100 TB property as bounded
-                # bytes (the shuffle is churn-sized here)
-                rewritten.repartition("bucket").write.mode(
-                    "overwrite").partitionBy("bucket").parquet(stage)
-                for name in os.listdir(prev_dir):
-                    if (name.startswith("bucket=")
-                            and int(name.split("=", 1)[1]) not in touched):
-                        link_tree(os.path.join(prev_dir, name),
-                                  os.path.join(stage, name))
-                if any(n.endswith(".parquet")
-                       for _r, _dd, names in os.walk(stage)
-                       for n in names):
-                    with open(os.path.join(stage, "_BUCKETS"), "w") as f:
-                        f.write(str(B))
-                    return
-                # the commit emptied the table (every bucket touched,
-                # zero rows left): a partitioned dir with no files is
-                # unreadable — take the flat empty write below
-                _shutil.rmtree(stage, ignore_errors=True)
+                if numeric:
+                    prev = self.spark.read.parquet(prev_dir)
+                    cols = [f.name for f in SCHEMAS[kind].fields]
+                    rewritten = (
+                        prev.filter(F.col("bucket").isin(touched))
+                        .drop("bucket")
+                        .join(F.broadcast(changed), "id", "left_anti")
+                        .unionByName(ups.select(*cols))
+                        .withColumn("bucket", bucket_of)
+                    )
+                    # one shuffle ON the bucket key before the
+                    # partitioned write: every bucket lands in exactly
+                    # one task, so the generation carries ONE file per
+                    # bucket instead of (tasks × buckets) — bounded
+                    # file counts under maintenance is as much a 100 TB
+                    # property as bounded bytes (the shuffle is
+                    # churn-sized here)
+                    rewritten.repartition("bucket").write.mode(
+                        "overwrite").partitionBy("bucket").parquet(stage)
+                    for name in prev_names:
+                        if (name.startswith("bucket=")
+                                and int(name.split("=", 1)[1])
+                                not in touched):
+                            link_tree(os.path.join(prev_dir, name),
+                                      os.path.join(stage, name))
+                    if any(n.endswith(".parquet")
+                           for _r, _dd, names in os.walk(stage)
+                           for n in names):
+                        with open(
+                            os.path.join(stage, "_BUCKETS"), "w"
+                        ) as f:
+                            f.write(str(B))
+                        return
+                    # the commit emptied the table (every bucket
+                    # touched, zero rows left): a partitioned dir with
+                    # no files is unreadable — take the flat empty
+                    # write below
+                    _shutil.rmtree(stage, ignore_errors=True)
             except (FileNotFoundError, AnalysisException):
                 # lost prev to a concurrent GC / unreadable layout:
                 # fall through to the wholesale write below
@@ -1541,8 +1591,21 @@ class VectorDB:
             .distinct()
             .collect()
         }
-        prev = os.path.join(self._table_dir("chunks"), f"_sign_v{w}", "layout")
+        prev_root = os.path.join(self._table_dir("chunks"), f"_sign_v{w}")
+        prev = os.path.join(prev_root, "layout")
         layout = os.path.join(p, "layout")
+        # carry the previous layout's sub width (r18): a rewritten
+        # bucket must keep the SAME physical shape as the linked ones —
+        # partition discovery requires one schema across the tree. The
+        # sub column is a pure id expression, so recomputed values
+        # match the linked directories'. (Width upgrades land on the
+        # next FULL build; extension never re-layouts — same rule as
+        # the data snapshot's pinned-B mode.)
+        try:
+            with open(os.path.join(prev_root, "_SUBS")) as f:
+                S = max(1, int(f.read().strip()))
+        except (OSError, ValueError):
+            S = 1
         if affected:
             touched = (
                 ups.select("id").unionByName(olds.select("id")).distinct()
@@ -1553,11 +1616,26 @@ class VectorDB:
                 .join(touched, "id", "left_anti")
                 .select("id", "embedding", "bucket")
             )
-            kept.unionByName(ups_b).write.mode("overwrite").partitionBy(
-                "bucket"
-            ).parquet(layout)
+            out = kept.unionByName(ups_b)
+            if S > 1:
+                (
+                    out.withColumn(
+                        "sub", F.pmod(F.xxhash64("id"), F.lit(S))
+                    )
+                    .repartition("bucket", "sub")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket", "sub")
+                    .parquet(layout)
+                )
+            else:
+                out.write.mode("overwrite").partitionBy(
+                    "bucket"
+                ).parquet(layout)
         else:  # net-empty chain: every bucket carries over untouched
             os.makedirs(layout, exist_ok=True)
+        if S > 1:
+            with open(os.path.join(p, "_SUBS"), "w") as f:
+                f.write(str(S))
         for name in os.listdir(prev):
             if (
                 name.startswith("bucket=")
@@ -1810,6 +1888,21 @@ class VectorDB:
         assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
         return centroids, assignments
 
+    def _sign_subs(self, version: int) -> int:
+        """Self-sized id-hash sub-partition count for the stored sign
+        layout (r17 verdict #7): ceil(generation bytes / 16 sign
+        buckets / data_bucket_target_bytes), clamped to [1, 4096].
+        Floor 1 = the pre-r18 flat-bucket layout, so every
+        fixture-scale store (and its oracles and pinned plans) is
+        byte-identical; a corpus whose per-sign-bucket slice outgrows
+        one task split gets task-shaped leaves instead."""
+        import math
+
+        gen = os.path.join(self._table_dir("chunks"), f"v{version}")
+        return max(1, min(4096, math.ceil(
+            _dir_parquet_bytes(gen) / 16 / self.data_bucket_target_bytes
+        )))
+
     def _sign_stored(self, version: int) -> DataFrame:
         """PERSISTED sign-bucket layout (r11): (id, embedding) written
         hive-partitioned by the 4-bit sign bucket as `_sign_v{version}`
@@ -1844,18 +1937,51 @@ class VectorDB:
                     _shutil.rmtree(p, ignore_errors=True)
 
             chunks = self.table("chunks", version=version)
-            chunks.select(
+            sel = chunks.select(
                 "id",
                 "embedding",
                 ivf.sign_bucket("embedding", n_bits=4).alias("bucket"),
-            ).write.mode("overwrite").partitionBy("bucket").parquet(
-                os.path.join(p, "layout")
             )
+            # r18 (r17 verdict #7): the SAME self-sizing policy the
+            # data snapshot uses, applied to the artifact layout. The
+            # 16 sign buckets are SEMANTIC (4 sign bits — more would
+            # change the probe set and every oracle), so the scale
+            # lever is a physical id-hash SUB-partition under each
+            # sign bucket: one (bucket, sub) leaf ≈ one task-sized
+            # split. At 100 TB a flat 16-bucket layout is ~6 TB per
+            # partition directory; with subs the probe still prunes
+            # on `bucket` (top-level dirs) and each pruned read is
+            # task-shaped. S resolves to 1 at fixture scale — the
+            # pre-r18 layout and plans, byte-identical.
+            S = self._sign_subs(version)
+            if S > 1:
+                (
+                    sel.withColumn(
+                        "sub", F.pmod(F.xxhash64("id"), F.lit(S))
+                    )
+                    # one shuffle on the leaf key: one file per
+                    # (bucket, sub), bounded file counts (same
+                    # rationale as _write_data's repartition)
+                    .repartition("bucket", "sub")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket", "sub")
+                    .parquet(os.path.join(p, "layout"))
+                )
+                with open(os.path.join(p, "_SUBS"), "w") as f:
+                    f.write(str(S))
+            else:
+                sel.write.mode("overwrite").partitionBy("bucket").parquet(
+                    os.path.join(p, "layout")
+                )
             with open(os.path.join(p, "_SUCCESS"), "w"):
                 pass
 
         materialize_once(path, _build)
-        return self.spark.read.parquet(os.path.join(path, "layout"))
+        # the physical sub column (when present) is layout, not data —
+        # consumers see the same (id, embedding, bucket) frame at any S
+        return self.spark.read.parquet(
+            os.path.join(path, "layout")
+        ).drop("sub")
 
     def _graph_stored(self, version: int) -> DataFrame:
         """PERSISTED kNN graph for the nsw strategy (r10): (src, dst,
@@ -2130,6 +2256,7 @@ class VectorDB:
         recall_queries: int = 3,
         recall_k: int = 10,
         base_bundle: str | None = None,
+        siblings: bool = False,
     ) -> dict:
         """Materialize ONE pinned generation as a SELF-CONTAINED,
         deployable serving bundle: the corpus slice (`chunks/v{N}`)
@@ -2178,10 +2305,25 @@ class VectorDB:
         re-verification remains the independent check that reused
         hashes are byte-true.
 
-        Scope: the bundle carries the ``chunks`` generation only — the
-        search artifact, whose hydration is self-contained; it cannot
-        serve ``documents``/``libraries`` reads (r16 verdict, missing
-        #4)."""
+        Scope: by default the bundle carries the ``chunks`` generation
+        only — the search artifact, whose hydration is self-contained
+        (r16 verdict, missing #4). ``siblings=True`` (r17 verdict #6)
+        additionally links the ``documents`` and ``libraries`` tables'
+        live generations (same hard-link + manifest discipline — they
+        are just more manifested files, so ``sync_bundle``'s triage and
+        ``open_serving_bundle``'s integrity gates cover them with no
+        new machinery), making the bundle a FULL offline read replica:
+        the bundle-served facade answers ``get``/``table`` for all
+        three kinds and runs hydration-with-join workloads with no
+        live store. The incremental cost is ~zero at scale — sibling
+        tables are corpus-metadata-sized next to the chunk corpus and
+        hard-linked like everything else (measured in
+        ``BENCH_scale.json`` ``export_bundle``). Siblings pin their
+        LIVE generation at export time: the store has no cross-table
+        transaction, so (chunks v, documents live, libraries live) is
+        exactly the snapshot a reader of the live store sees at that
+        moment; each pinned sibling version is recorded in the
+        manifest and gated by its own ``_CURRENT`` on open."""
         import hashlib
         import json as _json
 
@@ -2226,6 +2368,23 @@ class VectorDB:
                       os.path.join(out_dir, "chunks", name))
         with open(os.path.join(out_dir, "chunks", "_CURRENT"), "w") as f:
             f.write(str(v))
+        sib_versions: dict[str, int] = {}
+        if siblings:
+            for kind in SCHEMAS:
+                if kind == "chunks":
+                    continue
+                sv = self._current_version(kind)
+                sib_versions[kind] = sv
+                if sv < 0:
+                    continue  # never written: nothing to carry
+                link_tree(
+                    os.path.join(self._table_dir(kind), f"v{sv}"),
+                    os.path.join(out_dir, kind, f"v{sv}"),
+                )
+                with open(
+                    os.path.join(out_dir, kind, "_CURRENT"), "w"
+                ) as f:
+                    f.write(str(sv))
         with open(os.path.join(out_dir, "_TIMELINE"), "w") as f:
             f.write(self.timeline_id())
 
@@ -2301,6 +2460,9 @@ class VectorDB:
         manifest = {
             "kind": "chunks",
             "table_version": v,
+            # pinned sibling-table generations (r17 verdict #6); absent
+            # key = chunks-only bundle (pre-r18 manifests stay valid)
+            **({"siblings": sib_versions} if siblings else {}),
             "timeline": self.timeline_id(),
             "n_rows": self._chunk_count(version=v),
             "artifacts": {k: os.path.join("chunks", n)
@@ -2414,6 +2576,25 @@ def open_serving_bundle(
             f"bundle _CURRENT (v{cur}) disagrees with manifest "
             f"(v{manifest['table_version']})"
         )
+    # a multi-table bundle (r17 verdict #6) pins each sibling table's
+    # generation the same way; a sibling recorded as never-written
+    # (v-1) carries no directory and needs no gate
+    for kind, sv in manifest.get("siblings", {}).items():
+        if sv < 0:
+            continue
+        try:
+            with open(os.path.join(bundle_dir, kind, "_CURRENT")) as f:
+                scur = int(f.read().strip())
+        except OSError as e:
+            raise ValueError(
+                f"{bundle_dir}: {kind}/_CURRENT unreadable ({e}) — "
+                f"incomplete or tampered multi-table bundle"
+            ) from e
+        if scur != sv:
+            raise ValueError(
+                f"bundle {kind}/_CURRENT (v{scur}) disagrees with "
+                f"manifest (v{sv})"
+            )
     # the timeline identity is the bundle's provenance: cross-check
     # its CONTENT against the manifest unconditionally (r16 ADVICE,
     # low — the size gate alone passes any 32-byte substitution)
@@ -2514,10 +2695,12 @@ def sync_bundle(src_bundle: str, dst_bundle: str) -> dict:
         os.replace(cur, prev)  # mark incomplete; keep the trust base
 
     # trust base: rel -> info for dst files that still ARE the file
-    # the previous manifest hashed, plus a sha256 -> rel reverse map
-    # for local re-homing
+    # the previous manifest hashed, plus a sha256 -> {rels} reverse map
+    # for local re-homing (a set, not one rel: a donor path may be
+    # OVERWRITTEN mid-loop — see below — and the next same-sha file
+    # should still find a surviving twin)
     trusted: dict[str, dict] = {}
-    by_sha: dict[str, str] = {}
+    by_sha: dict[str, set] = {}
     if os.path.exists(prev):
         with open(prev) as f:
             prev_files = _json.load(f).get("files", {})
@@ -2532,7 +2715,7 @@ def sync_bundle(src_bundle: str, dst_bundle: str) -> dict:
                     and st.st_size == info["bytes"]
                     and st.st_mtime_ns == info["mtime_ns"]):
                 trusted[rel] = info
-                by_sha.setdefault(info["sha256"], rel)
+                by_sha.setdefault(info["sha256"], set()).add(rel)
 
     kept = relinked = shipped = deleted = 0
     bytes_shipped = 0
@@ -2546,11 +2729,13 @@ def sync_bundle(src_bundle: str, dst_bundle: str) -> dict:
         tmp = f"{dst_full}.sync.{os.getpid()}"
         if os.path.exists(tmp):
             os.remove(tmp)  # orphan from a torn sync: start it over
-        donor = by_sha.get(info["sha256"])
-        if donor is not None:
+        donors = by_sha.get(info["sha256"])
+        if donors:
             # same bytes already on this host under an old path:
-            # one link, nothing crosses the wire
-            os.link(os.path.join(dst_bundle, donor), tmp)
+            # one link, nothing crosses the wire (the link captures
+            # the inode, so a later overwrite of the donor PATH
+            # cannot disturb this file)
+            os.link(os.path.join(dst_bundle, next(iter(donors))), tmp)
             relinked += 1
         else:
             src_full = os.path.join(src_bundle, rel)
@@ -2560,6 +2745,19 @@ def sync_bundle(src_bundle: str, dst_bundle: str) -> dict:
                 _shutil.copy2(src_full, tmp)
             shipped += 1
             bytes_shipped += info["bytes"]
+        # the replace may overwrite a path that is itself a pending
+        # DONOR for a later same-sha file: its bytes change here, so
+        # the trust base must stop vouching for it NOW — a stale donor
+        # would relink the new bytes under the old sha, and the
+        # restamped manifest would vouch for a hash the bytes don't
+        # match (r17 ADVICE, medium)
+        old = trusted.pop(rel, None)
+        if old is not None:
+            s = by_sha.get(old["sha256"])
+            if s is not None:
+                s.discard(rel)
+                if not s:
+                    del by_sha[old["sha256"]]
         os.replace(tmp, dst_full)
 
     # drop everything the new manifest doesn't name (AFTER the ship

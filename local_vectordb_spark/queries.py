@@ -536,7 +536,18 @@ def _exported_bundle_db(spark: SparkSession, sf_dir: str):
 
     db = _staged_vectordb(spark, sf_dir)
     out = _tmp_store_dir("lvdb_bundle_")
-    manifest = db.export_serving_bundle(out)
+    # r18: a MULTI-TABLE bundle — the documents/libraries generations
+    # ride along (r17 verdict #6), so every entry served from this
+    # cache also exercises the sibling link+manifest path, and
+    # api_bundle_cascade_read can value-check offline sibling reads.
+    # Staging GATES on the manifest recording both pinned siblings —
+    # a silent fall-back to a chunks-only bundle must fail loudly, not
+    # serve an empty documents table to the cascade entry.
+    manifest = db.export_serving_bundle(out, siblings=True)
+    sib = manifest.get("siblings", {})
+    assert set(sib) == {"documents", "libraries"} and all(
+        v >= 0 for v in sib.values()
+    ), f"multi-table export did not pin both siblings: {sib}"
     # the recall row is a measured REPORT (sign tier vs brute — the
     # Hamming-1 probe trades recall for pruning); gate only on its
     # presence and sanity, never a fixed value
@@ -562,6 +573,46 @@ def api_search_export_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bdb = _exported_bundle_db(spark, sf_dir)
     return bdb.search(
         query_vec=_query_vecs(sf_dir)[0][1], index_type="sign", k=K
+    )
+
+
+@register(
+    "api_bundle_cascade_read",
+    """
+    SELECT CAST(e.vec_id AS VARCHAR) AS id, d.text AS content,
+           'doc' AS document_name, 'corpus' AS library_name
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+def api_bundle_cascade_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r17 verdict #6: a MULTI-TABLE bundle serves the full cascade
+    read — chunks hydrated through documents to libraries — with NO
+    live store, from the pinned generations alone
+    (export_serving_bundle(siblings=True) hard-links the sibling
+    tables' live generations under the same manifest; the reference
+    holds all three collections in one process and joins them app-side,
+    src/main.py:204-232 — here the offline replica answers the same
+    reads). FULL ORACLE over every chunk row: a bundle that dropped or
+    emptied a sibling table returns zero rows (rows mismatch); a wrong
+    generation changes names (hash mismatch). The dimension sides are
+    broadcast — the 100 TB shape, where sibling tables are
+    corpus-metadata-sized next to the chunk corpus."""
+    bdb = _exported_bundle_db(spark, sf_dir)
+    docs = bdb.table("documents").select(
+        F.col("id").alias("document_id"),
+        F.col("name").alias("document_name"),
+        "library_id",
+    )
+    libs = bdb.table("libraries").select(
+        F.col("id").alias("library_id"),
+        F.col("name").alias("library_name"),
+    )
+    return (
+        bdb.table("chunks")
+        .select("id", "content", "document_id")
+        .join(F.broadcast(docs), "document_id")
+        .join(F.broadcast(libs), "library_id")
+        .select("id", "content", "document_name", "library_name")
     )
 
 
@@ -968,7 +1019,11 @@ def _synced_bundle_db(spark: SparkSession, sf_dir: str):
         ),
     )
     deployed = _tmp_store_dir("lvdb_sync_dst_")
-    db.export_serving_bundle(deployed, recall_queries=1, recall_k=5)
+    # multi-table bundles (r18): the sibling generations ride the
+    # deployed→release sync as ordinary manifested files — unchanged
+    # between the two exports, so the triage must classify them "kept"
+    db.export_serving_bundle(deployed, recall_queries=1, recall_k=5,
+                             siblings=True)
 
     syn = spark.createDataFrame(
         [(f"syn_{i}", {}, None, None, f"synthetic {i}",
@@ -981,7 +1036,7 @@ def _synced_bundle_db(spark: SparkSession, sf_dir: str):
 
     release = _tmp_store_dir("lvdb_sync_rel_")
     db.export_serving_bundle(release, recall_queries=1, recall_k=5,
-                             base_bundle=deployed)
+                             base_bundle=deployed, siblings=True)
     stats = sync_bundle(release, deployed)
     # the delta shape, gated loudly: the old generation's files left,
     # new-generation files arrived (shipped or locally relinked)

@@ -64,7 +64,31 @@ from local_vectordb_spark.sources.json_records import SCHEMAS
 # bootstrap. 16 suits test-scale corpora; at 100 TB size it so one
 # bucket ≈ a few GB (tens of thousands of buckets) — per-poll cost is
 # then (touched buckets × bucket size) + churn, never the corpus.
+# r18 (r17 verdict #7): a parquet-snapshot bootstrap SELF-SIZES the
+# width from the snapshot's bytes with the data snapshot's policy
+# (one bucket ≈ one 128 MiB task split), floored here so test-scale
+# mirrors keep this exact layout; pass n_buckets to pin it.
 N_BUCKETS_DEFAULT = 16
+
+
+def _auto_mirror_buckets(nbytes: int,
+                         target_bytes: int = 128 << 20) -> int:
+    import math
+
+    return max(N_BUCKETS_DEFAULT,
+               min(8192, math.ceil(nbytes / target_bytes)))
+
+
+def _snapshot_parquet_bytes(path: str) -> int:
+    """Bytes of the snapshot backing a bootstrap — a directory of
+    parquet parts or a single file; the self-sizing input."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(path)
+        for f in fs if f.endswith(".parquet")
+    )
 
 
 class FeedGone(Exception):
@@ -380,7 +404,7 @@ def sync_mirror_once(
     mirror_dir: str,
     *,
     limit: int = 100,
-    n_buckets: int = N_BUCKETS_DEFAULT,
+    n_buckets: int | None = None,
     snapshot_path=None,
 ) -> dict:
     """One poll: drain the paginated feed from the committed cursor
@@ -393,7 +417,12 @@ def sync_mirror_once(
     bootstrap at 100 TB reads the snapshot from shared storage
     instead of HTTP/JSON). ``n_buckets`` applies only at bootstrap —
     the width is the mirror's layout identity and persists in its
-    ``_META``. Returns a progress record ``{action, since,
+    ``_META``. Default (None) SELF-SIZES at a parquet-snapshot
+    bootstrap from the snapshot's bytes (one bucket ≈ one task-sized
+    split, floored at ``N_BUCKETS_DEFAULT`` — r17 verdict #7; the
+    HTTP-pages bootstrap keeps the floor width, it is the wire-only
+    small path by contract); an explicit integer pins the width.
+    Returns a progress record ``{action, since,
     served_version, n_changes, touched_buckets}``.
 
     A RESET under the consumer is survived, not crashed on: a reset
@@ -475,8 +504,11 @@ def sync_mirror_once(
                     [f.name for f in SCHEMAS[kind].fields]
                 )
                 n = snap.count()
+                nb = n_buckets if n_buckets is not None else (
+                    _auto_mirror_buckets(_snapshot_parquet_bytes(path))
+                )
                 _commit_mirror_full(snap, mirror_dir, head, prev=since,
-                                    n_buckets=n_buckets, n_rows=n,
+                                    n_buckets=nb, n_rows=n,
                                     timeline=tid)
                 return {"action": "bootstrapped", "since": since,
                         "served_version": head, "n_changes": n,
@@ -489,7 +521,8 @@ def sync_mirror_once(
     snap = _rows_to_df(spark, rows, SCHEMAS[kind])
     if pin >= 0:
         _commit_mirror_full(snap, mirror_dir, pin, prev=since,
-                            n_buckets=n_buckets, n_rows=len(rows),
+                            n_buckets=n_buckets or N_BUCKETS_DEFAULT,
+                            n_rows=len(rows),
                             timeline=tid)
         return {"action": "bootstrapped", "since": since,
                 "served_version": pin, "n_changes": len(rows),

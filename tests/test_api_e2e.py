@@ -1794,3 +1794,184 @@ def test_sync_bundle_torn_sync_refuses_then_heals(spark, tmp_path,
                                              "MANIFEST.json.prev"))
     bdb = open_serving_bundle(spark, deployed, verify_checksums=True)
     assert bdb.table("chunks").count() == 25
+
+
+def test_sync_bundle_swapped_content_never_relinks_stale_donor(tmp_path):
+    """r17 ADVICE (medium): during the ship loop a destination path can
+    be overwritten BEFORE it is used as a relink donor for a later
+    same-sha file — if the trust base kept vouching for it, the later
+    os.link would store the NEW bytes under the OLD sha and the
+    restamped manifest would certify a hash the bytes don't match.
+    Construct the adversarial case directly (two files whose contents
+    SWAP between generations, iteration order hitting the donor first)
+    and assert byte-true results. Pure-filesystem: sync_bundle never
+    touches Spark."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    from local_vectordb_spark.api import sync_bundle
+
+    def write_bundle(root, files, manifest_files=None, stamp=False):
+        _os.makedirs(root, exist_ok=True)
+        entries = {}
+        for rel, data in files.items():
+            full = _os.path.join(root, rel)
+            with open(full, "wb") as f:
+                f.write(data)
+            info = {"bytes": len(data),
+                    "sha256": hashlib.sha256(data).hexdigest()}
+            if stamp:
+                st = _os.stat(full)
+                info.update(ino=st.st_ino, dev=st.st_dev,
+                            mtime_ns=st.st_mtime_ns)
+            entries[rel] = info
+        with open(_os.path.join(root, "MANIFEST.json"), "w") as f:
+            _json.dump({"files": manifest_files or entries}, f)
+        return entries
+
+    x, y = b"content-X" * 64, b"content-Y" * 64
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    # source wants a=Y, b=X; destination currently holds a=X, b=Y
+    # (stat-stamped so both are trusted donors). Iteration order (dict
+    # insertion = JSON order) processes "a" first: it relinks Y from
+    # donor "b", overwriting "a" — at which point "a" must STOP being
+    # the sha(X) donor, so "b" ships X from the source instead of
+    # linking "a"'s fresh Y bytes.
+    write_bundle(src, {"a": y, "b": x})
+    write_bundle(dst, {"a": x, "b": y}, stamp=True)
+
+    stats = sync_bundle(src, dst)
+    assert stats["relinked"] == 1, stats
+    assert stats["shipped"] == 1, stats
+    for rel, want in (("a", y), ("b", x)):
+        got = open(_os.path.join(dst, rel), "rb").read()
+        assert got == want, f"{rel}: stale-donor bytes"
+        m = _json.load(open(_os.path.join(dst, "MANIFEST.json")))
+        assert m["files"][rel]["sha256"] == \
+            hashlib.sha256(want).hexdigest()
+
+
+def test_timeline_mint_raises_on_transient_oserror(spark, tmp_path,
+                                                   monkeypatch):
+    """r17 ADVICE (low): only permission-shaped failures (EROFS /
+    EACCES / EPERM) may degrade the timeline id to an ephemeral one —
+    a transient ENOSPC on a WRITABLE root must raise, because a
+    silently minted per-process id makes every persistent CDF consumer
+    see a timeline change and full-corpus re-bootstrap on restart."""
+    import errno as _errno
+    import os as _os
+
+    root = str(tmp_path / "enospc_store")
+    _os.makedirs(root)
+    db = VectorDB(spark, root)
+
+    real_makedirs = _os.makedirs
+
+    def deny(path, *a, **k):
+        if str(path).startswith(root):
+            raise OSError(_errno.ENOSPC, "No space left on device", path)
+        return real_makedirs(path, *a, **k)
+
+    monkeypatch.setattr(_os, "makedirs", deny)
+    with pytest.raises(OSError) as ei:
+        db.timeline_id()
+    assert ei.value.errno == _errno.ENOSPC
+    monkeypatch.undo()
+
+    # the permission-shaped degrade still works and now warns
+    db2 = VectorDB(spark, str(tmp_path / "eacces_store"))
+    _os.makedirs(str(tmp_path / "eacces_store"))
+
+    def deny2(path, *a, **k):
+        if str(path).startswith(str(tmp_path / "eacces_store")):
+            raise OSError(_errno.EACCES, "Permission denied", path)
+        return real_makedirs(path, *a, **k)
+
+    monkeypatch.setattr(_os, "makedirs", deny2)
+    with pytest.warns(UserWarning, match="ephemeral"):
+        tid = db2.timeline_id()
+    assert tid.startswith("ephemeral-")
+
+
+def test_multi_table_bundle_serves_cascade_reads(spark, tmp_path):
+    """r17 verdict #6: export_serving_bundle(siblings=True) carries the
+    documents/libraries generations under the same hard-link + manifest
+    discipline, so the bundle-served facade answers get/table for all
+    three kinds and a cascade read (chunks→documents→libraries) equals
+    the live store's at the pinned versions — with NO live store. The
+    sibling _CURRENT pointers are integrity-gated on open, and
+    sync_bundle triages sibling files like any others."""
+    import json as _json
+    import os as _os
+
+    from local_vectordb_spark.api import open_serving_bundle, sync_bundle
+
+    d, doc = _seed_bundle_src(spark, tmp_path, n=12)
+    out = str(tmp_path / "mt_bundle")
+    m = d.export_serving_bundle(out, recall_queries=1, recall_k=2,
+                                siblings=True)
+    assert set(m["siblings"]) == {"documents", "libraries"}
+    assert all(v >= 0 for v in m["siblings"].values()), m["siblings"]
+    # sibling files are manifested like everything else
+    assert any(r.startswith("documents/") for r in m["files"])
+    assert any(r.startswith("libraries/") for r in m["files"])
+
+    bdb = open_serving_bundle(spark, out, verify_checksums=True)
+    # all three kinds readable offline; point reads work
+    assert bdb.table("documents").count() == 1
+    assert bdb.table("libraries").count() == 1
+    assert bdb.get("documents", doc).count() == 1
+
+    def cascade(db):
+        ch = db.table("chunks").select("id", "content", "document_id")
+        dc = db.table("documents").selectExpr(
+            "id AS document_id", "name AS document_name", "library_id")
+        lb = db.table("libraries").selectExpr(
+            "id AS library_id", "name AS library_name")
+        return sorted(
+            (r.id, r.content, r.document_name, r.library_name)
+            for r in ch.join(dc, "document_id")
+                       .join(lb, "library_id").collect()
+        )
+
+    pre_sync = cascade(bdb)
+    assert pre_sync == cascade(d)
+    assert len(pre_sync) == 12
+
+    # a tampered sibling pointer refuses loudly before serving
+    cur = _os.path.join(out, "documents", "_CURRENT")
+    orig = open(cur).read()
+    with open(cur, "w") as f:
+        f.write(str(int(orig) + 7))
+    with pytest.raises(ValueError, match="documents/_CURRENT|disagrees"):
+        open_serving_bundle(spark, out)
+    with open(cur, "w") as f:
+        f.write(orig)
+
+    # sync: a multi-table release refreshes a multi-table deployment;
+    # the unchanged sibling generations classify as KEPT (zero bytes)
+    d.add("chunks", spark.createDataFrame(
+        [("late0", {}, None, None, "late content", None, doc)],
+        SCHEMAS["chunks"],
+    ))
+    release = str(tmp_path / "mt_release")
+    d.export_serving_bundle(release, recall_queries=1, recall_k=2,
+                            base_bundle=out, siblings=True)
+    stats = sync_bundle(release, out)
+    assert stats["kept"] > 0 and stats["shipped"] > 0, stats
+    b2 = open_serving_bundle(spark, out, verify_checksums=True)
+    assert b2.table("chunks").count() == 13
+    post = cascade(b2)
+    assert post != pre_sync and len(post) == 13  # the new chunk joined
+    assert b2.table("documents").count() == 1
+
+    # a chunks-only bundle still opens (no siblings key, old contract)
+    legacy = str(tmp_path / "legacy_bundle")
+    m2 = d.export_serving_bundle(legacy, recall_queries=1, recall_k=2)
+    assert "siblings" not in m2
+    lb = open_serving_bundle(spark, legacy, verify_checksums=True)
+    assert lb.table("documents").count() == 0  # the documented gap
+    mjson = _json.load(open(_os.path.join(legacy, "MANIFEST.json")))
+    assert "siblings" not in mjson

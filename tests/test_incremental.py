@@ -844,3 +844,253 @@ def test_data_bucket_count_self_sizes_and_rebalances(spark, tmp_path):
                           pad="x" * 200))
     d3.add("chunks", rows(doc3, ["q_late"]))
     assert buckets_of(d3, "pinned") == 4
+
+
+def test_data_bucket_cap_keeps_extending_incrementally(spark, tmp_path):
+    """r17 ADVICE (medium): once the self-sizing hits the 8192-bucket
+    cap, every generation looks permanently 'outgrown' (bytes/bucket
+    keeps growing but _auto_b can't return more than the cap) — the
+    pre-fix code set extend=False there, so EVERY later delta commit
+    did a wholesale full-corpus rewrite forever, exactly the
+    corpus-bound cost the delta path exists to remove. At the cap (or
+    whenever the re-sizing resolves to the SAME count) the layout must
+    keep extending incrementally: hard-linked untouched buckets, not a
+    rewrite. Reproduced at fixture scale with a 1-byte target, which
+    makes every generation permanently outgrown by construction."""
+    import os
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path / "cap"), keep_versions=6,
+                 data_bucket_target_bytes=1)
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+
+    def rows(ids):
+        # padded content keeps every generation safely past the 4x
+        # outgrown threshold at B=8192 (the condition under test)
+        return spark.createDataFrame(
+            [(i, {}, None, None, f"content {i}" + "x" * 400, None, doc)
+             for i in ids],
+            SCHEMAS["chunks"],
+        )
+
+    cdir = os.path.join(str(tmp_path / "cap"), "chunks")
+
+    def gen_dir():
+        return os.path.join(cdir, f"v{d._current_version('chunks')}")
+
+    d.add("chunks", rows([f"c{i:03d}" for i in range(48)]))  # flat bulk
+    d.add("chunks", rows(["late0"]))   # upgrade: bucketed at auto B
+    d.add("chunks", rows(["late1"]))   # outgrown, B jumps to the cap
+    vcap = gen_dir()
+    assert d._version_buckets(vcap) == 8192
+
+    # the decisive commit: prev is AT the cap and still 'outgrown' —
+    # it must extend (same _BUCKETS, untouched bucket files are the
+    # same inodes), not re-layout wholesale
+    d.add("chunks", rows(["late2"]))
+    vnext = gen_dir()
+    assert vnext != vcap
+    assert d._version_buckets(vnext) == 8192
+
+    def bucket_files(vdir):
+        out = {}
+        for name in os.listdir(vdir):
+            if name.startswith("bucket="):
+                out[name] = {
+                    os.stat(os.path.join(vdir, name, f)).st_ino
+                    for f in os.listdir(os.path.join(vdir, name))
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    icap, inext = bucket_files(vcap), bucket_files(vnext)
+    linked = [b for b in inext if b in icap and inext[b] == icap[b]]
+    rewritten = [b for b in inext if b not in linked]
+    assert linked, "capped layout stopped hard-linking (wholesale loop)"
+    assert 1 <= len(rewritten) <= 2, rewritten  # cost ∝ churn at the cap
+    assert d.table("chunks").count() == 51
+    assert {r.id for r in d.table("chunks").select("id").collect()} >= \
+        {"late0", "late1", "late2"}
+
+
+def test_data_commit_tolerates_hive_default_partition_dir(spark,
+                                                          tmp_path):
+    """r17 ADVICE (low): a `bucket=__HIVE_DEFAULT_PARTITION__` dir in
+    the previous generation (the hive name for a null partition value)
+    made the link loop's int() parse raise an uncaught ValueError,
+    aborting the commit outside the wholesale fallback. The guard now
+    routes such layouts to the wholesale write — the commit succeeds
+    and the data survives."""
+    import os
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path / "hd"), keep_versions=6,
+                 data_buckets=8)
+    lib = str(_uuid.uuid4())
+    d.add("libraries",
+          spark.createDataFrame([(lib, {}, None, None, "l")],
+                                SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    d.add("documents",
+          spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                SCHEMAS["documents"]))
+
+    def rows(ids):
+        return spark.createDataFrame(
+            [(i, {}, None, None, f"content {i}", None, doc) for i in ids],
+            SCHEMAS["chunks"],
+        )
+
+    d.add("chunks", rows([f"c{i}" for i in range(16)]))
+    d.add("chunks", rows(["late0"]))  # now on the bucketed layout
+    cdir = os.path.join(str(tmp_path / "hd"), "chunks")
+    vdir = os.path.join(cdir, f"v{d._current_version('chunks')}")
+    assert d._version_buckets(vdir) == 8
+    os.makedirs(os.path.join(vdir, "bucket=__HIVE_DEFAULT_PARTITION__"))
+
+    d.add("chunks", rows(["late1"]))  # pre-fix: ValueError, commit dead
+    t = d.table("chunks")
+    assert t.count() == 18
+    assert "bucket" not in t.columns
+    # and the NEXT commit (previous generation numeric again) resumes
+    # the incremental path
+    d.add("chunks", rows(["late2"]))
+    assert d.table("chunks").count() == 19
+
+
+def test_sign_layout_self_sizes_subpartitions(spark, tmp_path):
+    """r17 verdict #7: the stored sign layout reuses the data
+    snapshot's self-sizing policy. The 16 sign buckets are SEMANTIC
+    (more bits would change the probe set and every oracle), so the
+    scale lever is an id-hash SUB-partition under each sign bucket,
+    sized from the generation's bytes (S=1 at fixture scale — the
+    pre-r18 layout byte-identical; forced here with a tiny target).
+    The probe must still partition-prune on `bucket`, results must be
+    identical to the flat layout's, and incremental maintenance must
+    carry the width and keep hard-linking untouched buckets."""
+    from local_vectordb_spark import plans
+
+    texts = QUESTIONS + [f"filler question number {i}" for i in range(20)]
+
+    d_flat = _seed(spark, tmp_path / "flat", texts, keep_versions=4)
+    d_sub = VectorDB(spark, str(tmp_path / "sub"), keep_versions=4,
+                     data_bucket_target_bytes=256)
+    d_sub.add("libraries", spark.createDataFrame(
+        [("lib0", {}, None, None, "l")], SCHEMAS["libraries"]))
+    d_sub.add("documents", spark.createDataFrame(
+        [("d0", {}, None, None, "d", "lib0")], SCHEMAS["documents"]))
+    d_sub.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, t, None, "d0")
+         for i, t in enumerate(texts)],
+        SCHEMAS["chunks"]))
+
+    qv = [float(x) for x in d_flat.table("chunks").orderBy("id")
+          .limit(1).collect()[0].embedding]
+    flat_hits = [(r.id, round(r.score, 6)) for r in
+                 d_flat.search(query_vec=qv, index_type="sign",
+                               k=5).collect()]
+    sub_hits = [(r.id, round(r.score, 6)) for r in
+                d_sub.search(query_vec=qv, index_type="sign",
+                             k=5).collect()]
+    assert sub_hits == flat_hits
+
+    v_flat = d_flat._current_version("chunks")
+    v_sub = d_sub._current_version("chunks")
+    lay_flat = os.path.join(str(tmp_path / "flat"), "chunks",
+                            f"_sign_v{v_flat}", "layout")
+    lay_sub = os.path.join(str(tmp_path / "sub"), "chunks",
+                           f"_sign_v{v_sub}", "layout")
+
+    def leaf_shape(layout):
+        subs = set()
+        for b in os.listdir(layout):
+            if not b.startswith("bucket="):
+                continue
+            for entry in os.listdir(os.path.join(layout, b)):
+                if entry.startswith("sub="):
+                    subs.add(entry)
+        return subs
+
+    assert leaf_shape(lay_flat) == set()      # default: pre-r18 layout
+    assert len(leaf_shape(lay_sub)) > 1       # forced: real subs
+    assert os.path.exists(os.path.join(os.path.dirname(lay_sub),
+                                       "_SUBS"))
+    # S matches the policy: ceil(bytes / 16 / target), clamped
+    assert d_sub._sign_subs(v_sub) > 1
+
+    # the sub column never leaks to consumers, and the probe still
+    # partition-prunes on bucket (directory pruning, not row filter)
+    probe = d_sub._sign_stored(v_sub).filter(F.col("bucket").isin([0, 1]))
+    assert "sub" not in probe.columns
+    plan = plans.plan_string(probe)
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "bucket" in plan[idx: idx + 300]
+
+    # incremental maintenance carries the width: one small commit
+    # rewrites only touched buckets (in the S-shape), links the rest
+    d_sub.add("chunks", spark.createDataFrame(
+        _chunk_rows(["a brand new late question"]), SCHEMAS["chunks"]))
+    d_sub.search(query_vec=qv, index_type="sign", k=5).collect()
+    v2 = d_sub._current_version("chunks")
+    art2 = os.path.join(str(tmp_path / "sub"), "chunks", f"_sign_v{v2}")
+    assert os.path.exists(os.path.join(art2, "provenance.json"))
+    with open(os.path.join(art2, "_SUBS")) as f:
+        assert int(f.read()) == int(open(os.path.join(
+            os.path.dirname(lay_sub), "_SUBS")).read())
+    with open(os.path.join(art2, "provenance.json")) as f:
+        prov = json.load(f)
+    rewritten = set(prov["buckets_rewritten"])
+    linked = 0
+    for b in os.listdir(os.path.join(art2, "layout")):
+        if not b.startswith("bucket="):
+            continue
+        if int(b.split("=", 1)[1]) in rewritten:
+            continue
+        for r, _dd, fs in os.walk(os.path.join(art2, "layout", b)):
+            for fname in fs:
+                if fname.endswith(".parquet"):
+                    assert os.stat(os.path.join(r, fname)).st_nlink >= 2
+                    linked += 1
+    assert linked > 0
+    # and the maintained layout still serves correctly
+    sub_hits2 = [(r.id, round(r.score, 6)) for r in
+                 d_sub.search(query_vec=qv, index_type="sign",
+                              k=5).collect()]
+    d_flat.add("chunks", spark.createDataFrame(
+        _chunk_rows(["a brand new late question"]), SCHEMAS["chunks"]))
+    flat_hits2 = [(r.id, round(r.score, 6)) for r in
+                  d_flat.search(query_vec=qv, index_type="sign",
+                                k=5).collect()]
+    assert sub_hits2 == flat_hits2
+
+
+def test_mirror_bucket_width_self_sizes(tmp_path):
+    """r17 verdict #7, mirror half: the CDF mirror's bootstrap width
+    reuses the same policy — floor N_BUCKETS_DEFAULT at test scale
+    (every existing mirror layout unchanged), one bucket per task-sized
+    split past it, capped. Pure policy math; the end-to-end bootstrap
+    path is covered in test_streaming and BENCH_scale."""
+    from local_vectordb_spark.streaming.cdf import (
+        N_BUCKETS_DEFAULT,
+        _auto_mirror_buckets,
+    )
+
+    t = 128 << 20
+    assert _auto_mirror_buckets(0) == N_BUCKETS_DEFAULT
+    assert _auto_mirror_buckets(10 * t) == N_BUCKETS_DEFAULT
+    assert _auto_mirror_buckets(100 * t) == 100
+    assert _auto_mirror_buckets(10**15) == 8192  # capped

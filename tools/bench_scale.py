@@ -1064,8 +1064,11 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
 
         out = os.path.join(root, "bundle")
         t0 = time.time()
+        # r18: multi-table export — the sibling tables ride along; the
+        # row below accounts their marginal cost (the claim: ~zero,
+        # they are corpus-metadata-sized and hard-linked)
         manifest = db.export_serving_bundle(out, recall_queries=2,
-                                            recall_k=10)
+                                            recall_k=10, siblings=True)
         export_s = round(time.time() - t0, 4)
 
         from local_vectordb_spark.api import open_serving_bundle
@@ -1094,6 +1097,26 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
 
         bundle_bytes = sum(i["bytes"] for i in manifest["files"].values())
 
+        # multi-table marginal cost (r17 verdict #6): the sibling
+        # generations' share of the bundle, plus an offline cascade
+        # read (chunks→documents→libraries) equality check vs the
+        # live store
+        sib_files = {r: i for r, i in manifest["files"].items()
+                     if r.startswith(("documents/", "libraries/"))}
+        sib_bytes = sum(i["bytes"] for i in sib_files.values())
+
+        def _cascade_count(d_):
+            return (
+                d_.table("chunks").select("id", "document_id")
+                .join(d_.table("documents").selectExpr(
+                    "id AS document_id", "library_id"), "document_id")
+                .join(d_.table("libraries").selectExpr(
+                    "id AS library_id"), "library_id")
+                .count()
+            )
+
+        cascade_equal = _cascade_count(bdb) == _cascade_count(db) == n
+
         # incremental second export (r16): one 20-row commit, the
         # maintained artifacts link their untouched partitions, and
         # the checksum pass reuses every inode the first bundle
@@ -1119,7 +1142,8 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
         t0 = time.time()
         manifest2 = db.export_serving_bundle(out2, recall_queries=2,
                                              recall_k=10,
-                                             base_bundle=out)
+                                             base_bundle=out,
+                                             siblings=True)
         export2_s = round(time.time() - t0, 4)
         open_serving_bundle(spark, out2, verify_checksums=True)
         ru = manifest2["checksum_reuse"]
@@ -1171,6 +1195,14 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
                 "bundle_bytes": sum(
                     i["bytes"] for i in manifest2["files"].values()),
                 "synced_serve_equals_store": got2 == want2,
+            },
+            "siblings": {
+                "versions": manifest["siblings"],
+                "files": len(sib_files),
+                "bytes": sib_bytes,
+                "fraction_of_bundle_bytes": round(
+                    sib_bytes / bundle_bytes, 6) if bundle_bytes else None,
+                "cascade_read_equals_store": cascade_equal,
             },
             "open_verify_checksums_sec": open_s,
             "bundle_files": len(manifest["files"]),
