@@ -1035,8 +1035,16 @@ def run_export_bundle_xl(spark, sf_dir: str) -> dict:
     root = tempfile.mkdtemp(prefix="lvdb_bundle_xl_")
     try:
         store_root = os.path.join(root, "store")
+        # data_buckets pinned like the data_commit row (r18): at this
+        # 51 MB corpus the self-sizing floors at B=16, where a 20-row
+        # delta hashes into ~12/16 buckets and the sync's shipped
+        # fraction is floor-regime-bound (~37% measured), not
+        # churn-bound. B=256 is the layout a corpus past the floor
+        # would have — the shipped fraction then demonstrates the
+        # at-scale shape (touched buckets ≈ delta size).
         db, _emb, seed_s = _seed_xl_db(spark, sf_dir, store_root,
-                                       keep_versions=3)
+                                       keep_versions=3,
+                                       data_buckets=256)
         # one warm-up commit so the exported generations are BOTH in
         # the bucketed data layout (r17): the first delta commit after
         # a bulk load pays the one-time wholesale layout upgrade, and
