@@ -773,3 +773,57 @@ def test_session_tz_accepts_all_spark_offset_spellings():
     assert _session_tz(_Spark("UTC")).utcoffset(None) == dt.timedelta(0)
     with pytest.raises(ValueError, match="unsupported"):
         _session_tz(_Spark("not-a-zone"))
+
+
+def test_multi_table_bundle_serves_sibling_reads_over_http(spark,
+                                                           tmp_path):
+    """r17 verdict #6 over the wire: a bundle exported with
+    siblings=True, bound to its own HTTP server, answers the
+    documents/libraries GET routes (point and list) exactly like the
+    live store's server — the offline replica is a full read API, not
+    just a search endpoint."""
+    import threading
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import open_serving_bundle
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    src = VectorDB(spark, str(tmp_path / "src"))
+    lib = str(_uuid.uuid4())
+    src.add("libraries",
+            spark.createDataFrame([(lib, {}, None, None, "l")],
+                                  SCHEMAS["libraries"]))
+    doc = str(_uuid.uuid4())
+    src.add("documents",
+            spark.createDataFrame([(doc, {}, None, None, "d", lib)],
+                                  SCHEMAS["documents"]))
+    src.add("chunks", spark.createDataFrame(
+        [(f"c{i}", {}, None, None, q, None, doc)
+         for i, q in enumerate(QUESTIONS[:4])],
+        SCHEMAS["chunks"],
+    ))
+    bundle_dir = str(tmp_path / "mt_bundle")
+    src.export_serving_bundle(bundle_dir, recall_queries=1, recall_k=3,
+                              siblings=True)
+    bdb = open_serving_bundle(spark, bundle_dir, verify_checksums=True)
+
+    servers = []
+    for d in (src, bdb):
+        srv = make_server(d)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        servers.append((srv, f"http://127.0.0.1:{srv.server_address[1]}"))
+    (src_srv, src_base), (b_srv, b_base) = servers
+    try:
+        for route in (f"/documents/{doc}", f"/libraries/{lib}",
+                      "/documents", "/libraries"):
+            code_a, res_a = _req(src_base, "GET", route)
+            code_b, res_b = _req(b_base, "GET", route)
+            assert code_a == code_b == 200, route
+            assert res_a == res_b, route
+        # point reads carry the right payloads
+        code, d_doc = _req(b_base, "GET", f"/documents/{doc}")
+        assert code == 200 and d_doc["name"] == "d"
+        assert d_doc["library_id"] == lib
+    finally:
+        src_srv.shutdown()
+        b_srv.shutdown()
