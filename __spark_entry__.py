@@ -54,10 +54,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # carry-through on the incremental path — r17 verdict #7) and
 # crud_cdf_mirror (the mirror bootstrap width now self-sizes from
 # snapshot bytes, floor 16 — same verdict item; also rides the
-# timeline-mint errno narrowing, r17 ADVICE low). (c) Spare slots:
-# the alphabetically-first 15 not-already-listed ORACLED entries of
+# timeline-mint errno narrowing, r17 ADVICE low), and
+# api_search_sq8 (NEW r18 — the QUANTIZED serving tier: the sign
+# layout carries an SQ8 code-column triple, the probe reads codes
+# instead of fp bytes, exact fp rerank via a bucket-pruned point
+# read; `auto` routes here past AUTO_SQ8_MIN; full oracle since
+# quantize/reconstruct is deterministic arithmetic DuckDB
+# reproduces). (c) Spare slots: the alphabetically-first 14
+# not-already-listed ORACLED entries of
 # the 50-query r15 tier, which bounds in r19 — ann_recall_report
-# through events_sliding_window (the tier's rows-only members —
+# through events_sessionize (events_sliding_window, the 15th,
+# yields its slot to the sq8 rider and leads r19 with its tier;
+# the tier's rows-only members —
 # dedup_minhash_lsh, dedup_simhash, embed_hashed, ivf_batch_search,
 # ivf_search, ivf_search_pruned, lsh_bucket_pairs, lsh_search — are
 # seed-dependent KMeans/LSH forms whose md5/full-probe twins carry
@@ -114,9 +122,10 @@ _PRIORITY = [
     "api_search_bundle_time_travel",
     "api_search_sign_incremental",
     "crud_cdf_mirror",
-    # (c) spare slots: alphabetically-first 15 not-already-listed
+    "api_search_sq8",
+    # (c) spare slots: alphabetically-first 14 not-already-listed
     # entries of the r15 tier (its staleness bound lands in r19; the
-    # remaining 30 lead that window)
+    # remaining 31 lead that window)
     "ann_recall_report",
     "anti_join_never_bulk_ordered_parts",
     "api_search_time_travel",
@@ -131,7 +140,6 @@ _PRIORITY = [
     "events_json_extract",
     "events_session_funnel",
     "events_sessionize",
-    "events_sliding_window",
 ]
 
 

@@ -55,7 +55,7 @@ from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
-INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "auto")
+INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "sq8", "auto")
 
 
 def _dir_parquet_bytes(p: str) -> int:
@@ -76,6 +76,23 @@ def _dir_parquet_bytes(p: str) -> int:
 # index would route to 'ivf' here instead — that choice needs trained
 # state, so the default picks the always-available tier)
 AUTO_BRUTE_MAX = 100_000
+
+# second auto knee (r18): past this count even the PROBED partitions'
+# fp embedding bytes dominate a sign search (a 5/16 probe of a 100 TB
+# corpus still reads ~31 TB of floats), so `auto` routes to the sq8
+# tier — the same probe over the layout's 1-byte-per-dim CODE columns
+# (parquet column pruning skips the fp column entirely) followed by an
+# exact fp rerank of the top candidates via a bucket-pruned point read
+# of the base table. The knee is deliberately far above fixture scale:
+# at oracle sizes `auto` behavior is unchanged and hash-pinned.
+AUTO_SQ8_MIN = 4_000_000
+
+# floor of the sq8 rerank depth: the exact-rescore candidate count is
+# max(8*fetch, SQ8_RERANK_DEPTH) — deep enough that a true top-k
+# member never rides the approx-ranking boundary (SQ8 reconstruction
+# error is <= span/510 per dimension), small enough that the collected
+# id list and the point read stay bounded driver/scan surfaces.
+SQ8_RERANK_DEPTH = 64
 
 # stored-graph build knee: up to this many rows the exact
 # corpus-as-its-own-query-table build (knn.knn_batch_table — one scan
@@ -294,6 +311,40 @@ class VectorDB:
         df = self.spark.read.parquet(
             os.path.join(self._table_dir(kind), f"v{version}")
         )
+        return df.drop("bucket") if "bucket" in df.columns else df
+
+    def _point_read(self, kind: str, version: int, ids) -> DataFrame:
+        """PARTITION-PRUNED point read: the rows of ``v{version}``
+        whose id is in ``ids`` (a bounded Python list — callers pass
+        <=rerank-depth candidate sets), read by first pruning to the
+        id-hash bucket directories those ids can live in (the r17
+        data layout is ``bucket = pmod(xxhash64(id), B)``, so the
+        target buckets are computable from the ids alone) and then
+        filtering id within them. On a bucketed generation the scan
+        reads at most ``len(ids)`` of B partition directories —
+        task-shaped at any corpus size — instead of scanning every
+        file's id column; a flat generation falls back to the plain
+        pushed-down id filter. The physical bucket column never
+        escapes (same contract as _read_version)."""
+        d = os.path.join(self._table_dir(kind), f"v{version}")
+        ids = list(ids)
+        if not ids:
+            return self.spark.createDataFrame([], SCHEMAS[kind])
+        df = self.spark.read.parquet(d)
+        B = self._version_buckets(d)
+        if B is not None and "bucket" in df.columns:
+            # the ids' buckets via one tiny local job (xxhash64 is a
+            # Spark-side hash; B values, bounded by len(ids))
+            bkts = sorted({
+                r.b
+                for r in self.spark.createDataFrame(
+                    [(i,) for i in ids], "id string"
+                )
+                .select(F.pmod(F.xxhash64("id"), F.lit(B)).alias("b"))
+                .collect()
+            })
+            df = df.filter(F.col("bucket").isin(bkts))
+        df = df.filter(F.col("id").isin(ids))
         return df.drop("bucket") if "bucket" in df.columns else df
 
     def _snapshot(self, kind: str) -> tuple[int, DataFrame]:
@@ -1023,11 +1074,16 @@ class VectorDB:
         if index_type == "auto":
             # dispatch on the size of the corpus actually being
             # searched: a pinned historical generation dispatches on
-            # ITS count, not the live head's
+            # ITS count, not the live head's. Three regimes (r18):
+            # exact float scan below the brute knee, sign-probed fp
+            # scan between, sign-probed CODE scan + exact rerank (sq8)
+            # past AUTO_SQ8_MIN — where even the probed partitions' fp
+            # bytes dominate.
+            n = self._chunk_count(version=version)
             index_type = (
                 "cosine"
-                if self._chunk_count(version=version) <= AUTO_BRUTE_MAX
-                else "sign"
+                if n <= AUTO_BRUTE_MAX
+                else ("sign" if n <= AUTO_SQ8_MIN else "sq8")
             )
         if diversify not in (None, "mmr"):
             raise ValueError(f"unknown diversify {diversify!r}; only 'mmr'")
@@ -1151,6 +1207,45 @@ class VectorDB:
                     ivf.sign_bucket("embedding", n_bits=4).isin(probes)
                 )
             scored = knn.knn_brute_force(cand, qvec, k=fetch, id_col="id")
+        elif index_type == "sq8":
+            # QUANTIZED serving tier (r18): same Hamming-1 partition
+            # probe as 'sign', but the probed layout read touches only
+            # the SQ8 column triple (codes/vmin/vmax — ~1 byte of
+            # information per dimension; parquet column pruning never
+            # materializes the fp embedding column, pinned in
+            # tests/test_plans.py), approximate-scores the
+            # reconstructed vectors, and exact-rescores the top
+            # max(8*fetch, SQ8_RERANK_DEPTH) candidates with REAL fp
+            # embeddings via a bucket-pruned point read of the base
+            # table (_point_read — the id-hash data layout makes the
+            # rerank a partition-pruned read, not a corpus scan). At
+            # 100 TB the probed fp bytes are the sign tier's dominant
+            # cost (~31 TB at a 5/16 probe); this path reads ~1/8 of
+            # that, plus a candidate-sized rerank. Every stage is
+            # deterministic arithmetic (quantize/reconstruct/round),
+            # so the full two-stage result is value-checked against
+            # DuckDB (api_search_sq8). Result contract: exact top-k
+            # BY TRUE SCORE among the approx top-c — ties by id at
+            # both stages.
+            c_depth = max(8 * fetch, SQ8_RERANK_DEPTH)
+            approx = self._sq8_approx(qvec, chunks, metadata, disk_v, c_depth)
+            # bounded driver surface: <= c_depth ids (the same class as
+            # the <=k result collects and _write_data's touched-bucket
+            # list)
+            cand_ids = [r.id for r in approx.select("id").collect()]
+            if disk_v >= 0:
+                exact = self._point_read("chunks", disk_v, cand_ids)
+            else:
+                exact = chunks.filter(F.col("id").isin(cand_ids))
+            if metadata is not None:
+                # cand_ids are already metadata-filtered (semi join
+                # above); the point read bypasses _chunks_for_search,
+                # so re-intersect defensively against a concurrent
+                # layout/base drift — ids not in the filtered set drop
+                exact = exact.join(chunks.select("id"), "id", "leftsemi")
+            scored = knn.knn_brute_force(
+                exact.select("id", "embedding"), qvec, k=fetch, id_col="id"
+            )
         elif index_type == "nsw" and metadata is None and disk_v >= 0:
             # TRUE NSW shape (r10): beam search over the PERSISTED kNN
             # graph (`_nsw_v{version}` beside the table data — the
@@ -1303,20 +1398,23 @@ class VectorDB:
             # table — single-query surfaces; a late check would burn a
             # Spark embed job just to raise
             raise ValueError(
-                f"search_batch supports ('cosine', 'ivf', 'sign', 'nsw'); "
-                f"{index_type!r} is single-query only — loop search()"
+                f"search_batch supports ('cosine', 'ivf', 'sign', 'sq8', "
+                f"'nsw'); {index_type!r} is single-query only — loop "
+                "search()"
             )
         if index_type == "auto":
             # same size-dispatch rule as search(): exact brute force up
             # to AUTO_BRUTE_MAX corpus rows, the deterministic
-            # sign-pruned tier beyond — resolved ONCE per batch (the
-            # knee is a property of the corpus, not of any query), and
-            # both targets support the distributed table path, so auto
+            # sign-pruned tier beyond, the quantized sq8 tier past
+            # AUTO_SQ8_MIN (r18) — resolved ONCE per batch (the knee is
+            # a property of the corpus, not of any query), and every
+            # target supports the distributed table path, so auto
             # composes with any batch size
+            n = self._chunk_count(version=version)
             index_type = (
                 "cosine"
-                if self._chunk_count(version=version) <= AUTO_BRUTE_MAX
-                else "sign"
+                if n <= AUTO_BRUTE_MAX
+                else ("sign" if n <= AUTO_SQ8_MIN else "sq8")
             )
         if query_vecs is None and not queries:
             raise ValueError("provide queries or query_vecs")
@@ -1353,6 +1451,12 @@ class VectorDB:
                 "query_id long, qv array<double>",
             )
             scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
+        elif index_type == "sq8":
+            qdf = self.spark.createDataFrame(
+                [(int(i), [float(x) for x in v]) for i, v in query_vecs],
+                "query_id long, qv array<double>",
+            )
+            scored = self._sq8_batch(chunks, qdf, k, metadata, disk_v)
         elif index_type == "ivf":
             # a pinned batch reads the pinned generation's own stored
             # index (built on demand) — see search()'s ivf branch
@@ -1396,11 +1500,11 @@ class VectorDB:
         embedding runs distributed, and scoring joins a broadcast query
         table — no per-query driver state at any point. ``version``
         pins the whole job to a retained generation (r12)."""
-        if index_type not in ("cosine", "ivf", "sign"):
+        if index_type not in ("cosine", "ivf", "sign", "sq8"):
             raise ValueError(
                 f"index {index_type!r} does not scale past max_driver_queries "
                 "(its candidate generation is per-query driver work); use "
-                "'cosine', 'ivf' or 'sign' for large query sets"
+                "'cosine', 'ivf', 'sign' or 'sq8' for large query sets"
             )
         if query_vecs is not None:
             qdf = self.spark.createDataFrame(
@@ -1420,6 +1524,8 @@ class VectorDB:
             scored = knn.knn_batch_table(chunks, qdf, k=k, id_col="id")
         elif index_type == "sign":
             scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
+        elif index_type == "sq8":
+            scored = self._sq8_batch(chunks, qdf, k, metadata, disk_v)
         else:
             centroids, assignments = (
                 self._ivf_stored(disk_v)
@@ -1474,6 +1580,140 @@ class VectorDB:
                 layout, qdf, k=k, id_col="id", bucket_col="bucket",
             )
         return ivf.sign_search_batch_table(chunks, qdf, k=k, id_col="id")
+
+    def _sq8_approx(
+        self,
+        qvec,
+        chunks: DataFrame,
+        metadata: dict | None,
+        disk_v: int,
+        c_depth: int,
+    ) -> DataFrame:
+        """Stage 1 of the sq8 tier: the approx top-``c_depth``
+        candidate frame (id, score) — the Hamming-1 partition probe of
+        the stored layout reading ONLY the SQ8 column triple (the plan
+        gate in tests/test_plans.py holds this seam to it: no
+        embedding bytes), scored on the reconstructed vectors. Falls
+        back to the expression form on a never-written store or a
+        pre-sq8 layout generation (no byte win, same semantics)."""
+        from local_vectordb_spark.functions import vector as V
+
+        probes = ivf.sign_probe(qvec, n_bits=4)
+        lay = self._sign_stored(disk_v) if disk_v >= 0 else None
+        if lay is not None and "codes" in lay.columns:
+            cand = lay.filter(F.col("bucket").isin(probes)).select(
+                "id", "vmin", "vmax", "codes"
+            )
+            if metadata is not None:
+                cand = cand.join(chunks.select("id"), "id", "leftsemi")
+        else:
+            cand = V.sq8_attach(
+                chunks.filter(
+                    ivf.sign_bucket("embedding", n_bits=4).isin(probes)
+                )
+            ).select("id", "vmin", "vmax", "codes")
+        return knn.knn_brute_force(
+            cand.withColumn(
+                "embedding",
+                V.sq8_reconstruct(
+                    F.col("codes"), F.col("vmin"), F.col("vmax")
+                ),
+            ),
+            qvec, k=c_depth, id_col="id",
+        )
+
+    def _sq8_batch(
+        self,
+        chunks: DataFrame,
+        qdf: DataFrame,
+        k: int,
+        metadata: dict | None,
+        disk_v: int,
+    ) -> DataFrame:
+        """Batch form of the sq8 tier (r18), fully distributed — no
+        per-query driver work at any stage, so it serves
+        search_batch_table's unbounded query sets too. Stage 1: the
+        probe join of `_sign_batch` over the layout with its fp column
+        REPLACED by the reconstructed-SQ8 expression — column pruning
+        reads only (id, bucket, codes, vmin, vmax); per-query approx
+        top-c by window. Stage 2: the distinct candidate ids join the
+        base generation on (bucket, id) — the candidate side computes
+        its data-layout bucket from the id, so the broadcast join
+        dynamically prunes the base scan to candidate buckets — and
+        the per-query exact top-k is one more window. Ties by id at
+        both stages, scores rounded like every batch surface."""
+        from pyspark.sql import Window
+
+        from local_vectordb_spark.functions import vector as V
+        from local_vectordb_spark.operators.knn import SCORE_DECIMALS
+
+        c_depth = max(8 * k, SQ8_RERANK_DEPTH)
+        recon_col = V.sq8_reconstruct(
+            F.col("codes"), F.col("vmin"), F.col("vmax")
+        )
+        lay = self._sign_stored(disk_v) if disk_v >= 0 else None
+        if lay is not None and "codes" in lay.columns:
+            recon = lay.select(
+                "id", "bucket", recon_col.alias("embedding")
+            )
+            if metadata is not None:
+                recon = recon.join(chunks.select("id"), "id", "leftsemi")
+            approx = ivf.sign_search_batch_table(
+                recon, qdf, k=c_depth, id_col="id", bucket_col="bucket",
+            )
+        else:
+            # expression fallback: probe buckets come from the REAL
+            # vector (quantization can flip a near-zero component's
+            # sign — the probe set must match the sign tier's), the
+            # score from the reconstruction
+            recon = V.sq8_attach(chunks).select(
+                "id",
+                ivf.sign_bucket("embedding", n_bits=4).alias("bucket"),
+                recon_col.alias("embedding"),
+            )
+            approx = ivf.sign_search_batch_table(
+                recon, qdf, k=c_depth, id_col="id", bucket_col="bucket",
+            )
+
+        cand_ids = approx.select("id").distinct()
+        gen_dir = os.path.join(self._table_dir("chunks"), f"v{disk_v}")
+        B = self._version_buckets(gen_dir) if disk_v >= 0 else None
+        if B is not None:
+            base = self.spark.read.parquet(gen_dir).select(
+                "id", "embedding", "bucket"
+            )
+            cb = cand_ids.withColumn(
+                "bucket", F.pmod(F.xxhash64("id"), F.lit(B))
+            )
+            exact = base.join(F.broadcast(cb), ["bucket", "id"]).select(
+                "id", "embedding"
+            )
+        else:
+            exact = chunks.join(
+                F.broadcast(cand_ids), "id", "leftsemi"
+            ).select("id", "embedding")
+
+        rer = (
+            approx.select("query_id", "id")
+            .join(exact, "id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "id",
+                F.round(
+                    V.cosine_similarity(F.col("embedding"), F.col("qv")),
+                    SCORE_DECIMALS,
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("id")
+        )
+        return (
+            rer.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
 
     def _ivf_index(self):
         """Build-once IVF index, invalidated when any write bumps the
@@ -1580,9 +1820,17 @@ class VectorDB:
             link_tree,
         )
 
+        from local_vectordb_spark.functions import vector as V
+
         ups, olds = compose_delta_chain(steps, key_col="id")
         bucket = ivf.sign_bucket("embedding", n_bits=4).alias("bucket")
-        ups_b = ups.select("id", "embedding", bucket)
+        # the SQ8 triple is a pure expression of the vector, so the
+        # incrementally-rewritten buckets carry the same columns the
+        # linked ones already hold; a PRE-sq8 previous layout (no
+        # codes column) fails the `kept` select below with
+        # AnalysisException, which the caller catches — the full
+        # build upgrades the layout
+        ups_b = V.sq8_attach(ups.select("id", "embedding", bucket))
         olds_b = olds.select("id", "embedding", bucket)
         affected = {
             r.bucket
@@ -1614,7 +1862,9 @@ class VectorDB:
                 self.spark.read.parquet(prev)
                 .filter(F.col("bucket").isin(sorted(affected)))
                 .join(touched, "id", "left_anti")
-                .select("id", "embedding", "bucket")
+                .select(
+                    "id", "embedding", "bucket", "vmin", "vmax", "codes"
+                )
             )
             out = kept.unionByName(ups_b)
             if S > 1:
@@ -1936,11 +2186,22 @@ class VectorDB:
                 except (FileNotFoundError, AnalysisException):
                     _shutil.rmtree(p, ignore_errors=True)
 
+            from local_vectordb_spark.functions import vector as V
+
             chunks = self.table("chunks", version=version)
-            sel = chunks.select(
-                "id",
-                "embedding",
-                ivf.sign_bucket("embedding", n_bits=4).alias("bucket"),
+            # the SQ8 column triple rides in the SAME layout files
+            # (r18): parquet is columnar, so the sign tier's
+            # (id, embedding) scans never touch the code columns and
+            # the sq8 tier's (id, codes, vmin, vmax) scans never touch
+            # the fp column — one artifact, column pruning picks the
+            # bytes. Storage cost ~1/8 of the fp column; no second
+            # build/GC/bundle/incremental machinery.
+            sel = V.sq8_attach(
+                chunks.select(
+                    "id",
+                    "embedding",
+                    ivf.sign_bucket("embedding", n_bits=4).alias("bucket"),
+                )
             )
             # r18 (r17 verdict #7): the SAME self-sizing policy the
             # data snapshot uses, applied to the artifact layout. The

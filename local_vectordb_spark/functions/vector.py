@@ -89,3 +89,20 @@ def sq8_reconstruct(codes: Column, vmin: Column, vmax: Column) -> Column:
     return F.transform(
         codes, lambda c: vmin + c.cast("double") * span / 255.0
     )
+
+
+def sq8_attach(df, vec_col: str = "embedding"):
+    """``df`` + the stored-SQ8 column triple (``vmin``, ``vmax``,
+    ``codes``) computed from ``vec_col`` — the physical form the
+    quantized serving tier persists beside the fp embeddings (1 byte
+    of information per dimension vs 8: the scan-byte lever for the
+    probed-partition read at scale). Two selects so vmin/vmax are
+    plain columns by the time the codes lambda captures them (see
+    sq8_codes' evaluation note)."""
+    v = _as_double(F.col(vec_col))
+    with_range = df.withColumn("vmin", F.array_min(v)).withColumn(
+        "vmax", F.array_max(v)
+    )
+    return with_range.withColumn(
+        "codes", sq8_codes(F.col(vec_col), F.col("vmin"), F.col("vmax"))
+    )

@@ -520,6 +520,68 @@ def api_search_sign_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "api_search_sq8",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT ({_SIGN_BUCKET_SQL.format(v="qv")}) AS b FROM q),
+    cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS e,
+             list_min(e.embedding::DOUBLE[]) AS vmin,
+             list_max(e.embedding::DOUBLE[]) AS vmax
+      FROM embeddings e, qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    ),
+    recon AS (
+      SELECT vec_id,
+             list_transform(e, x ->
+               CASE WHEN vmax = vmin THEN vmin + 0.0
+                    ELSE vmin + CAST(round((x - vmin) * 255.0 / (vmax - vmin), 0) AS INT)
+                         * (vmax - vmin) / 255.0 END) AS r
+      FROM cand
+    ),
+    approx AS (
+      SELECT r.vec_id
+      FROM recon r CROSS JOIN q
+      ORDER BY ROUND(list_cosine_similarity(r.r, q.qv::DOUBLE[]), 6) DESC,
+               CAST(r.vec_id AS VARCHAR) ASC
+      LIMIT 80
+    ),
+    topk AS (
+      SELECT a.vec_id,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+      FROM approx a
+      JOIN embeddings e ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      ORDER BY score DESC, CAST(a.vec_id AS VARCHAR) ASC
+      LIMIT {K}
+    )
+    SELECT CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTIZED serving tier end to end, FULL-ORACLE (r18) — the
+    strategy `auto` routes to past AUTO_SQ8_MIN, i.e. the path a corpus
+    too large for even probed fp scans serves. The search probes the
+    persisted `_sign_v{{N}}` layout's Hamming-1 partitions but reads
+    ONLY the SQ8 column triple (codes/vmin/vmax — ~1/8 of the fp
+    bytes; parquet column pruning never materializes the embedding
+    column, pinned in tests/test_plans.py), approximate-scores the
+    reconstructed vectors, exact-rescores the top
+    max(8*k, SQ8_RERANK_DEPTH)=80 candidates with real fp embeddings
+    via a bucket-pruned point read of the base table (_point_read),
+    and hydrates. Every stage is deterministic arithmetic — per-vector
+    min/max scaling, round-half-up levels, reconstruct, score — so the
+    WHOLE two-stage pipeline (the construction FAISS calls SQ8 +
+    refine, the standard shape the reference's fp-only flat index
+    cannot express) value-checks against DuckDB reproducing the same
+    quantize→reconstruct→top-80→exact-rerank→top-{K} chain."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search(query_vec=_query_vecs(sf_dir)[0][1], index_type="sq8", k=K)
+
+
 _EXPORT_BUNDLE_CACHE: dict = {}
 
 

@@ -66,7 +66,15 @@ def test_ivf_fit_on_sample_past_train_cap(spark, sf_dir, monkeypatch):
 
     def spy_fit(self, dataset, *a, **k):
         fit_sizes.append(dataset.count())
-        return orig_fit(self, dataset, *a, **k)
+        # MLlib KMeans aggregates cluster sums in task-completion
+        # order, so under load the fp rounding of the centroids (and
+        # hence boundary vectors' cells at n_probe=3) shifts run to
+        # run — the mechanism behind the r15/r16/r18 flakes on the
+        # recall-floor assertion below. One partition makes the
+        # aggregation order (and the fit) deterministic; the
+        # parallel-order nondeterminism is MLlib's, not a contract of
+        # the code under test.
+        return orig_fit(self, dataset.coalesce(1), *a, **k)
 
     monkeypatch.setattr(KMeans, "fit", spy_fit)
 
@@ -108,15 +116,12 @@ def test_ivf_fit_on_sample_past_train_cap(spark, sf_dir, monkeypatch):
         r.vec_id
         for r in ivf.ivf_search(emb, asg_f, cents_f, qv, k=10, n_probe=3).collect()
     }
-    # slack of 3 (r15 set 2 after a 9-vs-7 spread; r16 observed 9-vs-6
-    # in a loaded full-suite run that passed in isolation — same
-    # mechanism both times): MLlib KMeans aggregates cluster sums in
-    # task-completion order, so under heavy box load the fp rounding of
-    # the sampled fit's centroids can shift boundary vectors' cells at
-    # n_probe=3. The floor still gates collapse (random cells would
-    # score ~1-2/10, and the full-width-probe exactness assertion above
-    # is the hard correctness gate); it no longer flags fp jitter.
-    floor = max(2, len(pruned_f & set(truth)) - 3)
+    # Both fits are deterministic now (the spy coalesces the fit input
+    # to one partition — see spy_fit), so the r15/r16/r18 load-jitter
+    # spreads can't recur; slack 1 absorbs only an MLlib version
+    # nudging cell boundaries. The full-width-probe exactness
+    # assertion above remains the hard correctness gate.
+    floor = max(2, len(pruned_f & set(truth)) - 1)
     assert len(pruned_s & set(truth)) >= floor
 
 

@@ -1975,3 +1975,124 @@ def test_multi_table_bundle_serves_cascade_reads(spark, tmp_path):
     assert lb.table("documents").count() == 0  # the documented gap
     mjson = _json.load(open(_os.path.join(legacy, "MANIFEST.json")))
     assert "siblings" not in mjson
+
+
+def _seed_sq8_store(spark, tmp_path, n=120, dims=12):
+    """Bucketed-data store for the sq8 tier tests: bulk load (flat) +
+    one delta commit so the live generation is hive-bucketed
+    (data_buckets pinned small) and the sign layout exists."""
+    import random
+
+    rng = random.Random(11)
+    d = VectorDB(spark, str(tmp_path / "sq8src"), data_buckets=8)
+    lib, doc = str(uuid.uuid4()), str(uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i:03d}", {"par": str(i % 2)}, None, None, f"row {i}",
+          [rng.uniform(-1, 1) for _ in range(dims)], doc)
+         for i in range(n - 1)],
+        SCHEMAS["chunks"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{n-1:03d}", {"par": str((n - 1) % 2)}, None, None,
+          f"row {n-1}", [rng.uniform(-1, 1) for _ in range(dims)], doc)],
+        SCHEMAS["chunks"]))
+    q = [rng.uniform(-1, 1) for _ in range(dims)]
+    return d, doc, q
+
+
+def test_sq8_tier_two_stage_exact_rerank(spark, tmp_path):
+    """r18: the quantized serving tier. At test scale the rerank depth
+    (max(8k, 64)) covers every probed candidate, so sq8's exact-rerank
+    contract makes its results EQUAL the sign tier's exact scan — on
+    the single path, the batch path, and under a metadata filter; a
+    wrong quantize/reconstruct or a dropped rerank shows up as an
+    ordering or score mismatch. `auto` routes here past AUTO_SQ8_MIN
+    (monkeypatched low); the incremental layout build carries the code
+    columns; a pre-sq8 layout generation falls back to the expression
+    form rather than failing."""
+    import os
+    import shutil
+
+    d, doc, q = _seed_sq8_store(spark, tmp_path)
+    v = d._current_version("chunks")
+    assert d._version_buckets(
+        os.path.join(d._table_dir("chunks"), f"v{v}")) == 8
+
+    def rows(df):
+        return [(r.id, r.score, r.content) for r in df.collect()]
+
+    got = rows(d.search(query_vec=q, index_type="sq8", k=7))
+    want = rows(d.search(query_vec=q, index_type="sign", k=7))
+    assert got == want and len(got) == 7
+
+    # layout carries the SQ8 triple beside the fp column
+    lay = d._sign_stored(v)
+    assert {"codes", "vmin", "vmax"} <= set(lay.columns)
+
+    # metadata-filtered parity (filter before scoring, not after top-k)
+    gf = rows(d.search(query_vec=q, index_type="sq8", k=9,
+                       metadata={"par": "1"}))
+    wf = rows(d.search(query_vec=q, index_type="sign", k=9,
+                       metadata={"par": "1"}))
+    assert gf == wf and gf and all(
+        int(c.rsplit(" ", 1)[1]) % 2 == 1 for _, _, c in gf)
+
+    # batch parity vs per-query singles (same tier, same ties)
+    import random
+    rng = random.Random(99)
+    qs = [(0, q), (1, [rng.uniform(-1, 1) for _ in range(len(q))])]
+    batch = d.search_batch(query_vecs=qs, index_type="sq8", k=5)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r.query_id, []).append((r.id, r.score))
+    for qid, qv in qs:
+        single = [(r.id, r.score)
+                  for r in d.search(query_vec=qv, index_type="sq8",
+                                    k=5).collect()]
+        assert sorted(by_q[qid]) == sorted(single), qid
+
+    # auto routes to sq8 past the second knee (knees forced below n)
+    import local_vectordb_spark.api as api_mod
+    old_brute, old_sq8 = api_mod.AUTO_BRUTE_MAX, api_mod.AUTO_SQ8_MIN
+    try:
+        api_mod.AUTO_BRUTE_MAX, api_mod.AUTO_SQ8_MIN = 5, 10
+        auto = rows(d.search(query_vec=q, index_type="auto", k=7))
+        assert auto == got
+        b_auto = d.search_batch(query_vecs=qs, index_type="auto", k=5)
+        assert {(r.query_id, r.id) for r in b_auto.collect()} == {
+            (qid, i) for qid, pairs in by_q.items() for i, _ in pairs}
+    finally:
+        api_mod.AUTO_BRUTE_MAX, api_mod.AUTO_SQ8_MIN = old_brute, old_sq8
+
+    # one more delta commit -> the INCREMENTAL layout build must carry
+    # the code columns (provenance proves the maintained path ran)
+    import json as _json
+    d.add("chunks", spark.createDataFrame(
+        [("late1", {"par": "1"}, None, None, "row 999",
+          [0.5] * len(q), doc)], SCHEMAS["chunks"]))
+    v2 = d._current_version("chunks")
+    _ = d.search(query_vec=q, index_type="sq8", k=3)  # builds _sign_v{v2}
+    prov = os.path.join(d._table_dir("chunks"), f"_sign_v{v2}",
+                        "provenance.json")
+    assert os.path.exists(prov), "layout should extend incrementally"
+    assert _json.load(open(prov))["base_version"] == v
+    lay2 = d._sign_stored(v2)
+    assert {"codes", "vmin", "vmax"} <= set(lay2.columns)
+    assert rows(d.search(query_vec=q, index_type="sq8", k=7)) == rows(
+        d.search(query_vec=q, index_type="sign", k=7))
+
+    # pre-sq8 layout generation (simulated: rewrite the layout without
+    # the code columns) -> expression-form fallback, same answers
+    root = os.path.join(d._table_dir("chunks"), f"_sign_v{v2}")
+    old_cols = spark.read.parquet(os.path.join(root, "layout"))
+    legacy = old_cols.select("id", "embedding", "bucket")
+    tmp_lay = str(tmp_path / "legacy_layout")
+    legacy.write.partitionBy("bucket").parquet(tmp_lay)
+    shutil.rmtree(os.path.join(root, "layout"))
+    shutil.move(tmp_lay, os.path.join(root, "layout"))
+    assert "codes" not in d._sign_stored(v2).columns
+    assert rows(d.search(query_vec=q, index_type="sq8", k=7)) == rows(
+        d.search(query_vec=q, index_type="sign", k=7))

@@ -767,3 +767,88 @@ def test_apply_changes_is_broadcast_anti_join_no_base_shuffle(spark):
     got = {(r.id, r.val) for r in mirror.collect()}
     assert ("id5", 999) in got and not any(i == "id7" for i, _ in got)
     assert len(got) == 9_999
+
+
+def test_sq8_probe_reads_codes_not_embedding(spark, tmp_path):
+    """r18: the sq8 tier's scan-byte contract. Stage 1 (the probed
+    layout read) must NEVER materialize the fp embedding column — the
+    whole point of the tier is that the probed partitions are read as
+    ~1-byte-per-dim codes; ReadSchema is the proof, column pruning the
+    mechanism. Stage 2 (the exact rerank) must be a PARTITION-PRUNED
+    point read of the bucketed base generation — candidate ids map to
+    id-hash buckets, so the scan shows PartitionFilters on the data
+    bucket and the id filter pushed, with the fp column read there and
+    only there. The batch form is one lazy plan holding both stages —
+    gated the same way."""
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path), data_buckets=8)
+    lib, doc = str(_uuid.uuid4()), str(_uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"c{i:03d}", {}, None, None, f"sq8 row {i}", None, doc)
+         for i in range(60)], SCHEMAS["chunks"]))
+    d.add("chunks", spark.createDataFrame(
+        [("c999", {}, None, None, "sq8 row 999", None, doc)],
+        SCHEMAS["chunks"]))  # delta commit -> bucketed generation
+    v = d._current_version("chunks")
+    qv = [float(x) for x in
+          d.table("chunks").filter(F.col("id") == "c007")
+          .select("embedding").first()[0]]
+
+    def scans(plan):
+        # formatted-mode scan blocks: "(N) Scan parquet" ... ReadSchema
+        out = []
+        for seg in plan.split("Scan parquet")[1:]:
+            seg = seg[:1500]  # this scan's own block, not the next's
+            head = seg.split("ReadSchema:", 1)
+            schema = head[1].splitlines()[0] if len(head) > 1 else ""
+            out.append((seg, schema))
+        return out
+
+    # stage 1: layout probe — codes in, embedding OUT, pruned on the
+    # sign bucket
+    approx = d._sq8_approx(qv, d.table("chunks"), None, v, 64)
+    aplan = plans.plan_string(approx)
+    layout_scans = [s for s, _ in scans(aplan) if "_sign_v" in s]
+    assert layout_scans, aplan
+    for seg, schema in scans(aplan):
+        if "_sign_v" in seg:
+            assert "codes" in schema, schema
+            assert "embedding" not in schema, schema
+            assert "PartitionFilters" in seg
+            assert "bucket" in seg.split("PartitionFilters", 1)[1][:200]
+
+    # stage 2: the facade result's plan is the rerank — a point read
+    # pruned to the candidates' id-hash buckets with the id pushed
+    hits = d.search(query_vec=qv, index_type="sq8", k=5)
+    rplan = plans.plan_string(hits)
+    base_scans = [
+        (seg, schema) for seg, schema in scans(rplan)
+        if f"chunks/v{v}" in seg
+    ]
+    assert base_scans, rplan
+    pruned = [seg for seg, schema in base_scans
+              if "embedding" in schema and "PartitionFilters" in seg
+              and "bucket" in seg.split("PartitionFilters", 1)[1][:200]
+              and "In(id" in seg]
+    assert pruned, rplan
+    assert hits.collect()[0].id == "c007"
+
+    # batch: ONE lazy plan, both gates at once
+    batch = d.search_batch(query_vecs=[(0, qv)], index_type="sq8", k=5)
+    bplan = plans.plan_string(batch)
+    bscans = scans(bplan)
+    lay_b = [(seg, sc) for seg, sc in bscans if "_sign_v" in seg]
+    base_b = [(seg, sc) for seg, sc in bscans
+              if f"chunks/v{v}" in seg and "embedding" in sc]
+    assert lay_b and all("embedding" not in sc for _, sc in lay_b), bplan
+    assert base_b, bplan
+    got = {r.id for r in batch.collect() if r.query_id == 0}
+    assert "c007" in got
