@@ -775,7 +775,20 @@ class VectorDB:
     def get(self, kind: str, item_id: str, version: int | None = None) -> DataFrame:
         """C2 — single-record fetch by id, optionally from a retained
         historical ``version`` (time travel — same contract as
-        :meth:`table`; a GC'd or future version raises)."""
+        :meth:`table`; a GC'd or future version raises).
+
+        On a bucketed generation (the r17 data layout) the fetch is a
+        PARTITION-PRUNED point read (_point_read): the id's hash names
+        its bucket directory, so the scan reads one of B partitions
+        instead of every file's id column — at 100 TB, one task-sized
+        split instead of a corpus-wide footer-and-column sweep. A flat
+        generation keeps the plain pushed-down filter."""
+        if version is not None:
+            # table() owns the GC'd/future/negative refusal contract
+            self.table(kind, version=version)
+        v = self._current_version(kind) if version is None else version
+        if v >= 0:
+            return self._point_read(kind, v, [item_id])
         return crud.point_lookup(self.table(kind, version=version), "id", item_id)
 
     def exists(self, kind: str, item_id: str) -> bool:

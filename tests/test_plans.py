@@ -852,3 +852,45 @@ def test_sq8_probe_reads_codes_not_embedding(spark, tmp_path):
     assert base_b, bplan
     got = {r.id for r in batch.collect() if r.query_id == 0}
     assert "c007" in got
+
+
+def test_point_get_is_partition_pruned_on_bucketed_store(spark, tmp_path):
+    """r18: C2 through the facade rides the r17 data layout — a
+    get(kind, id) on a bucketed generation prunes to the id's hash
+    bucket directory (PartitionFilters) with the id filter pushed,
+    instead of sweeping every file's id column; a flat generation
+    keeps the plain pushed-down filter; semantics identical on both
+    (and on misses)."""
+    import uuid as _uuid
+
+    from local_vectordb_spark.api import VectorDB
+    from local_vectordb_spark.sources.json_records import SCHEMAS
+
+    d = VectorDB(spark, str(tmp_path), data_buckets=8)
+    lib, doc = str(_uuid.uuid4()), str(_uuid.uuid4())
+    d.add("libraries", spark.createDataFrame(
+        [(lib, {}, None, None, "l")], SCHEMAS["libraries"]))
+    d.add("documents", spark.createDataFrame(
+        [(doc, {}, None, None, "d", lib)], SCHEMAS["documents"]))
+    d.add("chunks", spark.createDataFrame(
+        [(f"g{i:03d}", {}, None, None, f"get row {i}", None, doc)
+         for i in range(30)], SCHEMAS["chunks"]))
+    # flat generation first (bulk load): pushed filter, no pruning
+    flat_plan = plans.plan_string(d.get("chunks", "g004"))
+    assert "In(id" in flat_plan or "EqualTo(id" in flat_plan, flat_plan
+    assert d.get("chunks", "g004").collect()[0].content == "get row 4"
+
+    d.add("chunks", spark.createDataFrame(
+        [("gX", {}, None, None, "get row X", None, doc)],
+        SCHEMAS["chunks"]))  # delta commit -> bucketed generation
+    hit = d.get("chunks", "g004")
+    plan = plans.plan_string(hit)
+    assert "PartitionFilters" in plan, plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan
+    # one-element isin compiles to EqualTo; either form is the pushed id
+    assert "In(id" in plan or "EqualTo(id,g004)" in plan, plan
+    row = hit.collect()
+    assert len(row) == 1 and row[0].content == "get row 4"
+    assert "bucket" not in hit.columns
+    assert d.get("chunks", "does-not-exist").count() == 0
+    assert d.exists("chunks", "gX") and not d.exists("chunks", "nope")
