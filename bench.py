@@ -74,7 +74,7 @@ HEADLINE = [
     # same pruned layout (semi join against an id+metadata column-pruned
     # base scan — no whole-corpus embedding read); full oracle
     "api_search_sq8",  # r18: the QUANTIZED tier — probed partitions read
-    # as SQ8 codes (~1/8 of the fp bytes, column-pruned), exact fp rerank
+    # as SQ8 codes (0.31x of the fp32 bytes, column-pruned), exact fp rerank
     # via a bucket-pruned point read; `auto` routes here past
     # AUTO_SQ8_MIN; full oracle (deterministic quantize/reconstruct)
     "api_search_sign_incremental",  # r13: delta-maintained layout, full oracle

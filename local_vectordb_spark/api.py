@@ -1233,7 +1233,10 @@ class VectorDB:
             # table (_point_read — the id-hash data layout makes the
             # rerank a partition-pruned read, not a corpus scan). At
             # 100 TB the probed fp bytes are the sign tier's dominant
-            # cost (~31 TB at a 5/16 probe); this path reads ~1/8 of
+            # cost (~31 TB of fp64 / ~15 TB of fp32 at a 5/16 probe);
+            # this path reads ~0.31x of the fp32 bytes (measured:
+            # BENCH_scale.json sq8_search — codes bit-pack to
+            # ~1.25 B/dim vs 4 B/dim float32) out of
             # that, plus a candidate-sized rerank. Every stage is
             # deterministic arithmetic (quantize/reconstruct/round),
             # so the full two-stage result is value-checked against
@@ -2207,7 +2210,8 @@ class VectorDB:
             # (id, embedding) scans never touch the code columns and
             # the sq8 tier's (id, codes, vmin, vmax) scans never touch
             # the fp column — one artifact, column pruning picks the
-            # bytes. Storage cost ~1/8 of the fp column; no second
+            # bytes. Storage cost ~0.31x of the fp32 column (measured
+            # at XL); no second
             # build/GC/bundle/incremental machinery.
             sel = V.sq8_attach(
                 chunks.select(

@@ -566,7 +566,7 @@ def api_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy `auto` routes to past AUTO_SQ8_MIN, i.e. the path a corpus
     too large for even probed fp scans serves. The search probes the
     persisted `_sign_v{{N}}` layout's Hamming-1 partitions but reads
-    ONLY the SQ8 column triple (codes/vmin/vmax — ~1/8 of the fp
+    ONLY the SQ8 column triple (codes/vmin/vmax — 0.31x of the fp32
     bytes; parquet column pruning never materializes the embedding
     column, pinned in tests/test_plans.py), approximate-scores the
     reconstructed vectors, exact-rescores the top

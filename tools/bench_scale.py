@@ -1328,6 +1328,110 @@ def run_data_commit_xl(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_sq8_xl(spark, sf_dir: str) -> dict:
+    """r18: the quantized serving tier at the 200k-vector XL tier. The
+    claim under test: the probed layout read costs CODE bytes, not fp
+    bytes (the column triple is ~1/8 of the embedding column in the
+    same files — parquet footers are the evidence), and the exact
+    rerank stays a bucket-pruned point read; recall@10 vs the exact
+    sign tier is measured, not assumed (the approx top-80 is a real
+    approximation at this tier: ~62k probed candidates)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    root = tempfile.mkdtemp(prefix="lvdb_sq8_xl_")
+    try:
+        store_root = os.path.join(root, "store")
+        # same pinned-B convention as the data_commit row: show the
+        # at-scale layout shape, not the fixture floor
+        db, emb, seed_s = _seed_xl_db(spark, sf_dir, store_root,
+                                      keep_versions=3, data_buckets=256)
+        from pyspark.sql import functions as F
+        ts2 = F.lit("2025-01-02 00:00:00").cast("timestamp")
+        # one 20-row delta commit -> bucketed data generation (the
+        # rerank's partition pruning needs the id-hash layout)
+        db.add("chunks", spark.range(20).select(
+            F.concat(F.lit("late"), F.col("id")).alias("id"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            ts2.alias("created_at"), ts2.alias("updated_at"),
+            F.concat(F.lit("late chunk "), F.col("id")).alias("content"),
+            F.transform(F.sequence(F.lit(1), F.lit(64)),
+                        lambda i: (F.rand(7) - 0.5)).cast(
+                "array<float>").alias("embedding"),
+            F.lit("d1").alias("document_id")))
+        v = db._current_version("chunks")
+        t0 = time.time()
+        _ = db._sign_stored(v).count()
+        build_s = round(time.time() - t0, 4)
+
+        # parquet-footer byte accounting: fp column vs the SQ8 triple
+        lay_dir = os.path.join(store_root, "chunks", f"_sign_v{v}",
+                               "layout")
+        col_bytes: dict = {}
+        for r, _d, fs in os.walk(lay_dir):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = _pq.ParquetFile(os.path.join(r, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        top = c.path_in_schema.split(".")[0]
+                        col_bytes[top] = (col_bytes.get(top, 0)
+                                          + c.total_compressed_size)
+        fp_bytes = col_bytes.get("embedding", 0)
+        code_bytes = sum(col_bytes.get(k, 0)
+                         for k in ("codes", "vmin", "vmax"))
+
+        qv = [float(x) for x in
+              emb.select("embedding").first()[0]]
+
+        def best3(fn):
+            outs = []
+            for _i in range(3):
+                t = time.time()
+                fn()
+                outs.append(time.time() - t)
+            return round(min(outs), 4)
+
+        sign_ids = [r.id for r in db.search(
+            query_vec=qv, index_type="sign", k=10).collect()]
+        sq8_ids = [r.id for r in db.search(
+            query_vec=qv, index_type="sq8", k=10).collect()]
+        sign_s = best3(lambda: db.search(
+            query_vec=qv, index_type="sign", k=10).collect())
+        sq8_s = best3(lambda: db.search(
+            query_vec=qv, index_type="sq8", k=10).collect())
+
+        qvs = [(i, [float(x) for x in row[0]]) for i, row in enumerate(
+            emb.select("embedding").limit(16).collect())]
+        bsign_s = best3(lambda: db.search_batch(
+            query_vecs=qvs, index_type="sign", k=10).collect())
+        bsq8_s = best3(lambda: db.search_batch(
+            query_vecs=qvs, index_type="sq8", k=10).collect())
+
+        return {
+            "n_vectors": db.table("chunks").count(),
+            "seed_s": seed_s,
+            "layout_build_s": build_s,
+            "fp_column_bytes": fp_bytes,
+            "sq8_triple_bytes": code_bytes,
+            "code_fraction_of_fp": round(code_bytes / fp_bytes, 4)
+            if fp_bytes else None,
+            "search_sign_s": sign_s,
+            "search_sq8_s": sq8_s,
+            "batch16_sign_s": bsign_s,
+            "batch16_sq8_s": bsq8_s,
+            "recall_at_10_vs_exact_sign": round(
+                len(set(sq8_ids) & set(sign_ids)) / 10, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_fused_beam_diag(spark, qs) -> dict:
     """The fused build+traverse NSW form as the BUILD-COST DIAGNOSTIC
     it actually is (r11 verdict #2, settlement option a): since r12 it
@@ -1364,7 +1468,7 @@ def main() -> int:
     flags = {"--nsw-only", "--facade-only", "--ivf-only",
              "--ivf-incremental-only", "--nsw-incremental-only",
              "--nsw-chain-only", "--cdf-only", "--bundle-only",
-             "--data-commit-only"}
+             "--data-commit-only", "--sq8-only"}
     args = [a for a in sys.argv[1:] if a not in flags]
     picked = flags & set(sys.argv[1:])
     out_json = args[0] if args else os.path.join(root, "BENCH_scale.json")
@@ -1412,6 +1516,8 @@ def main() -> int:
             result["export_bundle"] = run_export_bundle_xl(spark, dir100)
         if picked & {"--data-commit-only"}:
             result["data_commit"] = run_data_commit_xl(spark, dir100)
+        if picked & {"--sq8-only"}:
+            result["sq8_search"] = run_sq8_xl(spark, dir100)
         if picked & {"--nsw-only", "--facade-only"}:
             result["facade_nsw_stored"] = run_facade_nsw_xl(spark, dir100)
             result["graph_beam_search_fused_diagnostic"] = (
