@@ -1995,13 +1995,21 @@ class VectorDB:
             touched = (
                 ups.select("id").unionByName(olds.select("id")).distinct()
             )
+            # the layout carries embeddings (r18): kept rows keep
+            # theirs from the previous artifact; upserts take theirs
+            # from the delta. A pre-r18 artifact (no embedding column)
+            # fails this select with AnalysisException and the caller
+            # upgrades via full rebuild.
             kept = (
                 self.spark.read.parquet(prev_asg)
                 .filter(F.col("cluster_id").isin(sorted(affected)))
                 .join(touched, "id", "left_anti")
-                .select("id", "cluster_id")
+                .select("id", "embedding", "cluster_id")
             )
-            kept.unionByName(new_asg.select("id", "cluster_id")).write.mode(
+            ups_rows = new_asg.join(ups, "id").select(
+                "id", "embedding", "cluster_id"
+            )
+            kept.unionByName(ups_rows).write.mode(
                 "overwrite"
             ).partitionBy("cluster_id").parquet(out_dir)
         else:
@@ -2128,7 +2136,16 @@ class VectorDB:
             # directories at the scan — a probe reads n_probe/k of the
             # index FILES, not a full scan filtered row-by-row (the
             # plan-level difference between an index and a table;
-            # pinned by tests/test_plans.py)
+            # pinned by tests/test_plans.py). The EMBEDDING rides in
+            # the cell partitions (r18, the sign layout's r11 move
+            # applied to the trained tier): without it every search
+            # semi-joined the full base table for candidate vectors —
+            # a corpus-wide fat-column scan per query; with it the
+            # probed cells' embedding bytes come partition-pruned from
+            # the artifact and the base contributes only its id set.
+            # Storage = one more hard-link-maintained corpus copy,
+            # the same trade `_sign_v{N}` made.
+            assigns = assigns.join(chunks.select("id", "embedding"), "id")
             assigns.write.mode("overwrite").partitionBy("cluster_id").parquet(
                 os.path.join(p, "assignments")
             )

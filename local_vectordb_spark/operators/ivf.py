@@ -274,12 +274,28 @@ def ivf_search(
     """Q4 — cluster-pruned kNN: probe centroids, filter candidates,
     cosine top-k on survivors only. The isin() filter is a pushable
     predicate; with assignments partitioned by cluster_id it becomes
-    partition pruning (scan ~n_probe/k of the data)."""
+    partition pruning (scan ~n_probe/k of the data).
+
+    When ``assignments`` carries ``vec_col`` (the r18 stored layout:
+    the facade persists the embedding INSIDE the cell-partitioned
+    artifact), the probed cells' embedding bytes come partition-pruned
+    from the layout and ``vectors`` contributes only its id set (a
+    column-pruned scan, so a metadata-filtered frame still filters) —
+    before r18 this path semi-joined the FULL base table for the
+    candidate embeddings, a corpus-wide fat-column scan per search at
+    100 TB. Plain (id, cluster_id) assignments keep the old shape."""
     from local_vectordb_spark.operators.knn import knn_brute_force
 
     probed = probe_clusters(centroids, query_vec, n_probe)
-    candidate_ids = assignments.filter(F.col("cluster_id").isin(probed)).select(id_col)
-    candidates = vectors.join(candidate_ids, id_col, "left_semi")
+    cand_asg = assignments.filter(F.col("cluster_id").isin(probed))
+    if vec_col in assignments.columns:
+        candidates = cand_asg.select(id_col, vec_col).join(
+            vectors.select(id_col), id_col, "left_semi"
+        )
+    else:
+        candidates = vectors.join(
+            cand_asg.select(id_col), id_col, "left_semi"
+        )
     return knn_brute_force(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -323,12 +339,20 @@ def ivf_search_batch(
         [(int(qid), [float(x) for x in qv]) for qid, qv in query_rows],
         "query_id long, _qv array<double>",
     )
-    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
-        "query_id", id_col
-    )
+    if vec_col in assignments.columns:
+        # r18 stored layout: embeddings ride the cell partitions — the
+        # probe join reads them pruned; vectors contributes ids only
+        cand = (
+            assignments.join(F.broadcast(probes), "cluster_id")
+            .select("query_id", id_col, vec_col)
+            .join(vectors.select(id_col), id_col, "left_semi")
+        )
+    else:
+        cand = assignments.join(F.broadcast(probes), "cluster_id").select(
+            "query_id", id_col
+        ).join(vectors.select(id_col, vec_col), id_col)
     scored = (
-        cand.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(qdf), "query_id")
+        cand.join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
             id_col,
@@ -587,11 +611,20 @@ def ivf_search_batch_table(
             .filter(F.col("_rn") <= n_probe)
             .select(query_id_col, "cluster_id")
         )
-    cand = assignments.join(F.broadcast(probes), "cluster_id").select(
-        query_id_col, id_col
-    )
+    if vec_col in assignments.columns:
+        # r18 stored layout: see ivf_search — pruned fat reads from the
+        # artifact, ids-only from vectors
+        cand = (
+            assignments.join(F.broadcast(probes), "cluster_id")
+            .select(query_id_col, id_col, vec_col)
+            .join(vectors.select(id_col), id_col, "left_semi")
+        )
+    else:
+        cand = assignments.join(F.broadcast(probes), "cluster_id").select(
+            query_id_col, id_col
+        ).join(vectors.select(id_col, vec_col), id_col)
     scored = (
-        cand.join(vectors.select(id_col, vec_col), id_col)
+        cand
         .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
         .select(
             query_id_col,

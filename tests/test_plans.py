@@ -581,6 +581,23 @@ def test_facade_stored_ivf_probe_is_partition_pruned(spark, tmp_path):
     plan = plans.plan_string(hits)
     assert "PartitionFilters" in plan
     assert "cluster_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # r18: the candidate EMBEDDINGS come pruned from the layout too —
+    # the artifact carries the fat column in its cell partitions, and
+    # the base table contributes only ids/content (before r18 every
+    # search semi-joined the full base for candidate vectors: a
+    # corpus-wide embedding scan per query)
+    ivf_scans, base_scans = [], []
+    for seg in plan.split("Scan parquet")[1:]:
+        seg = seg[:1500]
+        schema = (seg.split("ReadSchema:", 1)[1].splitlines()[0]
+                  if "ReadSchema:" in seg else "")
+        if "_ivf_v" in seg:
+            ivf_scans.append(schema)
+        elif "/chunks/v" in seg:
+            base_scans.append(schema)
+    assert any("embedding" in s for s in ivf_scans), plan
+    assert base_scans and all(
+        "embedding" not in s for s in base_scans), plan
     assert hits.collect()[0].content == "chunk text number 7"
 
 
