@@ -726,7 +726,7 @@ def test_bundle_serves_over_http(spark, tmp_path):
         servers.append((srv, f"http://127.0.0.1:{srv.server_address[1]}"))
     (src_srv, src_base), (b_srv, b_base) = servers
     try:
-        for strategy in ("cosine", "sign", "nsw"):
+        for strategy in ("cosine", "sign", "sq8", "nsw"):
             body = {"text": QUESTIONS[0], "index_type": strategy, "limit": 3}
             code_a, res_a = _req(src_base, "POST", "/query", body)
             code_b, res_b = _req(b_base, "POST", "/query", body)
