@@ -332,6 +332,75 @@ def api_search_batch_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "api_search_batch_sq8",
+    f"""
+    WITH qb AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             ({_SIGN_BUCKET_SQL.format(v="embedding")}) AS b
+      FROM embeddings WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT qb.query_id, e.vec_id, e.embedding::DOUBLE[] AS e,
+             list_min(e.embedding::DOUBLE[]) AS vmin,
+             list_max(e.embedding::DOUBLE[]) AS vmax
+      FROM embeddings e CROSS JOIN qb
+      WHERE ({_SIGN_BUCKET_SQL.format(v="e.embedding")})
+            IN (qb.b, xor(qb.b, 8), xor(qb.b, 4), xor(qb.b, 2), xor(qb.b, 1))
+    ),
+    recon AS (
+      SELECT query_id, vec_id,
+             list_transform(e, x ->
+               CASE WHEN vmax = vmin THEN vmin + 0.0
+                    ELSE vmin + CAST(round((x - vmin) * 255.0 / (vmax - vmin), 0) AS INT)
+                         * (vmax - vmin) / 255.0 END) AS r
+      FROM cand
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT r.query_id, r.vec_id,
+               row_number() OVER (
+                 PARTITION BY r.query_id
+                 ORDER BY ROUND(list_cosine_similarity(r.r, q2.qv::DOUBLE[]), 6) DESC,
+                          CAST(r.vec_id AS VARCHAR) ASC
+               ) AS rn
+        FROM recon r JOIN qb q2 USING (query_id)
+      ) WHERE rn <= 80
+    ),
+    topk AS (
+      SELECT query_id, vec_id, score FROM (
+        SELECT a.query_id, e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q3.qv::DOUBLE[]), 6) AS score,
+               row_number() OVER (
+                 PARTITION BY a.query_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q3.qv::DOUBLE[]), 6) DESC,
+                          CAST(e.vec_id AS VARCHAR) ASC
+               ) AS rn
+        FROM approx a
+        JOIN embeddings e USING (vec_id)
+        JOIN qb q3 ON a.query_id = q3.query_id
+      ) WHERE rn <= {K}
+    )
+    SELECT t.query_id, CAST(t.vec_id AS VARCHAR) AS id, t.score, d.text AS content
+    FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+    """,
+)
+def api_search_batch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized tier's BATCH form, FULL-ORACLE (r18): 8 queries
+    through VectorDB.search_batch(index_type="sq8") — per-query probe
+    join over the layout reading only the SQ8 triple, per-query approx
+    top-80 on reconstructed vectors, one distributed exact rerank
+    joined on (bucket, id) against the base generation, per-query
+    exact top-{K}. Fully distributed (no per-query driver work), and
+    every stage deterministic, so DuckDB reproduces the whole
+    two-stage batch bit-for-bit — the large-scale serving shape
+    (ship a batch, pay one layout scan) value-checked end to end."""
+    db = _staged_vectordb(spark, sf_dir)
+    return db.search_batch(
+        query_vecs=_query_vecs(sf_dir, max_vec_id=8), index_type="sq8", k=K
+    )
+
+
 @register("api_search_batch_auto", ORACLE_SQL["api_search_batch_cosine"])
 def api_search_batch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bulk search with SIZE-DISPATCHED strategy (r10): search_batch's
