@@ -70,11 +70,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ivf_search, ivf_search_pruned, lsh_bucket_pairs, lsh_search — are
 # seed-dependent KMeans/LSH forms whose md5/full-probe twins carry
 # the hash evidence; window slots are reserved for hash evidence, so
-# they are skipped, same rule as r17's comment). The remaining 25
+# they are skipped, same rule as r17's comment). The remaining 26
 # oracled r15-tier entries MUST lead the r19 window (alphabetical
-# from events_tumbling_hour through window_top_orders_per_customer
-# per CORRECTNESS_r15, minus any that ride r19 code changes or newer
-# tiers). All 50 slots this round are
+# from events_sliding_window through window_top_orders_per_customer
+# per CORRECTNESS_r15 — events_sliding_window rejoins its tier after
+# yielding its r18 spare slot; minus any that ride r19 code changes
+# or newer tiers), and api_search_batch_sq8 (NEW r18, full oracle,
+# no driver row yet) rides r19 alongside any r19 code-change riders. All 50 slots this round are
 # FULL-ORACLE (the r12 tier's rows-only member
 # sketch_distinct_users_daily rode its own tier in r16 and is not
 # stale again until r20). The 8 registry entries with no driver row
