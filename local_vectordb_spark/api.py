@@ -1134,6 +1134,7 @@ class VectorDB:
         pin = disk_v if disk_v >= 0 else None
         chunks = self._chunks_for_search(metadata, version=pin)
         fetch = max(5 * k, 50) if diversify else k
+        hydrate_src = None  # a branch may supply a pruned source
 
         if index_type == "hybrid":
             from local_vectordb_spark.functions.text import tokens, normalize_text
@@ -1262,6 +1263,11 @@ class VectorDB:
             scored = knn.knn_brute_force(
                 exact.select("id", "embedding"), qvec, k=fetch, id_col="id"
             )
+            # hydration reuses the SAME bucket-pruned point read (the
+            # scored ids are a subset of cand_ids): the closing content
+            # join must not scan the full table's (id, content) — on
+            # this tier NO stage reads a corpus-wide column
+            hydrate_src = exact
         elif index_type == "nsw" and metadata is None and disk_v >= 0:
             # TRUE NSW shape (r10): beam search over the PERSISTED kNN
             # graph (`_nsw_v{version}` beside the table data — the
@@ -1352,8 +1358,15 @@ class VectorDB:
                 .withColumnRenamed("mmr_score", "score")
                 .drop("mmr_rank")
             )
+        # the sq8 branch hydrates from its bucket-pruned candidate
+        # point read (its scored ids are already driver-known); every
+        # lazy tier joins the versioned table as before
         return knn.hydrate(
-            scored, self.table("chunks", version=pin), id_col="id",
+            scored,
+            hydrate_src
+            if hydrate_src is not None
+            else self.table("chunks", version=pin),
+            id_col="id",
             record_id_col="id", content_col="content",
         )
 

@@ -856,6 +856,14 @@ def test_sq8_probe_reads_codes_not_embedding(spark, tmp_path):
               and "bucket" in seg.split("PartitionFilters", 1)[1][:200]
               and "In(id" in seg]
     assert pruned, rplan
+    # r18: hydration reuses the same point read — NO scan in the whole
+    # sq8 result plan reads the base generation unpruned (the closing
+    # content join must not sweep the corpus's (id, content) columns)
+    unpruned = [seg for seg, _ in base_scans
+                if "PartitionFilters" not in seg
+                or "bucket" not in seg.split(
+                    "PartitionFilters", 1)[1][:200]]
+    assert not unpruned, rplan
     assert hits.collect()[0].id == "c007"
 
     # batch: ONE lazy plan, both gates at once
