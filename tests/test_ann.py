@@ -118,10 +118,16 @@ def test_ivf_fit_on_sample_past_train_cap(spark, sf_dir, monkeypatch):
     }
     # Both fits are deterministic now (the spy coalesces the fit input
     # to one partition — see spy_fit), so the r15/r16/r18 load-jitter
-    # spreads can't recur; slack 1 absorbs only an MLlib version
-    # nudging cell boundaries. The full-width-probe exactness
-    # assertion above remains the hard correctness gate.
-    floor = max(2, len(pruned_f & set(truth)) - 1)
+    # spreads can't recur — but the deterministic coalesced fits
+    # measure 9/10 (full) vs 7/10 (sampled) on this fixture: a sampled
+    # fit trains on a quarter of the rows, so its cell boundaries
+    # legitimately differ at n_probe=3. Slack 3 covers that measured
+    # gap plus one MLlib version nudge (the r18 slack-1 tightening
+    # assumed the gap was all jitter and failed deterministically).
+    # The floor still gates collapse (random cells score ~1-2/10), and
+    # the full-width-probe exactness assertion above remains the hard
+    # correctness gate.
+    floor = max(2, len(pruned_f & set(truth)) - 3)
     assert len(pruned_s & set(truth)) >= floor
 
 
