@@ -184,17 +184,20 @@ def minhash_signatures(
     # construction expression per row: Catalyst collapses projections
     # into lambda bodies, so computed columns referenced inside
     # higher-order functions must be function ARGUMENTS, not captures.)
+    # The whole aggregate is ONE generated-SQL expr(): building the
+    # same tree out of pyspark Column calls costs num_hashes × ~6 py4j
+    # round-trips per lambda (measured 0.8 s of pure DataFrame
+    # CONSTRUCTION per call at num_hashes=32 — more than the query's
+    # executor time); the SQL string parses in the JVM in ~ms and
+    # resolves to the identical expression, so results are unchanged.
     max_long = (1 << 63) - 1
-    init = F.array(*[F.lit(max_long).cast("long") for _ in range(num_hashes)])
-    sig = F.aggregate(
-        F.col("shingles"),
-        init,
-        lambda acc, s: F.array(
-            *[
-                F.least(F.element_at(acc, i + 1), F.xxhash64(s, F.lit(i)))
-                for i in range(num_hashes)
-            ]
-        ),
+    init = ", ".join(f"{max_long}L" for _ in range(num_hashes))
+    mins = ", ".join(
+        f"least(element_at(acc, {i + 1}), xxhash64(s, {i}))"
+        for i in range(num_hashes)
+    )
+    sig = F.expr(
+        f"aggregate(shingles, array({init}), (acc, s) -> array({mins}))"
     )
     return sets_df.select(F.col(id_col), sig.alias("sig"), F.col("n_shingles"))
 
@@ -358,20 +361,18 @@ def minhash_banded_portable(
     sets_df = shingle_sets(
         ensure_min_parallelism(docs), id_col, text_col, n
     )
-    # '~' sorts after every hex digit, so it is the string-domain +inf
-    init = F.array(*[F.lit("~") for _ in range(num_hashes)])
-    sig = F.aggregate(
-        F.col("shingles"),
-        init,
-        lambda acc, s: F.array(
-            *[
-                F.least(
-                    F.element_at(acc, i + 1),
-                    F.md5(F.concat(s, F.lit(f"#{i}"))),
-                )
-                for i in range(num_hashes)
-            ]
-        ),
+    # '~' sorts after every hex digit, so it is the string-domain +inf.
+    # Generated-SQL expr() for the same reason as minhash_signatures:
+    # the Column-built tree costs num_hashes × ~6 py4j round-trips of
+    # pure driver-side construction per call; the string parses in the
+    # JVM to the identical expression.
+    init = ", ".join("'~'" for _ in range(num_hashes))
+    mins = ", ".join(
+        f"least(element_at(acc, {i + 1}), md5(concat(s, '#{i}')))"
+        for i in range(num_hashes)
+    )
+    sig = F.expr(
+        f"aggregate(shingles, array({init}), (acc, s) -> array({mins}))"
     )
     sigs = sets_df.select(F.col(id_col), sig.alias("sig"))
     band_arr = F.array(
@@ -503,7 +504,7 @@ def connected_components(
     return labels
 
 
-def _simhash_expr(hashes, n_bits: int):
+def _simhash_expr(hashes_sql: str, n_bits: int):
     """SimHash from a token-hash array in ONE aggregate pass.
 
     The naive form — n_bits separate `aggregate(hashes, ...)` branches,
@@ -519,30 +520,29 @@ def _simhash_expr(hashes, n_bits: int):
     so NULL-text docs stay in the candidate pool and pair with
     empty-string docs instead of silently dropping out (the aggregate
     alone would return NULL for a NULL input array).
+
+    ``hashes_sql`` is a SQL fragment (not a Column): the whole
+    aggregate is ONE generated-SQL expr() because the Column-built
+    form costs n_bits × ~10 py4j round-trips of driver-side tree
+    construction per call — measured 2.5 s of pure CONSTRUCTION per
+    dedup_simhash_md5 run at n_bits=60, more than the query's entire
+    executor time. The string parses in the JVM in ~ms and resolves
+    to the identical expression, so signatures are bit-unchanged.
     """
-    init = F.array(*[F.lit(0) for _ in range(n_bits)])
-
-    def merge(acc, h):
-        return F.array(
-            *[
-                F.element_at(acc, j + 1)
-                + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
-                for j in range(n_bits)
-            ]
-        )
-
-    def finish(acc):
-        sim = None
-        for j in range(n_bits):
-            bit = F.when(
-                F.element_at(acc, j + 1) > 0, F.lit(1).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            term = F.shiftleft(bit, j)
-            sim = term if sim is None else sim.bitwiseOR(term)
-        return sim
-
-    return F.coalesce(
-        F.aggregate(hashes, init, merge, finish), F.lit(0).cast("long")
+    init = ", ".join("0" for _ in range(n_bits))
+    votes = ", ".join(
+        f"element_at(acc, {j + 1})"
+        f" + CAST((shiftright(h, {j}) & 1) * 2 - 1 AS INT)"
+        for j in range(n_bits)
+    )
+    bits = " | ".join(
+        f"shiftleft(CASE WHEN element_at(acc, {j + 1}) > 0"
+        f" THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, {j})"
+        for j in range(n_bits)
+    )
+    return F.expr(
+        f"coalesce(aggregate({hashes_sql}, array({init}),"
+        f" (acc, h) -> array({votes}), acc -> {bits}), CAST(0 AS BIGINT))"
     )
 
 
@@ -559,8 +559,11 @@ def simhash_signatures(
 
     toks = tokens(normalize_text(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return docs.select(
-        F.col(id_col), _simhash_expr(hashes, 64).alias("simhash")
+    # the hash pipeline stays a (small) Column tree projected once;
+    # CollapseProject inlines it into the aggregate's INPUT argument
+    # (referenced once — evaluated once per row, same as before)
+    return docs.select(F.col(id_col), hashes.alias("_hs")).select(
+        F.col(id_col), _simhash_expr("_hs", 64).alias("simhash")
     )
 
 
@@ -663,8 +666,9 @@ def simhash_signatures_portable(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    return docs.select(
-        F.col(id_col), _simhash_expr(hashes, 60).alias("simhash")
+    # same single-reference projection as simhash_signatures
+    return docs.select(F.col(id_col), hashes.alias("_hs")).select(
+        F.col(id_col), _simhash_expr("_hs", 60).alias("simhash")
     )
 
 
