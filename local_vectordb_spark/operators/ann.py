@@ -568,6 +568,43 @@ def hyperplane_bucket_batch(planes: Sequence[Sequence[float]]):
     return bucket
 
 
+def hyperplane_bucket_batch_multi(tables: Sequence[Sequence[Sequence[float]]]):
+    """All tables' buckets in ONE Arrow pass: returns ARRAY<INT> of
+    length len(tables) per vector, element t computed exactly as
+    :func:`hyperplane_bucket_batch` over ``tables[t]`` (same
+    sequential per-plane fold, so every bucket id is bit-identical to
+    the single-table form — pinned by
+    tests/test_ann.py::test_hyperplane_bucket_batch_multi_equals_single).
+    One UDF means the caller scans the corpus (and pays the
+    JVM→Python embedding transfer) ONCE for all tables, where a
+    per-table loop re-reads the embedding bytes per table — at scale
+    that is n_tables fat reads of the corpus for one logical pass
+    (guide §4: pass only the columns the function needs, and cross
+    the boundary once)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    Ps = [np.array(p, dtype=np.float64) for p in tables]  # (n_bits, dim) each
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        mat = np.array(col.tolist(), dtype=np.float64)
+        out = np.zeros((len(mat), len(Ps)), dtype=np.int32)
+        for t, P in enumerate(Ps):
+            n_bits = P.shape[0]
+            for j in range(n_bits):
+                acc = np.zeros(len(mat), dtype=np.float64)
+                for i in range(mat.shape[1]):
+                    acc = acc + mat[:, i] * P[j, i]
+                out[:, t] += np.where(
+                    acc >= 0, np.int32(1 << (n_bits - 1 - j)), np.int32(0)
+                )
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def hyperplane_probe(
     query_vec: Sequence[float],
     planes: Sequence[Sequence[float]],
@@ -755,29 +792,30 @@ def knn_graph_lsh(
     if n_bits is None:
         n_bits = graph_lsh_bits(n_rows if n_rows is not None else vectors.count())
 
-    replicated = None
-    for t in range(n_tables):
-        planes = md5_hyperplanes(dim, n_bits, table_seed(seed, t))
-        # project the UDF ONCE into a plain int column before fanning
-        # out into the ball array — referencing the UDF expression
-        # n_bits+1 times inside F.array re-evaluates it per reference
-        # (measured: the replicate stage alone cost 2.9 s at sf0.1)
-        home = vectors.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_vec"),
-            hyperplane_bucket_batch(planes)(F.col(vec_col)).alias("_b"),
-        )
-        b = F.col("_b")
-        ball = F.array(
-            b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)]
-        )
-        part = home.select(
-            "_id",
-            "_vec",
-            F.lit(t).alias("_tbl"),
-            F.explode(ball).alias("_bkt"),
-        )
-        replicated = part if replicated is None else replicated.unionByName(part)
+    # ONE fused Arrow pass computes every table's bucket (the
+    # per-table union the pre-r18 form used re-scanned the corpus —
+    # and re-shipped the embedding bytes across the Python boundary —
+    # once per table: two ArrowEvalPython-over-Scan branches in the
+    # plan for n_tables=2, n_tables fat reads at scale). posexplode
+    # recovers the (table, bucket) rows; the UDF is projected ONCE
+    # into a plain array column before fanning out into the ball
+    # array — referencing the UDF expression n_bits+1 times inside
+    # F.array re-evaluates it per reference (measured: the replicate
+    # stage alone cost 2.9 s at sf0.1).
+    all_tables = [
+        md5_hyperplanes(dim, n_bits, table_seed(seed, t))
+        for t in range(n_tables)
+    ]
+    home = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket_batch_multi(all_tables)(F.col(vec_col)).alias("_bs"),
+    ).select("_id", "_vec", F.posexplode("_bs").alias("_tbl", "_b"))
+    b = F.col("_b")
+    ball = F.array(b, *[b.bitwiseXOR(F.lit(1 << j)) for j in range(n_bits)])
+    replicated = home.select(
+        "_id", "_vec", "_tbl", F.explode(ball).alias("_bkt")
+    )
 
     def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         bids = pdf["_id"].to_numpy(dtype=np.int64)

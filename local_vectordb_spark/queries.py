@@ -990,9 +990,29 @@ def crud_cdf_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [c for c in base.columns if c != "metadata"]
     mirror = apply_changes(base.select(*cols), feed, key_col="id")
     live = db.table("chunks").select(*cols)
-    diff = mirror.exceptAll(live).unionByName(live.exceptAll(mirror))
-    return diff.agg(F.count("*").alias("diverged_rows")).crossJoin(
-        mirror.agg(F.count("*").alias("mirrored_rows"))
+    # symmetric multiset difference in ONE aggregation: tag each side
+    # ±1, group by the full row, and |A∖B| + |B∖A| = Σ|Σtags| per
+    # distinct row (exceptAll is multiset difference, so the identity
+    # is exact). The r14-r17 form ran two exceptAll branches, which
+    # executed the mirror subtree (versioned read + anti-join + feed
+    # union) and the live read TWICE each and paid four hash
+    # aggregates; this plan executes each side once, one aggregate,
+    # and returns the SAME two numbers — diverged_rows (oracle pins
+    # 0) and the mirror's row count.
+    tagged = mirror.withColumn("_side", F.lit(1)).unionByName(
+        live.withColumn("_side", F.lit(-1))
+    )
+    per_row = tagged.groupBy(*cols).agg(
+        F.sum("_side").alias("_d"),
+        F.count(F.when(F.col("_side") == 1, 1)).alias("_n_mirror"),
+    )
+    return per_row.agg(
+        F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0))
+        .cast("long")
+        .alias("diverged_rows"),
+        F.coalesce(F.sum("_n_mirror"), F.lit(0))
+        .cast("long")
+        .alias("mirrored_rows"),
     )
 
 

@@ -416,6 +416,42 @@ def test_hyperplane_bucket_batch_equals_column(spark, sf_dir):
         assert col_form == batch_form
 
 
+def test_hyperplane_bucket_batch_multi_equals_single(spark, sf_dir):
+    """The fused multi-table bucket UDF (one corpus scan for all
+    tables — the r18 knn_graph_lsh plan) must agree element-for-
+    element with the single-table form for every vector and table."""
+    from local_vectordb_spark.operators.ann import (
+        hyperplane_bucket_batch,
+        hyperplane_bucket_batch_multi,
+        md5_hyperplanes,
+        table_seed,
+    )
+    from local_vectordb_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tables = [
+        md5_hyperplanes(64, 4, table_seed("lvdb-lsh-v1", t)) for t in range(2)
+    ]
+    multi = {
+        r.vec_id: list(r.bs)
+        for r in emb.select(
+            "vec_id",
+            hyperplane_bucket_batch_multi(tables)(F.col("embedding")).alias(
+                "bs"
+            ),
+        ).collect()
+    }
+    for t, planes in enumerate(tables):
+        single = {
+            r.vec_id: r.b
+            for r in emb.select(
+                "vec_id",
+                hyperplane_bucket_batch(planes)(F.col("embedding")).alias("b"),
+            ).collect()
+        }
+        assert {k: v[t] for k, v in multi.items()} == single
+
+
 def test_graph_lsh_bits_scales_with_corpus():
     """The auto n_bits knob: small corpora keep the oracle's 4 bits,
     big ones get enough buckets to bound per-group work, and the
