@@ -209,7 +209,33 @@ class VectorDB:
         self._version = 0
         self._ivf = None
         self._count_cache: dict[int, int] = {}  # version -> row count
+        # (path, dir mtime_ns) -> DataFrame for on-disk artifacts
+        # (version dirs, delta dirs, stored index layouts): every
+        # spark.read.parquet re-infers the schema from footers via the
+        # driver (~0.1 s of py4j + listing per call), which a serving
+        # facade otherwise pays two-three times PER SEARCH. Generation
+        # and layout directories are immutable by construction
+        # (writers always create a new v{N}/_sign_v{N}/_delta_N), and
+        # the mtime_ns in the key makes the rare in-place REPLACEMENT
+        # of a whole artifact directory (an older-format layout
+        # restored by hand, a test simulating a pre-sq8 bundle)
+        # invalidate naturally; a GC'd version keeps raising at
+        # construction time exactly like the uncached read (callers
+        # catch AnalysisException, not executor-time file errors).
+        self._df_cache: dict[tuple[str, int], DataFrame] = {}
         self._tl_id: str | None = None
+
+    def _cached_parquet(self, path: str) -> DataFrame:
+        try:
+            key = (path, os.stat(path).st_mtime_ns)
+        except OSError:
+            # missing dir: the plain read below raises AnalysisException
+            return self.spark.read.parquet(path)
+        df = self._df_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            self._df_cache[key] = df
+        return df
 
     # ---------------- storage ----------------
 
@@ -308,7 +334,7 @@ class VectorDB:
         here; flat (pre-r17 or bulk-written) generations pass
         through untouched. Every snapshot read routes through this
         one seam."""
-        df = self.spark.read.parquet(
+        df = self._cached_parquet(
             os.path.join(self._table_dir(kind), f"v{version}")
         )
         return df.drop("bucket") if "bucket" in df.columns else df
@@ -330,7 +356,7 @@ class VectorDB:
         ids = list(ids)
         if not ids:
             return self.spark.createDataFrame([], SCHEMAS[kind])
-        df = self.spark.read.parquet(d)
+        df = self._cached_parquet(d)
         B = self._version_buckets(d)
         if B is not None and "bucket" in df.columns:
             # the ids' buckets via one tiny local job (xxhash64 is a
@@ -428,8 +454,8 @@ class VectorDB:
                 )
             steps.append(
                 (
-                    self.spark.read.parquet(os.path.join(dd, "upserts")),
-                    self.spark.read.parquet(os.path.join(dd, "removes")),
+                    self._cached_parquet(os.path.join(dd, "upserts")),
+                    self._cached_parquet(os.path.join(dd, "removes")),
                 )
             )
         if not steps:  # since_version == target: an empty (valid) feed
@@ -2181,7 +2207,7 @@ class VectorDB:
             centroids = data["cells"]
         else:
             centroids = data
-        assignments = self.spark.read.parquet(os.path.join(path, "assignments"))
+        assignments = self._cached_parquet(os.path.join(path, "assignments"))
         return centroids, assignments
 
     def _sign_subs(self, version: int) -> int:
@@ -2287,7 +2313,7 @@ class VectorDB:
         materialize_once(path, _build)
         # the physical sub column (when present) is layout, not data —
         # consumers see the same (id, embedding, bucket) frame at any S
-        return self.spark.read.parquet(
+        return self._cached_parquet(
             os.path.join(path, "layout")
         ).drop("sub")
 
@@ -2378,10 +2404,10 @@ class VectorDB:
         20% drift budget that forces a true rebuild) folded into the
         scan the traversal does anyway — the LSM/Iceberg delete-file
         pattern applied to a graph artifact."""
-        edges = self.spark.read.parquet(os.path.join(p, "edges"))
+        edges = self._cached_parquet(os.path.join(p, "edges"))
         tomb = os.path.join(p, "tombstones")
         if os.path.exists(os.path.join(tomb, "_SUCCESS")):
-            t = self.spark.read.parquet(tomb)
+            t = self._cached_parquet(tomb)
             edges = (
                 edges.join(
                     F.broadcast(t.withColumnRenamed("id", "src")),
@@ -2395,7 +2421,7 @@ class VectorDB:
                 )
                 .select("src", "dst", "score")
                 .unionByName(
-                    self.spark.read.parquet(os.path.join(p, "edges_add"))
+                    self._cached_parquet(os.path.join(p, "edges_add"))
                 )
             )
         return edges

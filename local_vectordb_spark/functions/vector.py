@@ -22,6 +22,22 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def lit_double_array(values) -> Column:
+    """A literal ARRAY<DOUBLE> as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round-trip per element
+    — ~65 driver round-trips for every 64-dim query vector, paid on
+    every search construction (profiled: the literal alone was ~0.06 s
+    of api_search_sign's construction). ``repr(float)`` is the
+    shortest round-tripping decimal form, and Spark's SQL parser reads
+    it back into the identical IEEE double, so the expression — and
+    every score derived from it — is bit-identical to the F.lit form.
+    """
+    return F.expr(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
 def dot_product(a: Column, b: Column) -> Column:
     """Sum of elementwise products, computed in double precision."""
     return F.aggregate(

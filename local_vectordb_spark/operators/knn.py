@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from local_vectordb_spark.functions.vector import dot_product, l2_norm
+from local_vectordb_spark.functions.vector import (
+    dot_product,
+    l2_norm,
+    lit_double_array,
+)
 
 SCORE_DECIMALS = 6  # stable cross-engine comparison of double-precision scores
 
@@ -73,7 +77,7 @@ def score_all(
     """(id, score) for EVERY vector vs one literal query — the shared
     scoring scan under brute-force kNN and graph traversal (lazy: only
     the rows a consumer touches are ever scored)."""
-    qn = F.array(*[F.lit(x) for x in _unit(query_vec)])
+    qn = lit_double_array(_unit(query_vec))
     norm = l2_norm(F.col(vec_col))
     score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col(vec_col), qn) / norm

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from local_vectordb_spark.functions.vector import lit_double_array
 from local_vectordb_spark.operators.knn import SCORE_DECIMALS, _unit
 
 PQ_MD5_SEED = "pq-v1"
@@ -261,7 +262,7 @@ def pq_adc_search(
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(n_candidates)
     )
-    qn = F.array(*[F.lit(x) for x in _unit(query_vec)])
+    qn = lit_double_array(_unit(query_vec))
     norm = l2_norm(F.col(vec_col))
     score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col(vec_col), qn) / norm
@@ -473,7 +474,7 @@ def ivf_pq_residual_search(
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(n_candidates)
     )
-    qn = F.array(*[F.lit(x) for x in qhat])
+    qn = lit_double_array(qhat)
     norm = l2_norm(F.col(vec_col))
     score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
         dot_product(F.col(vec_col), qn) / norm
