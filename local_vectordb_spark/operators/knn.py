@@ -27,11 +27,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from local_vectordb_spark.functions.vector import (
-    dot_product,
-    l2_norm,
-    lit_double_array,
-)
 
 SCORE_DECIMALS = 6  # stable cross-engine comparison of double-precision scores
 
@@ -76,15 +71,27 @@ def score_all(
 ) -> DataFrame:
     """(id, score) for EVERY vector vs one literal query — the shared
     scoring scan under brute-force kNN and graph traversal (lazy: only
-    the rows a consumer touches are ever scored)."""
-    qn = lit_double_array(_unit(query_vec))
-    norm = l2_norm(F.col(vec_col))
-    score = F.when(norm == 0.0, F.lit(0.0)).otherwise(
-        dot_product(F.col(vec_col), qn) / norm
+    the rows a consumer touches are ever scored).
+
+    The whole score is ONE generated-SQL expr(): the Column form
+    (l2_norm + dot_product + when/otherwise) costs ~30 py4j
+    round-trips per construction, which at ~1 ms a round-trip was
+    most of a brute-force search's driver-side build time — and this
+    function runs once per search across the brute/range/rerank/beam
+    families. The string parses to the IDENTICAL tree (the norm
+    subtree is duplicated in the condition and the divisor exactly
+    like the Column form duplicated it), so every score is
+    bit-unchanged."""
+    qn = "array(" + ", ".join(f"{float(x)!r}D" for x in _unit(query_vec)) + ")"
+    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    fold = "0.0D, (acc, x) -> acc + x"
+    norm = f"sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), {fold}))"
+    dot = f"aggregate(zip_with({v}, {qn}, (x, y) -> x * y), {fold})"
+    score = (
+        f"round(CASE WHEN {norm} = 0.0D THEN 0.0D"
+        f" ELSE {dot} / {norm} END, {SCORE_DECIMALS})"
     )
-    return vectors.select(
-        F.col(id_col), F.round(score, SCORE_DECIMALS).alias("score")
-    )
+    return vectors.select(F.col(id_col), F.expr(score).alias("score"))
 
 
 def range_search(
