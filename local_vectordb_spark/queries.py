@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_vectordb_spark.operators import knn
-from local_vectordb_spark.session import load_table
+from local_vectordb_spark.session import ensure_min_parallelism, load_table
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -1964,8 +1964,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document heuristic quality score (length/stopword/punct mix)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Per-document heuristic quality score (length/stopword/punct mix).
+    The scoring scan is CPU-bound per row: repartition up to core
+    count first (no-op at real scale — the fixture parquet is 2
+    splits, which would otherwise pin the whole scan to 2 cores)."""
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from local_vectordb_spark.operators.chunking import chunk_documents
 from local_vectordb_spark.queries import register
-from local_vectordb_spark.session import load_table
+from local_vectordb_spark.session import ensure_min_parallelism, load_table
 
 CHUNK_SIZE, OVERLAP = 50, 10
 STRIDE = CHUNK_SIZE - OVERLAP
@@ -259,7 +259,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel."""
     from local_vectordb_spark.functions import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    # CPU-bound per-row scoring on a 2-split fixture file would pin to
+    # 2 cores; no-op at real scale
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     # Staged projections: tokenize once, build bigrams once, THEN score.
     # Feeding text straight into all four metrics would re-tokenize the
     # document per metric — CollapseProject keeps expensive multiply-
