@@ -1345,6 +1345,9 @@ class VectorDB:
                 edges,
                 knn.score_all(pinned, qvec, id_col="id"),
                 k=fetch, beam=b, hops=h, id_col="id", seeds=seed_ids,
+                # stored per-version graph: per-hop src-isin pushdown
+                # beats materializing the full edge table per search
+                checkpoint_edges=False,
             )
         else:  # nsw + metadata filter (or a never-written store):
             # pre-filter + EXACT scan. The stored graph indexes the

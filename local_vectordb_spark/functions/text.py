@@ -103,6 +103,76 @@ def quality_score(text: Column) -> Column:
     return F.round((length_term + stop_term + punct_term) / 3.0, 6)
 
 
+def quality_score_batch():
+    """Arrow-batched twin of :func:`quality_score` — the same composite
+    in [0,1], value-identical per document, without the interpreted
+    higher-order-function tax (the Column form's stopword filter and
+    token aggregate run per token per row interpreted under 4.1.x —
+    the winnow_fingerprints_batch story; guide §4.2).
+
+    Parity argument (pinned by
+    tests/test_text_quality.py::test_quality_score_batch_parity over
+    the full fixture corpus):
+    - tokenization: Java regex ``\\s`` is the ASCII set
+      [ \\t\\n\\x0B\\f\\r]; Python's ``re.ASCII`` flag selects exactly
+      the same set, so the token and punctuation splits agree byte for
+      byte;
+    - every arithmetic step reproduces the Column tree's operation
+      order ((hits/n)*5.0, n/100.0, 1.0 - ratio*5.0, (a+b+c)/3.0) in
+      IEEE float64, so intermediate doubles are bit-equal;
+    - the final round replicates Spark's Round-on-DoubleType exactly:
+      BigDecimal.valueOf(d) parses Double.toString(d) — the shortest
+      round-trip decimal form, which is what Python ``repr(float)``
+      produces — then HALF_UP at 6 decimals.
+    NULL text yields round(2/3, 6), as in the Column form (least/
+    greatest skip NULL operands there — see the kernel's NULL branch).
+    """
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    ws = re.compile(r"\s+", re.ASCII)
+    punct = re.compile(r"[a-z0-9\s]", re.ASCII)
+    stop = frozenset(STOPWORDS)
+    q6 = Decimal("0.000001")
+
+    def _one(t: str | None) -> float | None:
+        if t is None:
+            # the Column form does NOT yield NULL: every term is NULL,
+            # least(NULL, 1.0) skips NULLs → 1.0 (twice) and
+            # greatest(0.0, NULL) → 0.0, so quality = round(2/3, 6)
+            tot = (1.0 + 1.0 + 0.0) / 3.0
+            return float(Decimal(repr(tot)).quantize(q6, ROUND_HALF_UP))
+        low = t.lower()
+        toks = [x for x in ws.split(low) if x]
+        n = len(toks)
+        length_term = min(n / 100.0, 1.0)
+        if n == 0:
+            stop_term = 0.0
+        else:
+            hits = 0
+            for x in toks:
+                if x in stop:
+                    hits += 1
+            stop_term = min((hits / n) * 5.0, 1.0)
+        lt = len(t)
+        ratio = (len(punct.sub("", low)) / lt) if lt else 0.0
+        punct_term = max(0.0, 1.0 - ratio * 5.0)
+        tot = (length_term + stop_term + punct_term) / 3.0
+        return float(Decimal(repr(tot)).quantize(q6, ROUND_HALF_UP))
+
+    def _score(texts):
+        return texts.map(_one)
+
+    # `from __future__ import annotations` stringizes hints, which the
+    # pandas-UDF type-hint inference can't resolve — set real ones
+    _score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_score, DoubleType())
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Per-language marker-token hit counts over lowercased tokens."""
     toks = tokens(F.lower(text))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -546,14 +547,95 @@ def _simhash_expr(hashes_sql: str, n_bits: int):
     )
 
 
-def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def simhash_votes_arrow(
+    hashed: DataFrame, id_col: str, n_bits: int
 ) -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64 bit votes (JVM-side).
+    """numpy mapInArrow twin of :func:`_simhash_expr` over a
+    pre-computed ``(id, _hs ARRAY<BIGINT>)`` projection — signatures
+    are bit-identical by construction (guide §4: vectorize the per-row
+    work, cross the Python boundary once).
+
+    Why it exists: the one-pass SQL aggregate runs under Spark 4.1.x's
+    INTERPRETED higher-order-function path, allocating an n_bits-wide
+    vote array per token per row — the dominant executor cost of the
+    whole SimHash dedup family. Here the token hashes cross the Arrow
+    boundary once as a contiguous int64 buffer and the votes are pure
+    integer numpy: bit_j(doc) = 1 iff 2·(count of tokens with bit j
+    set) > token count, which is exactly Σ(bit·2−1) > 0 — the expr
+    form's vote rule, with no float anywhere, so equality is provable
+    (pinned by tests/test_dedup.py::test_simhash_votes_arrow_parity).
+    NULL token arrays and empty arrays both yield signature 0, same as
+    the expr form's coalesce. Token hashing (xxhash64/md5) stays
+    JVM-side in the projection feeding this, so cross-engine hash
+    semantics are untouched.
+    """
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [hashed.schema[id_col], StructField("simhash", LongType())]
+    )
+    shifts = np.arange(n_bits, dtype=np.uint64)
+
+    def votes(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            lst = batch.column(1)
+            n = len(lst)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.int64())],
+                    schema=pa.schema(
+                        [batch.schema.field(0), pa.field("simhash", pa.int64())]
+                    ),
+                )
+                continue
+            offsets = lst.offsets.to_numpy().astype(np.int64)
+            cnt = offsets[1:] - offsets[:-1]
+            values = lst.values.to_numpy(zero_copy_only=False)
+            sig = np.zeros(n, dtype=np.uint64)
+            t = len(values)
+            if t and cnt.max() > 0:
+                # bit matrix (t, 64): column j = bit j of the int64's
+                # two's-complement representation == (h >> j) & 1
+                bits = np.unpackbits(
+                    values.view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )[:, :n_bits]
+                # per-row popcount of each bit column; reduceat yields
+                # x[idx[i]] (not 0) for empty segments and rejects
+                # idx == t — clamp, then zero empty/null rows below
+                starts = np.minimum(offsets[:-1], t - 1)
+                ones = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+                packed = (
+                    ((2 * ones > cnt[:, None]).astype(np.uint64) << shifts)
+                    .sum(axis=1, dtype=np.uint64)
+                )
+                sig = np.where(cnt > 0, packed, np.uint64(0))
+            if lst.null_count:
+                sig[lst.is_null().to_numpy(zero_copy_only=False)] = 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sig.view(np.int64), type=pa.int64())],
+                schema=pa.schema(
+                    [batch.schema.field(0), pa.field("simhash", pa.int64())]
+                ),
+            )
+
+    return hashed.mapInArrow(votes, out_schema)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    use_arrow: bool = True,
+) -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64 bit votes.
 
     bit_j(doc) = 1 iff Σ_tokens (bit_j(xxhash64(token))*2 - 1) > 0.
-    Output: (id, simhash BIGINT). One aggregate pass (see
-    :func:`_simhash_expr`).
+    Output: (id, simhash BIGINT). Token hashing is JVM-side; the vote
+    fold runs in the numpy Arrow kernel (:func:`simhash_votes_arrow`,
+    bit-identical to the ``use_arrow=False`` one-pass SQL aggregate,
+    which remains as the pure-JVM/parity form).
     """
     from local_vectordb_spark.functions.text import normalize_text, tokens
 
@@ -562,7 +644,10 @@ def simhash_signatures(
     # the hash pipeline stays a (small) Column tree projected once;
     # CollapseProject inlines it into the aggregate's INPUT argument
     # (referenced once — evaluated once per row, same as before)
-    return docs.select(F.col(id_col), hashes.alias("_hs")).select(
+    hashed = docs.select(F.col(id_col), hashes.alias("_hs"))
+    if use_arrow:
+        return simhash_votes_arrow(hashed, id_col, 64)
+    return hashed.select(
         F.col(id_col), _simhash_expr("_hs", 64).alias("simhash")
     )
 
@@ -648,7 +733,8 @@ def _simhash_band_pairs(
 
 
 def simhash_signatures_portable(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """60-bit SimHash with an ENGINE-PORTABLE hash family: the token
     hash is the first 15 hex chars of md5(token) read as an integer
@@ -667,7 +753,10 @@ def simhash_signatures_portable(
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
     # same single-reference projection as simhash_signatures
-    return docs.select(F.col(id_col), hashes.alias("_hs")).select(
+    hashed = docs.select(F.col(id_col), hashes.alias("_hs"))
+    if use_arrow:
+        return simhash_votes_arrow(hashed, id_col, 60)
+    return hashed.select(
         F.col(id_col), _simhash_expr("_hs", 60).alias("simhash")
     )
 

@@ -596,7 +596,10 @@ def docs_quality_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from local_vectordb_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    q = docs.select("source", T.quality_score(F.col("text")).alias("quality"))
+    # Arrow quality kernel (r19): value-identical, parity-pinned
+    q = docs.select(
+        "source", T.quality_score_batch()(F.col("text")).alias("quality")
+    )
     return q.groupBy("source").agg(
         F.round(F.percentile("quality", F.lit(0.1)), 6).alias("p10"),
         F.round(F.percentile("quality", F.lit(0.5)), 6).alias("p50"),

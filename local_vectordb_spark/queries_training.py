@@ -525,9 +525,14 @@ def _register_manifest_leakage_safe() -> None:
                 F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
             ).otherwise(F.col("doc_id")),
         ).join(lang, "base_id")
-        filt = corpus.withColumn(
-            "quality", T.quality_score(F.col("text"))
-        ).filter(F.col("quality") >= 0.5)
+        # Arrow quality kernel (r19), applied directly in the filter —
+        # quality is not referenced downstream, and a withColumn +
+        # filter pair would evaluate the (now opaque) kernel twice
+        # when the optimizer pushes the filter below the projection
+        # (guide §4.4)
+        filt = corpus.filter(
+            T.quality_score_batch()(F.col("text")) >= 0.5
+        )
         fp = filt.withColumn("f", T.fingerprint(F.col("text")))
         w = Window.partitionBy("f").orderBy("doc_id")
         kept = fp.withColumn("rn", F.row_number().over(w)).filter(
@@ -908,9 +913,9 @@ def _register_training_manifest() -> None:
         from pyspark.sql import Window
 
         docs = load_table(spark, sf_dir, "documents")
-        filt = docs.withColumn("quality", T.quality_score(F.col("text"))).filter(
-            F.col("quality") >= 0.5
-        )
+        # Arrow quality kernel (r19) directly in the filter — see the
+        # leakage-safe twin for the duplicate-evaluation rationale
+        filt = docs.filter(T.quality_score_batch()(F.col("text")) >= 0.5)
         fp = filt.withColumn("f", T.fingerprint(F.col("text")))
         w = Window.partitionBy("f").orderBy("doc_id")
         kept = fp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)

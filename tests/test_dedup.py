@@ -276,3 +276,33 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and a sufficient budget converges to one family
     labels = dedup.connected_components(chain, max_iters=11)
     assert {r.component for r in labels.collect()} == {0}
+
+
+def test_simhash_votes_arrow_parity(spark, sf_dir):
+    """The numpy mapInArrow vote kernel computes bit-identical
+    signatures to the one-pass SQL aggregate on the real fixture
+    corpus plus the edge rows (NULL / empty / whitespace-only /
+    single-token text), for BOTH hash families."""
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = _docs(
+        spark,
+        [
+            (9_000_001, None),
+            (9_000_002, ""),
+            (9_000_003, "   \t \n "),
+            (9_000_004, "one"),
+        ],
+    )
+    corpus = docs.unionByName(edges)
+    for fn in (dedup.simhash_signatures, dedup.simhash_signatures_portable):
+        arrow = {
+            r["doc_id"]: r["simhash"]
+            for r in fn(corpus, use_arrow=True).collect()
+        }
+        expr = {
+            r["doc_id"]: r["simhash"]
+            for r in fn(corpus, use_arrow=False).collect()
+        }
+        assert arrow == expr

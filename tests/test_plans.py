@@ -196,11 +196,12 @@ def test_ivf_sign_two_level_prunes_to_three_routed_buckets(spark, sf_dir):
 
 
 def test_beam_search_final_plan_and_hop_shape(spark, sf_dir):
-    """The beam search's per-hop materialization barriers mean the
-    FINAL plan is a top-k over the (tiny) checkpointed visited set —
-    TakeOrderedAndProject over an in-memory scan, no join re-expansion.
-    The hop join itself (edges x broadcast frontier) must be a
-    broadcast hash join, asserted on an unbarriered single hop."""
+    """The driver-frontier beam search (r19 bounded-collect policy)
+    returns the top-k as a LOCAL relation — the final plan must be a
+    plain local scan with no join re-expansion of the traversal. The
+    per-hop neighbour lookup an edges-DataFrame hop performs (edges x
+    broadcast frontier) must still be a broadcast hash join, asserted
+    on an unbarriered single hop."""
     from local_vectordb_spark import queries as q
     from local_vectordb_spark.operators import ann, knn
     from local_vectordb_spark.session import load_table
@@ -208,7 +209,8 @@ def test_beam_search_final_plan_and_hop_shape(spark, sf_dir):
     df = q.SPARK_QUERIES["graph_beam_search"](spark, sf_dir)
     plan = plans.plan_string(df)
     assert "CartesianProduct" not in plan
-    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # traversal state never re-expands
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
     emb = load_table(spark, sf_dir, "embeddings")
     edges = ann.knn_graph(emb, k=5).localCheckpoint(eager=True)

@@ -94,3 +94,38 @@ def test_phone_requires_plus_and_length(spark):
     assert _one(spark, "order 123456789 and +12345 end", T.scrub_pii) == (
         "order 123456789 and +12345 end"
     )
+
+
+def test_quality_score_batch_parity(spark, sf_dir):
+    """The Arrow quality kernel is value-identical to the Column form
+    on every fixture document plus the edge rows (NULL / empty /
+    whitespace-only / punctuation-soup / stopword-only text) — the
+    manifests FILTER on this score, so parity must be exact, not
+    approximate."""
+    from local_vectordb_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (9_000_001, None),
+            (9_000_002, ""),
+            (9_000_003, "   \t \n "),
+            (9_000_004, "the a of and is in to it"),
+            (9_000_005, "!!! ??? ;;; :::"),
+            (9_000_006, "word " * 250),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(edges)
+    fast = T.quality_score_batch()
+    a = {
+        r["doc_id"]: r["q"]
+        for r in corpus.select("doc_id", fast(F.col("text")).alias("q")).collect()
+    }
+    b = {
+        r["doc_id"]: r["q"]
+        for r in corpus.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert a == b
