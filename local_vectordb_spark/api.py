@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from local_vectordb_spark.functions.embedding import hashed_embedding_udf
 from local_vectordb_spark.operators import crud, ivf, knn
+from local_vectordb_spark.session import local_rows_df
 from local_vectordb_spark.sources.json_records import SCHEMAS
 
 INDEX_TYPES = ("cosine", "ivf", "sign", "nsw", "hybrid", "pq", "sq8", "auto")
@@ -1011,7 +1012,7 @@ class VectorDB:
 
     def _embed_query(self, text: str) -> list[float]:
         row = (
-            self.spark.createDataFrame([(text,)], "t string")
+            local_rows_df(self.spark, [(text,)], "t string")
             .select(self.embedder(F.col("t")).alias("v"))
             .collect()[0]
         )
@@ -1166,7 +1167,7 @@ class VectorDB:
             from local_vectordb_spark.functions.text import tokens, normalize_text
             from local_vectordb_spark.operators import fulltext as FT
 
-            terms_row = self.spark.createDataFrame([(query,)], "t string").select(
+            terms_row = local_rows_df(self.spark, [(query,)], "t string").select(
                 tokens(normalize_text(F.col("t"))).alias("terms")
             ).first()
             bm25 = FT.bm25_scores(
@@ -1483,7 +1484,8 @@ class VectorDB:
                 version=version,
             )
         if query_vecs is None:
-            rows = self.spark.createDataFrame(
+            rows = local_rows_df(
+                self.spark,
                 [(int(i), t) for i, t in queries], "query_id long, t string"
             ).select(
                 "query_id", self.embedder(F.col("t")).alias("v")
@@ -1504,13 +1506,15 @@ class VectorDB:
             # the probe set is an expression of the query vector, so
             # the batch form is the same fully-distributed join as the
             # table path — no per-query driver work to preserve
-            qdf = self.spark.createDataFrame(
+            qdf = local_rows_df(
+                self.spark,
                 [(int(i), [float(x) for x in v]) for i, v in query_vecs],
                 "query_id long, qv array<double>",
             )
             scored = self._sign_batch(chunks, qdf, k, metadata, disk_v)
         elif index_type == "sq8":
-            qdf = self.spark.createDataFrame(
+            qdf = local_rows_df(
+                self.spark,
                 [(int(i), [float(x) for x in v]) for i, v in query_vecs],
                 "query_id long, qv array<double>",
             )
@@ -1565,12 +1569,14 @@ class VectorDB:
                 "'cosine', 'ivf', 'sign' or 'sq8' for large query sets"
             )
         if query_vecs is not None:
-            qdf = self.spark.createDataFrame(
+            qdf = local_rows_df(
+                self.spark,
                 [(int(i), [float(x) for x in v]) for i, v in query_vecs],
                 "query_id long, qv array<double>",
             )
         else:
-            qdf = self.spark.createDataFrame(
+            qdf = local_rows_df(
+                self.spark,
                 [(int(i), t) for i, t in queries], "query_id long, t string"
             ).select("query_id", self.embedder(F.col("t")).alias("qv"))
         disk_v = (

@@ -260,8 +260,10 @@ def bfs_hops(
     # checkpoint_edges=False to skip the duplicate barrier job.
     if checkpoint_edges:
         edges = edges.localCheckpoint(eager=True)
-    visited = spark.createDataFrame(
-        [(int(s), 0) for s in seeds], "node long, hop int"
+    from local_vectordb_spark.session import local_rows_df
+
+    visited = local_rows_df(
+        spark, [(int(s), 0) for s in seeds], "node long, hop int"
     )
     frontier = visited
     for h in range(1, max_hops + 1):

@@ -191,7 +191,10 @@ def assign_cells(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    cent = spark.createDataFrame(
+    from local_vectordb_spark.session import local_rows_df
+
+    cent = local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cells)],
         "cluster_id int, _cv array<double>",
     )
@@ -332,10 +335,13 @@ def ivf_search_batch(
         for qid, qv in query_rows
         for c in probe_clusters(centroids, qv, n_probe)
     ]
-    probes = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster_id int"
+    from local_vectordb_spark.session import local_rows_df
+
+    probes = local_rows_df(
+        spark, probe_pairs, "query_id long, cluster_id int"
     )
-    qdf = spark.createDataFrame(
+    qdf = local_rows_df(
+        spark,
         [(int(qid), [float(x) for x in qv]) for qid, qv in query_rows],
         "query_id long, _qv array<double>",
     )
@@ -569,7 +575,10 @@ def ivf_search_batch_table(
         # SAME uniform n_super so both forms rank identically
         s_total = len(centroids.supercells)
         n_super = min_supercells_for(centroids, n_probe, s_total)
-        sup = spark.createDataFrame(
+        from local_vectordb_spark.session import local_rows_df
+
+        sup = local_rows_df(
+            spark,
             [(j, [float(x) for x in c])
              for j, c in enumerate(centroids.supercells)],
             "super_id int, _cv array<double>",
@@ -586,7 +595,8 @@ def ivf_search_batch_table(
             .filter(F.col("_rn") <= n_super)
             .select(query_id_col, query_vec_col, "super_id")
         )
-        cells = spark.createDataFrame(
+        cells = local_rows_df(
+            spark,
             [(i, int(centroids.cell_to_super[i]), [float(x) for x in c])
              for i, c in enumerate(centroids)],
             "cluster_id int, super_id int, _cv array<double>",
@@ -599,7 +609,10 @@ def ivf_search_batch_table(
             .select(query_id_col, "cluster_id")
         )
     else:
-        cent = spark.createDataFrame(
+        from local_vectordb_spark.session import local_rows_df
+
+        cent = local_rows_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cluster_id int, _cv array<double>",
         )

@@ -338,8 +338,14 @@ def pq_adc_search_batch(
     # broadcast cross join build in milliseconds and execute
     # identically (same tables, same left-to-right ADC fold)
     spark = vectors.sparkSession
+    # single-slice local frame: the default 32-slice parallelize makes
+    # every broadcast build of this table a 32-task python-socket job
+    # (session.local_rows_df)
+    from local_vectordb_spark.session import local_rows_df
+
     qtbl = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     int(qid),
@@ -456,8 +462,10 @@ def ivf_pq_residual_search(
         )
         for c in probed
     ]
-    cents = spark.createDataFrame(
-        cent_rows, "cluster_id int, _cent array<double>, _qdotc double"
+    from local_vectordb_spark.session import local_rows_df
+
+    cents = local_rows_df(
+        spark, cent_rows, "cluster_id int, _cent array<double>, _qdotc double"
     )
     enc = pq_encode_batch(codebook)
     resid = F.zip_with(
@@ -561,14 +569,18 @@ def ivf_pq_residual_search_batch(
                     float(sum(a * b for a, b in zip(qhat, centroids[c]))),
                 )
             )
+    from local_vectordb_spark.session import local_rows_df
+
     probes = F.broadcast(
-        spark.createDataFrame(
-            probe_rows, "query_id long, cluster_id int, _qdotc double"
+        local_rows_df(
+            spark, probe_rows, "query_id long, cluster_id int, _qdotc double"
         )
     )
     qtbl = F.broadcast(
-        spark.createDataFrame(
-            qt_rows, "query_id long, _t array<array<double>>, _qhat array<double>"
+        local_rows_df(
+            spark,
+            qt_rows,
+            "query_id long, _t array<array<double>>, _qhat array<double>",
         )
     )
 

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from local_vectordb_spark.operators import knn
-from local_vectordb_spark.session import ensure_min_parallelism, load_table
+from local_vectordb_spark.session import (
+    ensure_min_parallelism,
+    load_table,
+    local_rows_df,
+)
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -233,11 +237,11 @@ def _staged_vectordb(spark: SparkSession, sf_dir: str):
     db = VectorDB(spark, _tmp_store_dir("lvdb_api_"))
     db.add(
         "libraries",
-        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+        local_rows_df(spark, [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
     )
     db.add(
         "documents",
-        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+        local_rows_df(spark, [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -777,11 +781,11 @@ def _inc_search_store(spark: SparkSession, sf_dir: str):
     db = VectorDB(spark, _tmp_store_dir("lvdb_inc_"), keep_versions=4)
     db.add(
         "libraries",
-        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+        local_rows_df(spark, [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
     )
     db.add(
         "documents",
-        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+        local_rows_df(spark, [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -1033,11 +1037,11 @@ def _tt_search_store(spark: SparkSession, sf_dir: str):
     db = VectorDB(spark, _tmp_store_dir("lvdb_ttq_"))
     db.add(
         "libraries",
-        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+        local_rows_df(spark, [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
     )
     db.add(
         "documents",
-        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+        local_rows_df(spark, [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -1148,11 +1152,11 @@ def _synced_bundle_db(spark: SparkSession, sf_dir: str):
     db = VectorDB(spark, _tmp_store_dir("lvdb_sync_src_"), keep_versions=4)
     db.add(
         "libraries",
-        spark.createDataFrame([("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
+        local_rows_df(spark, [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]),
     )
     db.add(
         "documents",
-        spark.createDataFrame([("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
+        local_rows_df(spark, [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]),
     )
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -1522,14 +1526,14 @@ def crud_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     db.add(
         "libraries",
-        spark.createDataFrame(
-            [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]
+        local_rows_df(
+            spark, [("lib0", {}, None, None, "corpus")], SCHEMAS["libraries"]
         ),
     )
     db.add(
         "documents",
-        spark.createDataFrame(
-            [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]
+        local_rows_df(
+            spark, [("d0", {}, None, None, "doc", "lib0")], SCHEMAS["documents"]
         ),
     )
     db.add(
@@ -5136,8 +5140,8 @@ def ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         for qid, qv in qvs
         for c in ivf.probe_clusters(centroids, qv, n_probe=8)
     ]
-    probes = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster_id int"
+    probes = local_rows_df(
+        spark, probe_pairs, "query_id long, cluster_id int"
     )
     cand_pairs = assignments.join(F.broadcast(probes), "cluster_id").select(
         "query_id", "vec_id"

@@ -194,7 +194,10 @@ def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = temperature_fractions(counts, alpha=0.5)
     sampled = stratified_sample(docs, "doc_id", "lang", fractions)
     kept = sampled.groupBy("lang").agg(F.count("*").alias("n_kept"))
-    meta = spark.createDataFrame(
+    from local_vectordb_spark.session import local_rows_df
+
+    meta = local_rows_df(
+        spark,
         [
             (lang, int(n), round(fractions[lang], 6))
             for lang, n in counts.items()

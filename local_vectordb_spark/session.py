@@ -143,6 +143,24 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Single-partition DataFrame for a SMALL driver-side row list
+    (query vectors, probe tables, ADC tables, seed edges).
+
+    ``spark.createDataFrame(list)`` parallelizes the rows over
+    defaultParallelism partitions (32 locally), so every downstream
+    action — in particular every BROADCAST build of the little table —
+    runs a 32-task job in which each task opens its own socket to the
+    Python driver's RDD server (measured: an 8-row broadcast side
+    costs 0.47 s that way, 0.30 s as one slice; a coalesce(1) over the
+    32-slice form is worst of all at ~5 s, one serial socket
+    round-trip per empty partition). One slice, one task — the shape a
+    k-row local relation should have (guide §7.3: the driver should do
+    almost no data work, and what it does should not fan out).
+    """
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than cores — CPU-heavy per-row operators (signature computation,

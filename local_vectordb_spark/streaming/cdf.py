@@ -214,8 +214,10 @@ def _parse_row(row: dict, schema: T.StructType) -> tuple:
 def _rows_to_df(
     spark: SparkSession, rows: list[dict], schema: T.StructType
 ) -> DataFrame:
-    return spark.createDataFrame(
-        [_parse_row(r, schema) for r in rows], schema
+    from local_vectordb_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark, [_parse_row(r, schema) for r in rows], schema
     )
 
 
