@@ -914,7 +914,15 @@ def embedding_near_dupes_lsh(
 
     # A small parquet corpus arrives as one split and the whole
     # hash/explode/join pipeline would run single-task; no-op at scale.
-    vectors = ensure_min_parallelism(vectors)
+    # The eager checkpoint is a pure materialization barrier (values
+    # untouched): without it every downstream ACTION re-executes the
+    # scan+union+normalize lineage from the source — the bucket-width
+    # dim probe, the median-norm quantile, BOTH approxSimilarityJoin
+    # sides, and both rescore sides each paid the full input pipeline
+    # again (profiled r19: three ~0.5 s repeats inside a 2.4 s query).
+    # At true 100 TB the same move is the stored normalized projection
+    # (materialize once, scan many) — identical semantics.
+    vectors = ensure_min_parallelism(vectors).localCheckpoint(eager=True)
     max_l2 = max(math.sqrt(max(0.0, 2.0 - 2.0 * threshold)), 1e-9)
     if bucket_length is None:
         bucket_length = max(max_l2 / 2.0, 1e-3)

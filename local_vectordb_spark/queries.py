@@ -2089,15 +2089,28 @@ def _docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-line): each text chunked into 8-word lines with a per-lang
     header line prepended — the header recurs across every document of
     a language, i.e. deterministic synthetic boilerplate."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    words = F.split(F.col("text"), " ")
+    # CPU-heavy per-row chunking on a 2-split file would pin to 1-2
+    # cores (r19 profile: two ~0.4 s single-task stages); no-op at
+    # real split counts
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    # stage the word array as a REAL column: the old form captured
+    # split(text) inside the chunking lambda, re-running the split once
+    # per 8-word chunk (the shingles/winnow capture trap). `_w` is
+    # referenced twice (size + lambda), so CollapseProject keeps the
+    # projection and the lambda capture is a plain attribute read.
+    staged = docs.select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("_w")
+    )
+    words = F.col("_w")
     n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
     )
     header = F.concat(F.lit("== "), F.col("lang"), F.lit(" section =="))
-    return docs.select(
+    return staged.select(
         "doc_id",
         "lang",  # carried for consumers that aggregate per language
         F.concat_ws("\n", F.concat(F.array(header), chunks)).alias("text"),
