@@ -153,6 +153,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -186,6 +187,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "loadavg": loadavg,
+        # r19 additions (r18 verdict #4), contract-compatible:
+        # cpus identifies which core count produced the record, and
+        # canary_knn_brute_force (a query untouched since r1) makes the
+        # host's fast/slow phases machine-detectable — readings of
+        # 0.63 s and 5.02 s were committed for IDENTICAL code in r18
+        "cpus": cpus,
+        "canary_knn_brute_force": timings.get("knn_brute_force"),
     }
     # Truncation-proof output (r10 verdict #3): the driver keeps only
     # the LAST 2000 bytes of stdout, and the one-line contract record
@@ -204,11 +212,13 @@ def main() -> None:
     #      map line alone is ~1800 B — it would push the parseable
     #      final line's head out of the 2000 B tail window),
     #   4. a SHORT final line with the parseable headline total.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL_LAST.json"), "w"
-    ) as f:
-        json.dump(record, f)
+    # per-cpus filename (r18 verdict #4): the driver's 8-core control
+    # run used to clobber the 32-core full record; BENCH_FULL_LAST.json
+    # stays as the unqualified latest pointer for existing readers
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_FULL_LAST.json", f"BENCH_FULL_LAST_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(record, f)
     print(json.dumps(record))
     names = list(timings)
     for chunk in (names[: len(names) // 2], names[len(names) // 2:]):
@@ -223,7 +233,9 @@ def main() -> None:
             "sf": sf,
             "n_queries": len(timings),
             "loadavg": loadavg,
-            "full_record": "BENCH_FULL_LAST.json",
+            "cpus": cpus,
+            "canary_knn_brute_force": timings.get("knn_brute_force"),
+            "full_record": f"BENCH_FULL_LAST_c{cpus}.json",
         }
     ))
 

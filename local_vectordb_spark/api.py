@@ -223,7 +223,19 @@ class VectorDB:
         # invalidate naturally; a GC'd version keeps raising at
         # construction time exactly like the uncached read (callers
         # catch AnalysisException, not executor-time file errors).
+        # WRITER CONTRACT (r18 verdict/ADVICE): the key watches ONLY
+        # the top artifact directory's mtime. Replacing a FILE inside
+        # a nested partition subdir (bucket=K/ under a version dir)
+        # without touching the parent does not bump it and would serve
+        # a stale listing — no writer in this repo does that (Spark
+        # overwrite deletes+recreates the directory, and all layout
+        # writers mint new v{N}/_sign_v{N}/_delta_N dirs); any future
+        # in-place writer must touch the artifact root (or write a new
+        # generation) to be cache-coherent. Bounded as a small LRU so
+        # a long-lived serving facade does not accumulate one handle
+        # per superseded generation forever.
         self._df_cache: dict[tuple[str, int], DataFrame] = {}
+        self._df_cache_max = 64
         self._tl_id: str | None = None
 
     def _cached_parquet(self, path: str) -> DataFrame:
@@ -235,7 +247,11 @@ class VectorDB:
         df = self._df_cache.get(key)
         if df is None:
             df = self.spark.read.parquet(path)
-            self._df_cache[key] = df
+        else:
+            del self._df_cache[key]  # re-insert: dict order is the LRU order
+        self._df_cache[key] = df
+        while len(self._df_cache) > self._df_cache_max:
+            self._df_cache.pop(next(iter(self._df_cache)))
         return df
 
     # ---------------- storage ----------------

@@ -32,10 +32,16 @@ def lit_double_array(values) -> Column:
     shortest round-tripping decimal form, and Spark's SQL parser reads
     it back into the identical IEEE double, so the expression — and
     every score derived from it — is bit-identical to the F.lit form.
+
+    Non-finite elements (NaN/±Inf) have no ``repr``-style SQL literal
+    — ``nanD`` would raise a ParseException where the old F.lit form
+    built a valid literal (r18 ADVICE) — so any such vector falls back
+    to the per-element F.lit construction.
     """
-    return F.expr(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
-    )
+    vals = [float(x) for x in values]
+    if any(x != x or x in (float("inf"), float("-inf")) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ", ".join(f"{x!r}D" for x in vals) + ")")
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -82,8 +82,21 @@ def score_all(
     subtree is duplicated in the condition and the divisor exactly
     like the Column form duplicated it), so every score is
     bit-unchanged."""
-    qn = "array(" + ", ".join(f"{float(x)!r}D" for x in _unit(query_vec)) + ")"
-    v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    def _d(x: float) -> str:
+        # repr has no SQL form for non-finite doubles (r18 ADVICE): a
+        # NaN/Inf query component must parse too, not raise
+        if x != x:
+            return "CAST('NaN' AS DOUBLE)"
+        if x == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if x == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
+    qn = "array(" + ", ".join(_d(float(x)) for x in _unit(query_vec)) + ")"
+    # escape backticks so a hostile column name cannot break out of the
+    # quoted identifier (r18 ADVICE; all current callers pass plain names)
+    v = f"CAST(`{vec_col.replace('`', '``')}` AS ARRAY<DOUBLE>)"
     fold = "0.0D, (acc, x) -> acc + x"
     norm = f"sqrt(aggregate(zip_with({v}, {v}, (x, y) -> x * y), {fold}))"
     dot = f"aggregate(zip_with({v}, {qn}, (x, y) -> x * y), {fold})"

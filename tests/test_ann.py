@@ -116,17 +116,15 @@ def test_ivf_fit_on_sample_past_train_cap(spark, sf_dir, monkeypatch):
         r.vec_id
         for r in ivf.ivf_search(emb, asg_f, cents_f, qv, k=10, n_probe=3).collect()
     }
-    # Both fits are deterministic now (the spy coalesces the fit input
-    # to one partition — see spy_fit), so the r15/r16/r18 load-jitter
-    # spreads can't recur — but the deterministic coalesced fits
-    # measure 9/10 (full) vs 7/10 (sampled) on this fixture: a sampled
-    # fit trains on a quarter of the rows, so its cell boundaries
-    # legitimately differ at n_probe=3. Slack 3 covers that measured
-    # gap plus one MLlib version nudge (the r18 slack-1 tightening
-    # assumed the gap was all jitter and failed deterministically).
-    # The floor still gates collapse (random cells score ~1-2/10), and
-    # the full-width-probe exactness assertion above remains the hard
-    # correctness gate.
+    # The r18 ADVICE asked to PIN the sampled reading (7/10 ± 1) on
+    # the grounds that the coalesced fits are deterministic — r19
+    # tried exactly that and measured the sampled recall at 9, then 6,
+    # within the hour on identical code and fixture bytes (the full
+    # fit read 9 every time): the sampled fit's variance survives the
+    # coalesce, so an exact pin is a flake, not a gate. Keep the
+    # full−3 floor — it still gates collapse (random cells score
+    # ~1-2/10) — and let the full-width-probe exactness assertion
+    # above remain the hard correctness gate.
     floor = max(2, len(pruned_f & set(truth)) - 3)
     assert len(pruned_s & set(truth)) >= floor
 

@@ -2096,3 +2096,37 @@ def test_sq8_tier_two_stage_exact_rerank(spark, tmp_path):
     assert "codes" not in d._sign_stored(v2).columns
     assert rows(d.search(query_vec=q, index_type="sq8", k=7)) == rows(
         d.search(query_vec=q, index_type="sign", k=7))
+
+
+def test_cached_parquet_invalidates_on_dir_replacement(spark, tmp_path):
+    """The facade's artifact-DataFrame cache keys on (path, dir
+    mtime_ns): replacing a whole artifact directory IN PLACE (the only
+    mutation the writer contract allows besides minting a new
+    generation dir) must serve the new data, and the cache is a
+    bounded LRU so a long-lived facade does not hold one handle per
+    superseded generation forever (r18 verdict #8)."""
+    import shutil
+
+    from local_vectordb_spark.api import VectorDB
+
+    db = VectorDB(spark, str(tmp_path / "store"))
+    p = str(tmp_path / "art")
+    spark.range(3).write.parquet(p)
+    df1 = db._cached_parquet(p)
+    assert df1.count() == 3
+    assert db._cached_parquet(p) is df1  # stable handle while unchanged
+
+    shutil.rmtree(p)
+    spark.range(5).write.parquet(p)  # in-place replacement bumps dir mtime
+    df2 = db._cached_parquet(p)
+    assert df2 is not df1
+    assert df2.count() == 5
+
+    db._df_cache_max = 4
+    for i in range(6):
+        q = str(tmp_path / f"gen{i}")
+        spark.range(1).write.parquet(q)
+        db._cached_parquet(q)
+    assert len(db._df_cache) <= 4
+    # the most recent entry survives the evictions
+    assert db._cached_parquet(str(tmp_path / "gen5")) is not None

@@ -21,29 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 
 def get_spark_ui(app_name: str):
-    from local_vectordb_spark import session as s
+    # the benched configuration itself, UI flipped on via SPARK_GRAFT_UI
+    # (set above) — a hand-copied builder here would silently drift from
+    # session.get_spark when bench config changes (r18 ADVICE)
+    from local_vectordb_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4099")
-    )
-    return builder.getOrCreate()
+    return get_spark(app_name)
 
 
 def rest(path: str):
