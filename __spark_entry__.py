@@ -32,116 +32,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# in registration order. Round 18 rotation (r17 verdict #3, executed
-# exactly as pre-queued in the r17 comment): (a) the 29 remaining
-# oracled entries of the 50-query r14 tier hit their staleness bound
-# this round and MUST lead — alphabetical from ivf_add_remove_roundtrip
-# through window_running_totals per CORRECTNESS_r14 (the tier's other
-# 21 members: 16 rode r17 as spares, 5 — api_search_sign_incremental,
-# api_search_time_travel, crud_cdf_mirror, crud_change_feed,
-# crud_time_travel — have newer r15/r16 evidence and ride those
-# tiers). (b) The r18 code-change riders — the entries whose oracles
-# hash bytes crossing this round's api.py/queries.py/cdf.py changes:
-# api_bundle_cascade_read (NEW — multi-table bundle, r17 verdict #6:
-# chunks→documents→libraries served offline from the sibling-carrying
-# bundle, full oracle over every chunk row),
-# api_search_export_bundle + api_search_bundle_sync (their staging now
-# exports/syncs WITH siblings, and sync_bundle carries the
-# stale-donor-invalidation fix — r17 ADVICE medium),
-# api_search_bundle_time_travel (rides open_serving_bundle's new
-# sibling _CURRENT gates), api_search_sign_incremental (the stored
-# sign layout gained self-sized id-hash sub-partitions + width
-# carry-through on the incremental path — r17 verdict #7) and
-# crud_cdf_mirror (the mirror bootstrap width now self-sizes from
-# snapshot bytes, floor 16 — same verdict item; also rides the
-# timeline-mint errno narrowing, r17 ADVICE low), and
-# api_search_sq8 (NEW r18 — the QUANTIZED serving tier: the sign
-# layout carries an SQ8 code-column triple, the probe reads codes
-# instead of fp bytes, exact fp rerank via a bucket-pruned point
-# read; `auto` routes here past AUTO_SQ8_MIN; full oracle since
-# quantize/reconstruct is deterministic arithmetic DuckDB
-# reproduces). (c) Spare slots: the alphabetically-first 14
-# not-already-listed ORACLED entries of
-# the 50-query r15 tier, which bounds in r19 — ann_recall_report
-# through events_sessionize (events_sliding_window, the 15th,
-# yields its slot to the sq8 rider and leads r19 with its tier;
-# the tier's rows-only members —
-# dedup_minhash_lsh, dedup_simhash, embed_hashed, ivf_batch_search,
-# ivf_search, ivf_search_pruned, lsh_bucket_pairs, lsh_search — are
-# seed-dependent KMeans/LSH forms whose md5/full-probe twins carry
-# the hash evidence; window slots are reserved for hash evidence, so
-# they are skipped, same rule as r17's comment). The remaining 26
-# oracled r15-tier entries MUST lead the r19 window (alphabetical
-# from events_sliding_window through window_top_orders_per_customer
-# per CORRECTNESS_r15 — events_sliding_window rejoins its tier after
-# yielding its r18 spare slot; minus any that ride r19 code changes
-# or newer tiers), and api_search_batch_sq8 (NEW r18, full oracle,
-# no driver row yet) rides r19 alongside any r19 code-change riders. All 50 slots this round are
-# FULL-ORACLE (the r12 tier's rows-only member
-# sketch_distinct_users_daily rode its own tier in r16 and is not
-# stale again until r20). The 8 registry entries with no driver row
-# at any round (knn_graph_blocked + the 7 trained PQ/recall tiers)
-# are rows-only by design with no oracle; they stay outside the
-# rotation — a driver rows-only row adds nothing over the local
-# three-scale verification and the recall invariants in tests, and
-# window slots are reserved for hash evidence (r15 verdict).
+# in registration order. Round 19 rotation (executed exactly as
+# pre-queued in the r18 comment below this one's predecessor): (a) the
+# 26 remaining ORACLED entries of the 50-query r15 tier hit their
+# staleness bound this round and MUST lead — alphabetical from
+# events_sliding_window through window_top_orders_per_customer per
+# CORRECTNESS_r15, minus the tier's 8 rows-only members
+# (dedup_minhash_lsh, dedup_simhash, embed_hashed, ivf_batch_search,
+# ivf_search, ivf_search_pruned, lsh_bucket_pairs, lsh_search —
+# seed-dependent KMeans/MLlib-LSH forms whose md5/full-probe twins
+# carry the hash evidence; window slots are reserved for hash
+# evidence, the standing r15-verdict rule) and minus
+# api_search_sign_incremental + crud_cdf_mirror, which have newer
+# r16/r18 evidence and ride those tiers. (b) The r19 code-change
+# riders — entries whose oracles hash bytes crossing this round's
+# optimization changes: api_search_batch_sq8 (NEW r18, full oracle,
+# first driver row — pre-queued), dedup_simhash_md5 (the numpy
+# mapInArrow simhash-vote kernel), docs_quality_quantiles +
+# docs_training_manifest + docs_training_manifest_leakage_safe +
+# dedup_keep_best_per_family (the Arrow quality kernel — text_quality
+# itself leads with its tier in (a)), graph_beam_search +
+# graph_beam_search_lsh + graph_beam_search_stored + api_search_nsw
+# (the driver-frontier bounded-collect traversal), dedup_embedding_
+# cosine_lsh (input materialization barrier), dedup_lines_boilerplate
+# (staged multiline chunking), and knn_pq_batch +
+# ivf_batch_search_full_probe + api_search_batch_table (single-slice
+# local query/probe tables — representatives of that sweep).
+# (c) Spare slots: the alphabetically-first 9 not-already-listed
+# ORACLED entries of the 50-query r16 tier, whose staleness bound
+# lands in r20 — ann_recall_multi through crud_exists_semi. The
+# REMAINING oracled r16-tier entries MUST lead the r20 window
+# (alphabetical per CORRECTNESS_r16, minus any that ride r20 code
+# changes or newer tiers), with spares drawn from the r17 tier.
 _PRIORITY = [
-    # (a) staleness-bound mandate: the r14 tier's 29 remaining oracled
+    # (a) staleness-bound mandate: the r15 tier's 26 remaining oracled
     # entries, alphabetical
-    "ivf_add_remove_roundtrip",
-    "ivf_batch_search_full_probe",
-    "ivf_pq_multiprobe",
-    "ivf_search_full_probe",
-    "ivf_sign_multiprobe",
-    "ivf_sign_pruned",
-    "knn_batch",
-    "knn_brute_force",
-    "knn_graph",
-    "knn_graph_lsh",
-    "knn_hydrated",
-    "knn_metadata_filter",
-    "knn_mmr_diversified",
-    "knn_pq_adc_deep",
+    "events_sliding_window",
+    "events_tumbling_hour",
+    "graph_bfs_2hop",
+    "knn_pq_batch_stored",
+    "knn_sign_batch",
+    "knn_sign_batch_pruned",
+    "mm_frame_sample",
+    "mm_media_meta",
+    "rollup_revenue",
+    "sample_hash_10pct",
+    "sample_stratified_by_lang",
+    "split_group_aware_lsh",
+    "split_train_val_test",
+    "stream_dedup_exact",
+    "stream_dedup_fingerprint",
+    "stream_sessionize",
+    "stream_sliding_window",
+    "stream_strip_boilerplate",
+    "stream_tumbling_hour",
+    "stream_view_purchase_attribution",
+    "text_fingerprint_rolling",
+    "text_fingerprint_winnow",
+    "text_pii_scrub_audit",
+    "text_quality",
+    "text_token_stats",
+    "window_top_orders_per_customer",
+    # (b) riders of the r19 optimization changes
+    "api_search_batch_sq8",
+    "dedup_simhash_md5",
+    "docs_quality_quantiles",
+    "docs_training_manifest",
+    "docs_training_manifest_leakage_safe",
+    "dedup_keep_best_per_family",
+    "graph_beam_search",
+    "graph_beam_search_lsh",
+    "graph_beam_search_stored",
+    "api_search_nsw",
+    "dedup_embedding_cosine_lsh",
+    "dedup_lines_boilerplate",
     "knn_pq_batch",
-    "knn_pq_stored",
-    "knn_sq8",
-    "lsh_search_md5_multi",
-    "numeric_stats_lineitem",
-    "pivot_status_by_priority",
-    "scalar_subquery_premium_parts",
-    "semi_join_deep_discount_orders",
-    "setops_wealthy_nations",
-    "stream_then_ivf_search",
-    "string_funcs_parts",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "window_running_totals",
-    # (b) riders of the r18 bundle/layout/mirror changes
-    "api_bundle_cascade_read",
+    "ivf_batch_search_full_probe",
+    "api_search_batch_table",
+    # (c) spare slots: alphabetically-first 9 not-already-listed
+    # oracled entries of the r16 tier (its staleness bound lands in
+    # r20; the remaining entries lead that window)
+    "ann_recall_multi",
     "api_search_export_bundle",
-    "api_search_bundle_sync",
-    "api_search_bundle_time_travel",
     "api_search_sign_incremental",
-    "crud_cdf_mirror",
-    "api_search_sq8",
-    # (c) spare slots: alphabetically-first 14 not-already-listed
-    # entries of the r15 tier (its staleness bound lands in r19; the
-    # remaining 31 lead that window)
-    "ann_recall_report",
-    "anti_join_never_bulk_ordered_parts",
     "api_search_time_travel",
+    "crud_cascade_delete",
+    "crud_cdf_mirror",
     "crud_change_feed",
-    "crud_time_travel",
-    "decontam_ngram_overlap",
-    "dedup_components",
-    "dedup_embedding_cosine",
-    "embed_letter_knn",
-    "embed_pool_by_label",
-    "events_asof_last_view",
-    "events_json_extract",
-    "events_session_funnel",
-    "events_sessionize",
+    "crud_delete",
+    "crud_exists_semi",
 ]
 
 
